@@ -1,0 +1,1255 @@
+"""Planar geometry algorithms: DE-9IM relate, predicates, measures.
+
+Semantics follow the reference's JTS-backed UDFs
+(geomesa-spark-jts/.../udf/SpatialRelationFunctions.scala:24-59): DE-9IM
+predicates, cartesian measures in degrees, plus spherical measures in meters.
+Everything here is pure numpy/python and runs inside Arrow pandas-UDF batches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+    empty,
+    linestring,
+    multipolygon,
+    point,
+    polygon,
+)
+
+# spatial4j / reference earth mean radius (km): GeometricProcessingFunctions.scala:60
+EARTH_MEAN_RADIUS_M = 6371008.7714
+EXTERIOR, BOUNDARY, INTERIOR = 2, 1, 0  # locate codes
+_EPS = 1e-12
+
+
+# ----------------------------------------------------------------- primitives
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(px, py, ax, ay, bx, by) -> bool:
+    if abs(_orient(ax, ay, bx, by, px, py)) > _EPS * max(
+        1.0, abs(ax), abs(ay), abs(bx), abs(by), abs(px), abs(py)
+    ):
+        return False
+    return (
+        min(ax, bx) - _EPS <= px <= max(ax, bx) + _EPS
+        and min(ay, by) - _EPS <= py <= max(ay, by) + _EPS
+    )
+
+
+def _seg_params(a, b, segs):
+    """Intersection parameters of segment a->b against an (m,4) seg array.
+
+    Returns sorted unique t values in (0,1) where a->b crosses or touches any
+    segment, including collinear-overlap interval endpoints."""
+    ts: list[float] = []
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    for sx1, sy1, sx2, sy2 in segs:
+        d1x, d1y = sx2 - sx1, sy2 - sy1
+        denom = dx * d1y - dy * d1x
+        o1 = _orient(ax, ay, bx, by, sx1, sy1)
+        o2 = _orient(ax, ay, bx, by, sx2, sy2)
+        o3 = _orient(sx1, sy1, sx2, sy2, ax, ay)
+        o4 = _orient(sx1, sy1, sx2, sy2, bx, by)
+        scale = max(1.0, abs(ax), abs(ay), abs(bx), abs(by), abs(sx1), abs(sy1))
+        eps = _EPS * scale
+        if abs(denom) > eps:
+            t = (
+                ((sx1 - ax) * d1y - (sy1 - ay) * d1x) / denom
+                if abs(denom) > 0
+                else None
+            )
+            u_num = (sx1 - ax) * dy - (sy1 - ay) * dx
+            u = u_num / denom
+            if t is not None and -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                ts.append(min(max(t, 0.0), 1.0))
+        else:
+            # parallel; collinear?
+            if abs(o1) <= eps and abs(o2) <= eps:
+                # project seg endpoints onto a->b parameter space
+                L2 = dx * dx + dy * dy
+                if L2 > 0:
+                    for px, py in ((sx1, sy1), (sx2, sy2)):
+                        t = ((px - ax) * dx + (py - ay) * dy) / L2
+                        if -1e-12 <= t <= 1 + 1e-12:
+                            ts.append(min(max(t, 0.0), 1.0))
+    ts = sorted(set(ts))
+    return [t for t in ts if 1e-12 < t < 1 - 1e-12]
+
+
+def _point_in_ring(px, py, ring: np.ndarray) -> int:
+    """0 interior, 1 boundary, 2 exterior (crossing number w/ boundary test)."""
+    n = len(ring)
+    inside = False
+    for i in range(n - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        if _on_segment(px, py, ax, ay, bx, by):
+            return BOUNDARY
+        if (ay > py) != (by > py):
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < xint:
+                inside = not inside
+    return INTERIOR if inside else EXTERIOR
+
+
+def _locate_in_polygon(px, py, rings) -> int:
+    loc = _point_in_ring(px, py, np.asarray(rings[0]))
+    if loc != INTERIOR:
+        return loc
+    for hole in rings[1:]:
+        hl = _point_in_ring(px, py, np.asarray(hole))
+        if hl == BOUNDARY:
+            return BOUNDARY
+        if hl == INTERIOR:
+            return EXTERIOR
+    return INTERIOR
+
+
+def _line_segments(g: Geometry) -> np.ndarray:
+    """All segments of a geometry's 1D parts / polygon boundaries as (m,4)."""
+    segs = []
+    for arr in _ring_arrays(g):
+        a = np.asarray(arr)
+        if len(a) >= 2:
+            segs.append(np.hstack([a[:-1, :2], a[1:, :2]]))
+    return np.concatenate(segs) if segs else np.empty((0, 4))
+
+
+def _ring_arrays(g: Geometry) -> list[np.ndarray]:
+    """Coordinate arrays of all linear components (lines or polygon rings)."""
+    t = g.gtype
+    if t == LINESTRING:
+        return [g.coords] if len(g.coords) else []
+    if t == MULTILINESTRING:
+        return [np.asarray(l) for l in g.coords]
+    if t == POLYGON:
+        return [np.asarray(r) for r in g.coords]
+    if t == MULTIPOLYGON:
+        return [np.asarray(r) for p in g.coords for r in p]
+    if t == GEOMETRYCOLLECTION:
+        return [a for sub in g.coords for a in _ring_arrays(sub)]
+    return []
+
+
+def _polygons_of(g: Geometry) -> list[list[np.ndarray]]:
+    t = g.gtype
+    if t == POLYGON:
+        return [g.coords] if g.coords else []
+    if t == MULTIPOLYGON:
+        return list(g.coords)
+    if t == GEOMETRYCOLLECTION:
+        return [p for sub in g.coords for p in _polygons_of(sub)]
+    return []
+
+
+def _points_of(g: Geometry) -> np.ndarray:
+    t = g.gtype
+    if t == POINT:
+        return np.empty((0, 2)) if g.is_empty() else np.asarray(g.coords[:2]).reshape(1, 2)
+    if t == MULTIPOINT:
+        return np.asarray(g.coords)[:, :2] if len(g.coords) else np.empty((0, 2))
+    if t == GEOMETRYCOLLECTION:
+        arrs = [_points_of(sub) for sub in g.coords]
+        arrs = [a for a in arrs if len(a)]
+        return np.concatenate(arrs) if arrs else np.empty((0, 2))
+    return np.empty((0, 2))
+
+
+def _lines_of(g: Geometry) -> list[np.ndarray]:
+    t = g.gtype
+    if t == LINESTRING:
+        return [np.asarray(g.coords)] if len(g.coords) else []
+    if t == MULTILINESTRING:
+        return [np.asarray(l) for l in g.coords]
+    if t == GEOMETRYCOLLECTION:
+        return [a for sub in g.coords for a in _lines_of(sub)]
+    return []
+
+
+def _line_boundary_points(g: Geometry) -> np.ndarray:
+    """Endpoints of non-closed linear components (OGC boundary of a line)."""
+    pts = []
+    for arr in _lines_of(g):
+        if len(arr) >= 2 and not np.array_equal(arr[0], arr[-1]):
+            pts.append(arr[0, :2])
+            pts.append(arr[-1, :2])
+    return np.array(pts) if pts else np.empty((0, 2))
+
+
+# --------------------------------------------------------------------- locate
+
+
+def locate(px: float, py: float, g: Geometry) -> int:
+    """Locate a point against a geometry (union semantics for multis)."""
+    t = g.gtype
+    if t == POINT:
+        if g.is_empty():
+            return EXTERIOR
+        return INTERIOR if (px == g.coords[0] and py == g.coords[1]) else EXTERIOR
+    if t == MULTIPOINT:
+        for c in g.coords:
+            if px == c[0] and py == c[1]:
+                return INTERIOR
+        return EXTERIOR
+    if t in (LINESTRING, MULTILINESTRING):
+        bpts = _line_boundary_points(g)
+        for bx, by in bpts:
+            if px == bx and py == by:
+                return BOUNDARY
+        for ax, ay, bx, by in _line_segments(g):
+            if _on_segment(px, py, ax, ay, bx, by):
+                return INTERIOR
+        return EXTERIOR
+    if t in (POLYGON, MULTIPOLYGON):
+        best = EXTERIOR
+        for rings in _polygons_of(g):
+            loc = _locate_in_polygon(px, py, rings)
+            if loc == INTERIOR:
+                return INTERIOR
+            if loc == BOUNDARY:
+                best = BOUNDARY
+        return best
+    if t == GEOMETRYCOLLECTION:
+        best = EXTERIOR
+        for sub in g.coords:
+            loc = locate(px, py, sub)
+            if loc == INTERIOR:
+                return INTERIOR
+            if loc == BOUNDARY:
+                best = BOUNDARY
+        return best
+    return EXTERIOR
+
+
+def representative_point(g: Geometry) -> tuple[float, float]:
+    """A point guaranteed in the interior (polygons) / on the geometry."""
+    t = g.gtype
+    if t == POINT:
+        return float(g.coords[0]), float(g.coords[1])
+    if t == MULTIPOINT:
+        return float(g.coords[0][0]), float(g.coords[0][1])
+    if t in (LINESTRING, MULTILINESTRING):
+        arr = _lines_of(g)[0]
+        return (
+            float((arr[0][0] + arr[1][0]) / 2),
+            float((arr[0][1] + arr[1][1]) / 2),
+        )
+    polys = _polygons_of(g)
+    if polys:
+        rings = polys[0]
+        shell = np.asarray(rings[0])
+        ys = np.unique(shell[:, 1])
+        if len(ys) >= 2:
+            yscan = (ys[0] + ys[1]) / 2.0
+        else:
+            yscan = ys[0]
+        xs = []
+        for i in range(len(shell) - 1):
+            ay, by = shell[i, 1], shell[i + 1, 1]
+            if (ay > yscan) != (by > yscan):
+                xs.append(
+                    shell[i, 0]
+                    + (yscan - ay) * (shell[i + 1, 0] - shell[i, 0]) / (by - ay)
+                )
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            mx = (xs[j] + xs[j + 1]) / 2.0
+            if _locate_in_polygon(mx, yscan, rings) == INTERIOR:
+                return float(mx), float(yscan)
+        c = shell[:-1].mean(axis=0)
+        return float(c[0]), float(c[1])
+    if t == GEOMETRYCOLLECTION and g.coords:
+        return representative_point(g.coords[0])
+    raise ValueError("empty geometry has no representative point")
+
+
+# -------------------------------------------------------------------- DE-9IM
+
+
+def _classify_segments_vs(g_segsrc: Geometry, other: Geometry):
+    """Split every segment of g's linear parts at crossings with `other`'s
+    linear work (segments), classify each sub-seg midpoint against `other`.
+
+    Returns (has_in, has_on, has_out, touch_pts) where touch_pts are isolated
+    split points (potential 0-dim intersections)."""
+    osegs = _line_segments(other)
+    opts = _points_of(other)
+    odim = other.dimension()
+    has_in = has_on = has_out = False
+    touch_pts: list[tuple[float, float]] = []
+    for arr in _ring_arrays(g_segsrc):
+        a = np.asarray(arr)
+        for i in range(len(a) - 1):
+            p0, p1 = a[i, :2], a[i + 1, :2]
+            ts = _seg_params(p0, p1, osegs)
+            # split at other's 0-dim features lying on this segment too
+            dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+            L2 = dx * dx + dy * dy
+            for qx, qy in opts:
+                if L2 > 0 and _on_segment(qx, qy, p0[0], p0[1], p1[0], p1[1]):
+                    t = ((qx - p0[0]) * dx + (qy - p0[1]) * dy) / L2
+                    if 1e-12 < t < 1 - 1e-12:
+                        ts.append(t)
+            ts = [0.0] + sorted(set(ts)) + [1.0]
+            for j in range(len(ts) - 1):
+                t0, t1 = ts[j], ts[j + 1]
+                mx = p0[0] + (p1[0] - p0[0]) * (t0 + t1) / 2
+                my = p0[1] + (p1[1] - p0[1]) * (t0 + t1) / 2
+                loc = locate(mx, my, other)
+                if loc == INTERIOR:
+                    if odim >= 1:
+                        has_in = True
+                elif loc == BOUNDARY:
+                    if odim >= 1:
+                        has_on = True
+                else:
+                    has_out = True
+            for t in ts[1:-1]:
+                touch_pts.append(
+                    (p0[0] + (p1[0] - p0[0]) * t, p0[1] + (p1[1] - p0[1]) * t)
+                )
+            touch_pts.append((float(p0[0]), float(p0[1])))
+        if len(a):
+            touch_pts.append((float(a[-1][0]), float(a[-1][1])))
+    return has_in, has_on, has_out, touch_pts
+
+
+def _dim(g: Geometry) -> int:
+    return g.dimension()
+
+
+def relate(a: Geometry, b: Geometry) -> str:
+    """DE-9IM matrix string, e.g. 'T*F**FFF*' style with actual dims 0/1/2/F.
+
+    Covers point/line/polygon and their multis (union semantics). Built on
+    segment splitting + point location rather than full topology — exact for
+    the reference's test fixtures (axis-aligned and generic-position inputs).
+    """
+    M = [["F"] * 3 for _ in range(3)]
+    M[2][2] = "2"
+    if a.is_empty() or b.is_empty():
+        if not a.is_empty():
+            M[0][2] = str(_dim(a))
+            bd = _boundary_dim(a)
+            M[1][2] = str(bd) if bd >= 0 else "F"
+        if not b.is_empty():
+            M[2][0] = str(_dim(b))
+            bd = _boundary_dim(b)
+            M[2][1] = str(bd) if bd >= 0 else "F"
+        return "".join(M[0]) + "".join(M[1]) + "".join(M[2])
+
+    da, db = _dim(a), _dim(b)
+
+    def setmax(i, j, v):
+        cur = M[i][j]
+        if cur == "F" or (v != "F" and int(v) > int(cur)):
+            M[i][j] = v
+
+    apts, bpts = _points_of(a), _points_of(b)
+    a_has_line = bool(_lines_of(a)) or bool(_polygons_of(a))
+    b_has_line = bool(_lines_of(b)) or bool(_polygons_of(b))
+
+    # --- A-point components vs B
+    for px, py in apts:
+        loc = locate(px, py, b)
+        setmax(0, loc, "0")
+    # --- B-point components vs A
+    for px, py in bpts:
+        loc = locate(px, py, a)
+        setmax(loc, 0, "0")
+
+    # boundary point sets (lines) for interior/boundary distinction of lines
+    a_bpts = {(float(x), float(y)) for x, y in _line_boundary_points(a)}
+    b_bpts = {(float(x), float(y)) for x, y in _line_boundary_points(b)}
+
+    def _a_side(px, py) -> int:
+        """Is (px,py) interior(0) or boundary(1) of A's linear/areal part?"""
+        if _polygons_of(a) and not _lines_of(a):
+            return 1  # polygon boundary work is its boundary
+        return 1 if (px, py) in a_bpts else 0
+
+    def _b_side(px, py) -> int:
+        if _polygons_of(b) and not _lines_of(b):
+            return 1
+        return 1 if (px, py) in b_bpts else 0
+
+    a_is_areal = bool(_polygons_of(a))
+    b_is_areal = bool(_polygons_of(b))
+
+    if a_has_line:
+        has_in, has_on, has_out, pts = _classify_segments_vs(a, b)
+        # a's linear work: boundary if a areal, interior if a lineal
+        arow = 1 if a_is_areal else 0
+        if has_in:
+            setmax(arow, 0, "1")
+            if a_is_areal and b_is_areal:
+                # part of A's boundary strictly inside areal B => interiors overlap
+                setmax(0, 0, "2")
+        if has_on:
+            setmax(arow, 1 if b_is_areal or b_has_line else 0, "1")
+        if has_out:
+            setmax(arow, 2, "1")
+            if a_is_areal:
+                setmax(0, 2, "2")
+        for px, py in pts:
+            loc = locate(px, py, b)
+            side_b = _b_side(px, py) if loc == BOUNDARY else loc
+            side_a = arow if not a_is_areal else 1
+            if not a_is_areal and (px, py) in a_bpts:
+                side_a = 1
+            if loc == INTERIOR:
+                setmax(side_a, 0, "0")
+            elif loc == BOUNDARY:
+                setmax(side_a, 1, "0")
+            else:
+                setmax(side_a, 2, "0")
+    if b_has_line:
+        has_in, has_on, has_out, pts = _classify_segments_vs(b, a)
+        brow = 1 if b_is_areal else 0
+        if has_in:
+            setmax(0, brow, "1")
+            if b_is_areal and a_is_areal:
+                setmax(0, 0, "2")
+        if has_on:
+            setmax(1 if a_is_areal or a_has_line else 0, brow, "1")
+        if has_out:
+            setmax(2, brow, "1")
+            if b_is_areal:
+                setmax(2, 0, "2")
+        for px, py in pts:
+            loc = locate(px, py, a)
+            side_b = brow if not b_is_areal else 1
+            if not b_is_areal and (px, py) in b_bpts:
+                side_b = 1
+            if loc == INTERIOR:
+                setmax(0, side_b, "0")
+            elif loc == BOUNDARY:
+                setmax(1, side_b, "0")
+            else:
+                setmax(2, side_b, "0")
+
+    # areal-areal containment evidence (no boundary crossing case)
+    if a_is_areal and b_is_areal:
+        if M[0][0] != "2":
+            rx, ry = representative_point(Geometry(POLYGON, _polygons_of(a)[0]))
+            if locate(rx, ry, b) == INTERIOR:
+                M[0][0] = "2"
+            else:
+                rx, ry = representative_point(Geometry(POLYGON, _polygons_of(b)[0]))
+                if locate(rx, ry, a) == INTERIOR:
+                    M[0][0] = "2"
+        # interiors overlapping but boundaries may still poke out
+        # IE: A interior outside B — if A's boundary has outside part, interior does too
+        # (handled above). If A strictly contains B, A interior hits B exterior:
+        if M[2][1] in "01" or M[2][0] in "012" or _contains_strict(a, b):
+            pass
+    if a_is_areal:
+        # A has 2D interior; does it reach B's exterior? if B not areal → yes
+        if not b_is_areal:
+            M[0][2] = "2"
+        elif M[1][2] != "F" or _area_exceeds(a, b):
+            M[0][2] = "2"
+        # B's boundary/interior vs A exterior symmetric below
+        if not b_is_areal:
+            # B (0/1-dim) inside A entirely? EI/EB follow from B-side pass above
+            pass
+    if b_is_areal:
+        if not a_is_areal:
+            M[2][0] = "2"
+        elif M[2][1] != "F" or _area_exceeds(b, a):
+            M[2][0] = "2"
+
+    # lineal IE/EI when not areal: line sticking out handled in has_out above.
+    return "".join(M[0]) + "".join(M[1]) + "".join(M[2])
+
+
+def _boundary_dim(g: Geometry) -> int:
+    if _polygons_of(g):
+        return 1
+    if _lines_of(g):
+        return 0 if len(_line_boundary_points(g)) else -1
+    return -1
+
+
+def _area_exceeds(a: Geometry, b: Geometry) -> bool:
+    """Heuristic: does areal A extend beyond areal B (A ⊄ closure(B))?
+
+    True if any vertex of A is strictly outside B, or A's boundary has a
+    sub-segment outside B (already reflected by caller), or area(A)>area(B)
+    with shared boundary."""
+    for rings in _polygons_of(a):
+        for r in rings:
+            for x, y in np.asarray(r)[:-1]:
+                if locate(float(x), float(y), b) == EXTERIOR:
+                    return True
+    return area(a) > area(b) + 1e-12
+
+
+def _contains_strict(a, b) -> bool:
+    return False
+
+
+_PRED_PATTERNS = {
+    "equals": "T*F**FFF*",
+    "disjoint": "FF*FF****",
+    "within": "T*F**F***",
+    "touches": None,  # special
+    "crosses": None,  # dim dependent
+    "overlaps": None,
+}
+
+
+def _matches(matrix: str, pattern: str) -> bool:
+    for m, p in zip(matrix, pattern):
+        if p == "*":
+            continue
+        if p == "T":
+            if m == "F":
+                return False
+        elif p == "F":
+            if m != "F":
+                return False
+        else:
+            if m != p:
+                return False
+    return True
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    # cheap bbox reject
+    ab, bb = a.bounds(), b.bounds()
+    if ab[2] < bb[0] or bb[2] < ab[0] or ab[3] < bb[1] or bb[3] < ab[1]:
+        return False
+    return not _matches(relate(a, b), "FF*FF****")
+
+
+def disjoint(a, b) -> bool:
+    return not intersects(a, b)
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    return within(b, a)
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    ab, bb = a.bounds(), b.bounds()
+    if ab[0] < bb[0] or ab[2] > bb[2] or ab[1] < bb[1] or ab[3] > bb[3]:
+        return False
+    return _matches(relate(a, b), "T*F**F***")
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    m = relate(b, a)  # covered-by from b's perspective
+    return any(
+        _matches(m, p)
+        for p in ("T*F**F***", "*TF**F***", "**FT*F***", "**F*TF***")
+    )
+
+
+def covered_by(a, b) -> bool:
+    return covers(b, a)
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    m = relate(a, b)
+    return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
+
+
+def crosses(a: Geometry, b: Geometry) -> bool:
+    m = relate(a, b)
+    da, db = a.dimension(), b.dimension()
+    if da < db:
+        return m[0] != "F" and m[2] != "F"
+    if da > db:
+        return m[0] != "F" and m[6] != "F"
+    if da == 1 and db == 1:
+        return m[0] == "0"
+    return False
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    m = relate(a, b)
+    da, db = a.dimension(), b.dimension()
+    if da != db:
+        return False
+    if da == 1:
+        return m[0] == "1" and m[2] != "F" and m[6] != "F"
+    return m[0] != "F" and m[2] != "F" and m[6] != "F"
+
+
+def equals(a: Geometry, b: Geometry) -> bool:
+    return _matches(relate(a, b), "T*F**FFF*")
+
+
+def relate_bool(a: Geometry, b: Geometry, pattern: str) -> bool:
+    return _matches(relate(a, b), pattern)
+
+
+# ------------------------------------------------------------------- measures
+
+
+def area(g: Geometry) -> float:
+    total = 0.0
+    for rings in _polygons_of(g):
+        for k, r in enumerate(rings):
+            a = _ring_area(np.asarray(r))
+            total += abs(a) if k == 0 else -abs(a)
+    return total
+
+
+def _ring_area(r: np.ndarray) -> float:
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def length(g: Geometry) -> float:
+    total = 0.0
+    for arr in _ring_arrays(g):
+        a = np.asarray(arr)
+        if len(a) >= 2:
+            d = np.diff(a[:, :2], axis=0)
+            total += float(np.sqrt((d**2).sum(axis=1)).sum())
+    return total
+
+
+def centroid(g: Geometry) -> Geometry:
+    polys = _polygons_of(g)
+    if polys:
+        cx = cy = A = 0.0
+        for rings in polys:
+            for k, r in enumerate(rings):
+                r = np.asarray(r)
+                if len(r) < 3:
+                    continue
+                x, y = r[:, 0], r[:, 1]
+                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                a = 0.5 * cross.sum()
+                sgn = 1.0 if k == 0 else -1.0
+                a = abs(a) * sgn
+                if abs(a) < 1e-300:
+                    continue
+                ccx = float(((x[:-1] + x[1:]) * cross).sum()) / (6 * (0.5 * cross.sum()))
+                ccy = float(((y[:-1] + y[1:]) * cross).sum()) / (6 * (0.5 * cross.sum()))
+                cx += ccx * a
+                cy += ccy * a
+                A += a
+        if A != 0:
+            return point(cx / A, cy / A)
+    lines = _lines_of(g)
+    if lines:
+        sx = sy = L = 0.0
+        for arr in lines:
+            a = np.asarray(arr)
+            d = np.sqrt((np.diff(a[:, :2], axis=0) ** 2).sum(axis=1))
+            mid = (a[:-1, :2] + a[1:, :2]) / 2
+            sx += float((mid[:, 0] * d).sum())
+            sy += float((mid[:, 1] * d).sum())
+            L += float(d.sum())
+        if L > 0:
+            return point(sx / L, sy / L)
+    pts = _points_of(g)
+    if len(pts):
+        return point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+    allc = g._all_coords()
+    if len(allc):
+        return point(float(allc[:, 0].mean()), float(allc[:, 1].mean()))
+    return empty(POINT)
+
+
+def _pt_seg_dist_sq(px, py, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 == 0:
+        return (px - ax) ** 2 + (py - ay) ** 2, ax, ay
+    t = ((px - ax) * dx + (py - ay) * dy) / L2
+    t = min(1.0, max(0.0, t))
+    cx, cy = ax + t * dx, ay + t * dy
+    return (px - cx) ** 2 + (py - cy) ** 2, cx, cy
+
+
+def closest_points(a: Geometry, b: Geometry) -> tuple[tuple[float, float], tuple[float, float]]:
+    """(point-on-a, point-on-b) minimizing cartesian distance."""
+    if intersects(a, b):
+        # any shared point
+        pa = _points_of(a)
+        for px, py in pa:
+            if locate(px, py, b) != EXTERIOR:
+                return (float(px), float(py)), (float(px), float(py))
+        # find an intersection point via segment splitting
+        asegs, bsegs = _line_segments(a), _line_segments(b)
+        for ax, ay, bx, by in asegs:
+            ts = _seg_params((ax, ay), (bx, by), bsegs)
+            for t in ts + [0.0, 1.0]:
+                px, py = ax + (bx - ax) * t, ay + (by - ay) * t
+                if locate(px, py, b) != EXTERIOR:
+                    return (px, py), (px, py)
+        rx, ry = representative_point(a)
+        if locate(rx, ry, b) != EXTERIOR:
+            return (rx, ry), (rx, ry)
+        rx, ry = representative_point(b)
+        return (rx, ry), (rx, ry)
+    best = (math.inf, None, None)
+    a_feats = _all_features(a)
+    b_feats = _all_features(b)
+    for fa in a_feats:
+        for fb in b_feats:
+            d, pa, pb = _feat_dist(fa, fb)
+            if d < best[0]:
+                best = (d, pa, pb)
+    return best[1], best[2]
+
+
+def _all_features(g: Geometry):
+    """Points + segments of a geometry for distance computation."""
+    out = []
+    pts = _points_of(g)
+    for p in pts:
+        out.append(("p", (float(p[0]), float(p[1]))))
+    for s in _line_segments(g):
+        out.append(("s", tuple(float(v) for v in s)))
+    return out
+
+
+def _feat_dist(fa, fb):
+    ta, va = fa
+    tb, vb = fb
+    if ta == "p" and tb == "p":
+        d = math.dist(va, vb)
+        return d, va, vb
+    if ta == "p" and tb == "s":
+        d2, cx, cy = _pt_seg_dist_sq(va[0], va[1], *vb)
+        return math.sqrt(d2), va, (cx, cy)
+    if ta == "s" and tb == "p":
+        d2, cx, cy = _pt_seg_dist_sq(vb[0], vb[1], *va)
+        return math.sqrt(d2), (cx, cy), vb
+    # segment-segment: min over endpoint-to-segment (sufficient for
+    # non-crossing segments)
+    best_d, best_pa, best_pb = math.inf, None, None
+    ax, ay, bx, by = va
+    cx, cy, dx, dy = vb
+    for px, py, seg, p_on_a in (
+        (ax, ay, vb, True),
+        (bx, by, vb, True),
+        (cx, cy, va, False),
+        (dx, dy, va, False),
+    ):
+        d2, qx, qy = _pt_seg_dist_sq(px, py, *seg)
+        d = math.sqrt(d2)
+        if d < best_d:
+            if p_on_a:
+                best_d, best_pa, best_pb = d, (px, py), (qx, qy)
+            else:
+                best_d, best_pa, best_pb = d, (qx, qy), (px, py)
+    return best_d, best_pa, best_pb
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    if intersects(a, b):
+        return 0.0
+    pa, pb = closest_points(a, b)
+    return math.dist(pa, pb)
+
+
+# ------------------------------------------------------------------ spherical
+
+
+def haversine(lon1, lat1, lon2, lat2):
+    """Great-circle meters on the reference's mean-radius sphere. Vectorized."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_MEAN_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def distance_sphere(a: Geometry, b: Geometry) -> float:
+    if a.gtype == POINT and b.gtype == POINT:
+        return float(haversine(a.coords[0], a.coords[1], b.coords[0], b.coords[1]))
+    pa, pb = closest_points(a, b)
+    return float(haversine(pa[0], pa[1], pb[0], pb[1]))
+
+
+def length_sphere(g: Geometry) -> float:
+    """Per-segment haversine sum (SpatialRelationFunctions.scala:54-55)."""
+    total = 0.0
+    for arr in _lines_of(g) or _ring_arrays(g):
+        a = np.asarray(arr)
+        if len(a) >= 2:
+            total += float(
+                haversine(a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1]).sum()
+            )
+    return total
+
+
+def aggregate_distance_sphere(geoms: list[Geometry]) -> float:
+    """Sum of consecutive point-to-point sphere distances
+    (SpatialRelationFunctions.scala:52)."""
+    total = 0.0
+    for g1, g2 in zip(geoms[:-1], geoms[1:]):
+        total += distance_sphere(g1, g2)
+    return total
+
+
+# ---------------------------------------------------------------- convex hull
+
+
+def convex_hull(points_xy: np.ndarray) -> Geometry:
+    """Andrew's monotone chain. Returns Point/LineString/Polygon by rank."""
+    pts = np.unique(np.asarray(points_xy, dtype=np.float64).reshape(-1, 2), axis=0)
+    if len(pts) == 0:
+        return empty(GEOMETRYCOLLECTION)
+    if len(pts) == 1:
+        return point(pts[0][0], pts[0][1])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(iterable):
+        h = []
+        for p in iterable:
+            while len(h) >= 2 and _orient(*h[-2], *h[-1], *p) <= 0:
+                h.pop()
+            h.append((p[0], p[1]))
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:
+        return linestring(hull) if len(hull) == 2 else point(*hull[0])
+    # JTS returns CCW? JTS convexHull shell is CW by default spec? Use CCW.
+    return polygon(hull)
+
+
+# ------------------------------------------------------------------- clipping
+
+
+def clip_polygon_convex(subject_rings, clip_ring: np.ndarray) -> Geometry:
+    """Sutherland–Hodgman: clip subject polygon by a CONVEX ring."""
+    clip = np.asarray(clip_ring, dtype=np.float64)
+    if _ring_area(clip) < 0:
+        clip = clip[::-1]
+    out_rings = []
+    for ring in subject_rings:
+        poly = [tuple(p) for p in np.asarray(ring)[:-1, :2]]
+        for i in range(len(clip) - 1):
+            ax, ay = clip[i]
+            bx, by = clip[i + 1]
+            if not poly:
+                break
+            new = []
+            for j in range(len(poly)):
+                cx, cy = poly[j]
+                px, py = poly[j - 1]
+                c_in = _orient(ax, ay, bx, by, cx, cy) >= -_EPS
+                p_in = _orient(ax, ay, bx, by, px, py) >= -_EPS
+                if c_in:
+                    if not p_in:
+                        new.append(_line_inter(px, py, cx, cy, ax, ay, bx, by))
+                    new.append((cx, cy))
+                elif p_in:
+                    new.append(_line_inter(px, py, cx, cy, ax, ay, bx, by))
+            poly = new
+        if len(poly) >= 3:
+            out_rings.append(poly)
+    if not out_rings:
+        return empty(POLYGON)
+    if len(out_rings) == 1:
+        return polygon(out_rings[0])
+    return multipolygon([[r] for r in [np.asarray(_close(np.array(r))) for r in out_rings]])
+
+
+def _close(r: np.ndarray) -> np.ndarray:
+    if len(r) and not np.array_equal(r[0], r[-1]):
+        return np.vstack([r, r[:1]])
+    return r
+
+
+def _line_inter(px, py, cx, cy, ax, ay, bx, by):
+    d1x, d1y = cx - px, cy - py
+    d2x, d2y = bx - ax, by - ay
+    denom = d1x * d2y - d1y * d2x
+    t = ((ax - px) * d2y - (ay - py) * d2x) / denom
+    return (px + t * d1x, py + t * d1y)
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    r = np.asarray(ring)[:, :2]
+    if len(r) < 4:
+        return True
+    pts = r[:-1]
+    n = len(pts)
+    sign = 0
+    for i in range(n):
+        o = _orient(*pts[i], *pts[(i + 1) % n], *pts[(i + 2) % n])
+        if abs(o) < _EPS:
+            continue
+        s = 1 if o > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry:
+    """Geometry intersection. Full support: any × convex-polygon/box, point ×
+    any, line × polygon. Concave × concave polygon boolean is out of scope
+    (reference relies on JTS; raise a clear error)."""
+    if a.is_empty() or b.is_empty() or disjoint(a, b):
+        return empty(_inter_type(a, b))
+    # point cases
+    if a.dimension() == 0:
+        pts = [p for p in _points_of(a) if locate(p[0], p[1], b) != EXTERIOR]
+        if not pts:
+            return empty(POINT)
+        if len(pts) == 1:
+            return point(pts[0][0], pts[0][1])
+        return Geometry(MULTIPOINT, np.asarray(pts))
+    if b.dimension() == 0:
+        return intersection(b, a)
+    # line x areal: keep inside/on sub-segments
+    if a.dimension() == 1 and b.dimension() == 2:
+        return _clip_line(a, b, keep_inside=True)
+    if a.dimension() == 2 and b.dimension() == 1:
+        return _clip_line(b, a, keep_inside=True)
+    if a.dimension() == 2 and b.dimension() == 2:
+        for clip_g, subj in ((b, a), (a, b)):
+            cps = _polygons_of(clip_g)
+            if len(cps) == 1 and len(cps[0]) == 1 and _is_convex(cps[0][0]):
+                pieces = [
+                    clip_polygon_convex(rings, cps[0][0])
+                    for rings in _polygons_of(subj)
+                ]
+                pieces = [p for p in pieces if not p.is_empty()]
+                if not pieces:
+                    return empty(POLYGON)
+                if len(pieces) == 1:
+                    return pieces[0]
+                return multipolygon([q for p in pieces for q in _polygons_of(p)])
+        raise NotImplementedError(
+            "general concave polygon intersection not supported (convex clip only)"
+        )
+    # line x line
+    if a.dimension() == 1 and b.dimension() == 1:
+        pts = []
+        bsegs = _line_segments(b)
+        for ax, ay, bx, by in _line_segments(a):
+            for t in _seg_params((ax, ay), (bx, by), bsegs) + [0.0, 1.0]:
+                px, py = ax + (bx - ax) * t, ay + (by - ay) * t
+                if locate(px, py, b) != EXTERIOR:
+                    pts.append((px, py))
+        uniq = sorted(set(pts))
+        if not uniq:
+            return empty(POINT)
+        if len(uniq) == 1:
+            return point(*uniq[0])
+        return Geometry(MULTIPOINT, np.asarray(uniq))
+    raise NotImplementedError("intersection for this type combination")
+
+
+def _inter_type(a, b):
+    return min(
+        (POINT, LINESTRING, POLYGON)[min(a.dimension(), b.dimension())],
+        POLYGON,
+    )
+
+
+def _clip_line(line_g: Geometry, areal: Geometry, keep_inside: bool) -> Geometry:
+    osegs = _line_segments(areal)
+    parts = []
+    for arr in _lines_of(line_g):
+        a = np.asarray(arr)
+        cur: list = []
+        for i in range(len(a) - 1):
+            p0, p1 = a[i, :2], a[i + 1, :2]
+            ts = [0.0] + _seg_params(p0, p1, osegs) + [1.0]
+            for j in range(len(ts) - 1):
+                t0, t1 = ts[j], ts[j + 1]
+                mx = p0[0] + (p1[0] - p0[0]) * (t0 + t1) / 2
+                my = p0[1] + (p1[1] - p0[1]) * (t0 + t1) / 2
+                inside = locate(mx, my, areal) != EXTERIOR
+                if inside == keep_inside:
+                    s = (p0[0] + (p1[0] - p0[0]) * t0, p0[1] + (p1[1] - p0[1]) * t0)
+                    e = (p0[0] + (p1[0] - p0[0]) * t1, p0[1] + (p1[1] - p0[1]) * t1)
+                    if cur and cur[-1] == s:
+                        cur.append(e)
+                    else:
+                        if len(cur) >= 2:
+                            parts.append(cur)
+                        cur = [s, e]
+        if len(cur) >= 2:
+            parts.append(cur)
+    if not parts:
+        return empty(LINESTRING)
+    if len(parts) == 1:
+        return linestring(parts[0])
+    return Geometry(MULTILINESTRING, [np.asarray(p) for p in parts])
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry:
+    """A minus B. Supported: line - areal, point - any; areal difference only
+    when disjoint or b covers a."""
+    if a.is_empty():
+        return a
+    if b.is_empty() or disjoint(a, b):
+        return a
+    if a.dimension() == 0:
+        pts = [p for p in _points_of(a) if locate(p[0], p[1], b) == EXTERIOR]
+        if not pts:
+            return empty(POINT)
+        if len(pts) == 1:
+            return point(pts[0][0], pts[0][1])
+        return Geometry(MULTIPOINT, np.asarray(pts))
+    if a.dimension() == 1 and b.dimension() == 2:
+        return _clip_line(a, b, keep_inside=False)
+    if a.dimension() == 2 and b.dimension() == 2 and covers(b, a):
+        return empty(POLYGON)
+    raise NotImplementedError("general areal difference not supported")
+
+
+# ------------------------------------------------------------ transformations
+
+
+def translate(g: Geometry, dx: float, dy: float) -> Geometry:
+    return _map_coords(g, lambda c: c + np.array([dx, dy]))
+
+
+def _map_coords(g: Geometry, f) -> Geometry:
+    t = g.gtype
+    if t == POINT:
+        return Geometry(POINT, f(np.asarray(g.coords, dtype=np.float64).reshape(1, 2))[0])
+    if t in (LINESTRING, MULTIPOINT):
+        return Geometry(t, f(np.asarray(g.coords, dtype=np.float64)))
+    if t in (POLYGON, MULTILINESTRING):
+        return Geometry(t, [f(np.asarray(r, dtype=np.float64)) for r in g.coords])
+    if t == MULTIPOLYGON:
+        return Geometry(
+            t, [[f(np.asarray(r, dtype=np.float64)) for r in p] for p in g.coords]
+        )
+    return Geometry(t, [_map_coords(sub, f) for sub in g.coords])
+
+
+def envelope(g: Geometry) -> Geometry:
+    minx, miny, maxx, maxy = g.bounds()
+    if math.isnan(minx):
+        return empty(POLYGON)
+    if minx == maxx and miny == maxy:
+        return point(minx, miny)
+    if minx == maxx or miny == maxy:
+        return linestring([[minx, miny], [maxx, maxy]])
+    from .core import box
+
+    return box(minx, miny, maxx, maxy)
+
+
+def exterior_ring(g: Geometry) -> Geometry | None:
+    if g.gtype != POLYGON or not g.coords:
+        return None
+    return Geometry(LINESTRING, np.asarray(g.coords[0]))
+
+
+def interior_ring_n(g: Geometry, n: int) -> Geometry | None:
+    """1-based hole accessor."""
+    if g.gtype != POLYGON or n < 1 or n > len(g.coords) - 1:
+        return None
+    return Geometry(LINESTRING, np.asarray(g.coords[n]))
+
+
+def boundary(g: Geometry) -> Geometry:
+    t = g.gtype
+    if t in (POINT, MULTIPOINT):
+        return empty(GEOMETRYCOLLECTION)
+    if t in (LINESTRING, MULTILINESTRING):
+        pts = _line_boundary_points(g)
+        if len(pts) == 0:
+            return empty(MULTIPOINT)
+        if len(pts) == 1:
+            return point(pts[0][0], pts[0][1])
+        return Geometry(MULTIPOINT, pts)
+    if t == POLYGON:
+        if len(g.coords) == 1:
+            return Geometry(LINESTRING, np.asarray(g.coords[0]))
+        return Geometry(MULTILINESTRING, [np.asarray(r) for r in g.coords])
+    if t == MULTIPOLYGON:
+        rings = [np.asarray(r) for p in g.coords for r in p]
+        if len(rings) == 1:
+            return Geometry(LINESTRING, rings[0])
+        return Geometry(MULTILINESTRING, rings)
+    return Geometry(GEOMETRYCOLLECTION, [boundary(sub) for sub in g.coords])
+
+
+def is_closed(g: Geometry) -> bool:
+    """True for non-lines (GeometricAccessorFunctions.scala:44-48)."""
+    lines = _lines_of(g)
+    if g.gtype not in (LINESTRING, MULTILINESTRING):
+        return True
+    return all(len(l) >= 2 and np.array_equal(l[0], l[-1]) for l in lines)
+
+
+def is_ring(g: Geometry) -> bool:
+    if g.gtype != LINESTRING:
+        return False
+    return is_closed(g) and is_simple(g)
+
+
+def is_simple(g: Geometry) -> bool:
+    """Self-intersection check for lines; True for points/polygons(valid)."""
+    if g.gtype not in (LINESTRING, MULTILINESTRING):
+        return True
+    for arr in _lines_of(g):
+        a = np.asarray(arr)
+        n = len(a) - 1
+        closed = n >= 2 and np.array_equal(a[0], a[-1])
+        for i in range(n):
+            for j in range(i + 1, n):
+                adjacent = j == i + 1 or (closed and i == 0 and j == n - 1)
+                p, q = a[i, :2], a[i + 1, :2]
+                r, s = a[j, :2], a[j + 1, :2]
+                inter = _segs_intersect(p, q, r, s)
+                if inter and not adjacent:
+                    return False
+    return True
+
+
+def _segs_intersect(p, q, r, s) -> bool:
+    o1 = _orient(*p, *q, *r)
+    o2 = _orient(*p, *q, *s)
+    o3 = _orient(*r, *s, *p)
+    o4 = _orient(*r, *s, *q)
+    if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)):
+        return True
+    for pt, sa, sb in ((r, p, q), (s, p, q), (p, r, s), (q, r, s)):
+        if _on_segment(pt[0], pt[1], sa[0], sa[1], sb[0], sb[1]):
+            return True
+    return False
+
+
+def is_valid(g: Geometry) -> bool:
+    """Polygon validity: closed rings >=4 pts, simple shell, holes inside."""
+    for rings in _polygons_of(g):
+        for r in rings:
+            r = np.asarray(r)
+            if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+                return False
+            ring_line = Geometry(LINESTRING, r)
+            if not is_simple(ring_line):
+                return False
+    for arr in _lines_of(g):
+        if len(arr) < 2:
+            return False
+    return True
+
+
+def make_valid(g: Geometry) -> Geometry:
+    """Limited GeometryFixer analog: close rings, drop degenerate rings,
+    dedupe consecutive duplicate vertices."""
+
+    def fix_ring(r):
+        r = np.asarray(r, dtype=np.float64)
+        keep = [0] + [i for i in range(1, len(r)) if not np.array_equal(r[i], r[i - 1])]
+        r = r[keep]
+        if len(r) and not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        return r
+
+    t = g.gtype
+    if t == POLYGON:
+        rings = [fix_ring(r) for r in g.coords]
+        rings = [r for r in rings if len(r) >= 4]
+        return Geometry(POLYGON, rings)
+    if t == MULTIPOLYGON:
+        polys = []
+        for p in g.coords:
+            rings = [fix_ring(r) for r in p]
+            rings = [r for r in rings if len(r) >= 4]
+            if rings:
+                polys.append(rings)
+        return Geometry(MULTIPOLYGON, polys)
+    return g
+
+
+# --------------------------------------------------- geodesic point buffering
+
+
+def buffer_point_geodesic(lon: float, lat: float, meters: float, n: int = 100) -> Geometry:
+    """Geodesic circle approximated with n points
+    (GeometricProcessingFunctions.scala:33-39,59-62: spatial4j circle with
+    dist2Degrees(d/1000, EARTH_MEAN_RADIUS_KM), 100-point approximation).
+
+    Uses the spherical direct formula; at the equator due east this yields
+    exactly meters/R degrees, matching the reference fixture."""
+    ang = meters / EARTH_MEAN_RADIUS_M  # angular radius
+    lat1 = math.radians(lat)
+    lon1 = math.radians(lon)
+    bearings = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    lat2 = np.arcsin(
+        math.sin(lat1) * math.cos(ang)
+        + math.cos(lat1) * math.sin(ang) * np.cos(bearings)
+    )
+    lon2 = lon1 + np.arctan2(
+        np.sin(bearings) * math.sin(ang) * math.cos(lat1),
+        math.cos(ang) - math.sin(lat1) * np.sin(lat2),
+    )
+    xs = np.degrees(lon2)
+    ys = np.degrees(lat2)
+    # start at bearing 90 (due east) to match fixture first-vertex convention
+    ring = np.column_stack([xs, ys])
+    # rotate so first vertex is the due-east one (bearing index n/4)
+    k = n // 4
+    ring = np.vstack([ring[k:], ring[:k]])
+    g = polygon(ring)
+    minx, _, maxx, _ = g.bounds()
+    if maxx - minx > 180 or minx < -180 or maxx > 180:
+        # crosses the antimeridian: normalize+split
+        return antimeridian_safe(g)
+    return g
+
+
+def antimeridian_safe(g: Geometry) -> Geometry:
+    """Split/translate geometries crossing the international date line
+    (GeometricProcessingFunctions.scala:41-57)."""
+    minx, miny, maxx, maxy = g.bounds()
+    if minx >= -180 and maxx <= 180:
+        return g
+    from .core import box as _box
+
+    world = _box(-180, -90, 180, 90)
+    parts = []
+    for shift in (0.0, 360.0, -360.0):
+        shifted = translate(g, shift, 0.0) if shift else g
+        smin, _, smax, _ = shifted.bounds()
+        if smax < -180 or smin > 180:
+            continue
+        piece = intersection(shifted, world)
+        if not piece.is_empty() and piece.dimension() == g.dimension():
+            parts.extend(_polygons_of(piece) or [])
+            if g.dimension() == 1:
+                parts.append(piece)
+    if g.dimension() == 2:
+        polys = [p for p in parts]
+        if len(polys) == 1:
+            return Geometry(POLYGON, polys[0])
+        return Geometry(MULTIPOLYGON, polys)
+    if len(parts) == 1:
+        return parts[0]
+    return Geometry(GEOMETRYCOLLECTION, parts)

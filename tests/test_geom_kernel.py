@@ -1,0 +1,265 @@
+"""Geometry kernel tests: WKT/WKB roundtrip + the reference's DE-9IM truth
+tables (ported from geomesa-spark-sql SparkSQLSpatialRelationshipsTest.scala:31-123
+via FIXTURES.md §3)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from geomesa_spark.geom import (
+    algorithms as alg,
+)
+from geomesa_spark.geom import (
+    box,
+    from_wkb,
+    from_wkt,
+    point,
+    to_wkb,
+    to_wkt,
+)
+from geomesa_spark.geom import vectorized as vec
+
+WKTS = [
+    "POINT (5 5)",
+    "POINT (-76.5 38.5)",
+    "LINESTRING (0 10, 0 -10)",
+    "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))",
+    "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+    "MULTIPOINT ((1 2), (3 4))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+    "POINT EMPTY",
+    "POLYGON EMPTY",
+]
+
+
+@pytest.mark.parametrize("wkt", WKTS)
+def test_wkt_roundtrip(wkt):
+    assert to_wkt(from_wkt(wkt)) == wkt
+
+
+@pytest.mark.parametrize("wkt", WKTS)
+def test_wkb_roundtrip(wkt):
+    g = from_wkt(wkt)
+    assert to_wkt(from_wkb(to_wkb(g))) == wkt
+
+
+def test_bulk_point_codec():
+    xs = np.array([1.5, -76.5, 179.9])
+    ys = np.array([2.5, 38.5, -89.0])
+    wkbs = vec.encode_points(xs, ys)
+    pts = vec.points_from_wkb(wkbs)
+    assert np.allclose(pts[:, 0], xs) and np.allclose(pts[:, 1], ys)
+
+
+# --- DE-9IM truth tables (FIXTURES.md §3 / SparkSQLSpatialRelationshipsTest) ---
+
+BOX_REF = from_wkt("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
+POINT_REF = from_wkt("POINT(0 0)")
+LINE_REF = from_wkt("LINESTRING(0 10, 0 -10)")
+
+POINTS = {
+    "int": "POINT(5 5)",
+    "edge": "POINT(0 5)",
+    "corner": "POINT(0 0)",
+    "ext": "POINT(-5 0)",
+}
+LINES = {
+    "touches": "LINESTRING(0 0, 1 0)",
+    "crosses": "LINESTRING(-1 0, 1 0)",
+    "disjoint": "LINESTRING(1 0, 2 0)",
+}
+BOXES = {
+    "int": "POLYGON((1 1, 1 2, 2 2, 2 1, 1 1))",
+    "intEdge": "POLYGON((0 1, 0 2, 1 2, 1 1, 0 1))",
+    "overlap": "POLYGON((-1 1, -1 2, 1 2, 1 1, -1 1))",
+    "extEdge": "POLYGON((-1 1, -1 2, 0 2, 0 1, -1 1))",
+    "ext": "POLYGON((-2 1, -2 2, -1 2, -1 1, -2 1))",
+    "corner": "POLYGON((-1 -1, -1 0, 0 0, 0 -1, -1 -1))",
+}
+
+
+def names_where(table, fn):
+    return {k for k, w in table.items() if fn(from_wkt(w))}
+
+
+def test_contains_points():
+    assert names_where(POINTS, lambda g: alg.contains(BOX_REF, g)) == {"int"}
+
+
+def test_contains_boxes():
+    assert names_where(BOXES, lambda g: alg.contains(BOX_REF, g)) == {"int", "intEdge"}
+
+
+def test_covers_points():
+    assert names_where(POINTS, lambda g: alg.covers(BOX_REF, g)) == {
+        "int",
+        "edge",
+        "corner",
+    }
+
+
+def test_intersects_points():
+    assert names_where(POINTS, lambda g: alg.intersects(BOX_REF, g)) == {
+        "int",
+        "edge",
+        "corner",
+    }
+
+
+def test_intersects_boxes():
+    assert names_where(BOXES, lambda g: alg.intersects(BOX_REF, g)) == {
+        "int",
+        "intEdge",
+        "overlap",
+        "extEdge",
+        "corner",
+    }
+
+
+def test_within_points():
+    assert names_where(POINTS, lambda g: alg.within(g, BOX_REF)) == {"int"}
+
+
+def test_within_boxes():
+    assert names_where(BOXES, lambda g: alg.within(g, BOX_REF)) == {"int", "intEdge"}
+
+
+def test_disjoint():
+    assert names_where(POINTS, lambda g: alg.disjoint(BOX_REF, g)) == {"ext"}
+    assert names_where(BOXES, lambda g: alg.disjoint(BOX_REF, g)) == {"ext"}
+
+
+def test_touches():
+    # lines touching the reference point / line
+    assert alg.touches(from_wkt(LINES["touches"]), LINE_REF)
+    assert not alg.touches(from_wkt(LINES["crosses"]), LINE_REF)
+    assert not alg.touches(from_wkt(LINES["disjoint"]), LINE_REF)
+    # boxes sharing only an edge/corner with boxRef touch it
+    assert alg.touches(from_wkt(BOXES["extEdge"]), BOX_REF)
+    assert alg.touches(from_wkt(BOXES["corner"]), BOX_REF)
+    assert not alg.touches(from_wkt(BOXES["overlap"]), BOX_REF)
+    assert not alg.touches(from_wkt(BOXES["int"]), BOX_REF)
+
+
+def test_crosses():
+    assert alg.crosses(from_wkt(LINES["crosses"]), LINE_REF)
+    assert not alg.crosses(from_wkt(LINES["touches"]), LINE_REF)
+    assert not alg.crosses(from_wkt(LINES["disjoint"]), LINE_REF)
+
+
+def test_overlaps():
+    assert alg.overlaps(from_wkt(BOXES["overlap"]), BOX_REF)
+    assert not alg.overlaps(from_wkt(BOXES["int"]), BOX_REF)
+    assert not alg.overlaps(from_wkt(BOXES["extEdge"]), BOX_REF)
+    assert not alg.overlaps(from_wkt(BOXES["ext"]), BOX_REF)
+
+
+def test_equals():
+    assert alg.equals(BOX_REF, from_wkt("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"))
+    assert alg.equals(
+        from_wkt("LINESTRING(0 0, 2 2)"), from_wkt("LINESTRING(2 2, 0 0)")
+    )
+    assert not alg.equals(BOX_REF, from_wkt(BOXES["int"]))
+
+
+def test_relate_matrix_point_in_poly():
+    m = alg.relate(from_wkt("POINT(5 5)"), BOX_REF)
+    assert m[0] == "0" and m[2] == "F"
+
+
+# ------------------------------------------------------------------ measures
+
+
+def test_area_length_centroid():
+    assert alg.area(BOX_REF) == 100.0
+    hole = from_wkt(
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"
+    )
+    assert alg.area(hole) == 96.0
+    assert alg.length(from_wkt("LINESTRING(0 0, 3 4)")) == 5.0
+    c = alg.centroid(BOX_REF)
+    assert np.allclose(c.coords, [5.0, 5.0])
+
+
+def test_distance():
+    assert alg.distance(from_wkt("POINT(0 0)"), from_wkt("POINT(3 4)")) == 5.0
+    assert alg.distance(from_wkt("POINT(5 5)"), BOX_REF) == 0.0
+    assert alg.distance(from_wkt("POINT(-5 0)"), BOX_REF) == 5.0
+    assert alg.distance(from_wkt("POINT(15 0)"), from_wkt("LINESTRING(10 -10, 10 10)")) == 5.0
+
+
+def test_haversine_known():
+    # quarter meridian ~ 10,007.5 km on the mean-radius sphere
+    d = alg.haversine(0.0, 0.0, 0.0, 90.0)
+    assert abs(d - math.pi / 2 * alg.EARTH_MEAN_RADIUS_M) < 1.0
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [2, 2], [1, 1]])
+    h = alg.convex_hull(pts)
+    assert alg.area(h) == 16.0
+
+
+def test_buffer_point_equator():
+    # FIXTURES §6b: st_bufferPoint(POINT(0 0), 10) first vertex
+    g = alg.buffer_point_geodesic(0.0, 0.0, 10.0)
+    first = g.coords[0][0]
+    assert abs(first[0] - 8.99320367762e-5) < 1e-10
+    assert abs(first[1]) < 1e-12
+    assert len(g.coords[0]) == 101  # 100 points closed
+
+
+def test_buffer_point_antimeridian():
+    g = alg.buffer_point_geodesic(-180.0, 50.0, 100000.0)
+    assert alg.intersects(g, from_wkt("POINT(-179.9 50)"))
+    assert alg.intersects(g, from_wkt("POINT(179.9 50)"))
+
+
+def test_antimeridian_safe_polygon():
+    g = from_wkt("POLYGON((-190 50, -190 60, -170 60, -170 50, -190 50))")
+    safe = alg.antimeridian_safe(g)
+    assert safe.gtype in (6,)  # MultiPolygon
+    assert abs(alg.area(safe) - alg.area(g)) < 1e-9
+    b = safe.bounds()
+    assert b[0] >= -180 and b[2] <= 180
+    # both sides present
+    assert alg.intersects(safe, from_wkt("POINT(-175 55)"))
+    assert alg.intersects(safe, from_wkt("POINT(175 55)"))
+    assert not alg.intersects(safe, from_wkt("POINT(0 55)"))
+
+
+def test_intersection_boxes():
+    g = alg.intersection(BOX_REF, box(5, 5, 15, 15))
+    assert alg.area(g) == 25.0
+
+
+def test_clip_line_by_polygon():
+    l = from_wkt("LINESTRING(-5 5, 15 5)")
+    inter = alg.intersection(l, BOX_REF)
+    assert alg.length(inter) == 10.0
+    diff = alg.difference(l, BOX_REF)
+    assert alg.length(diff) == 10.0
+
+
+# ------------------------------------------------------- vectorized fast path
+
+
+def test_vectorized_points_in_polygon():
+    xs = np.array([5.0, 0.0, 0.0, -5.0])
+    ys = np.array([5.0, 5.0, 0.0, 0.0])
+    contains_mask = vec.points_in_polygon(xs, ys, BOX_REF, boundary_ok=False)
+    assert list(contains_mask) == [True, False, False, False]
+    inter_mask = vec.points_in_polygon(xs, ys, BOX_REF, boundary_ok=True)
+    assert list(inter_mask) == [True, True, True, False]
+
+
+def test_vectorized_matches_scalar():
+    rng = np.random.default_rng(42)
+    xs = rng.uniform(-2, 12, 500)
+    ys = rng.uniform(-2, 12, 500)
+    mask = vec.points_in_polygon(xs, ys, BOX_REF, boundary_ok=True)
+    for i in range(0, 500, 17):
+        assert mask[i] == alg.intersects(point(xs[i], ys[i]), BOX_REF)
