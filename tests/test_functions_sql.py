@@ -1,0 +1,226 @@
+"""End-to-end Spark SQL tests of the st_* surface, mirroring the reference's
+SparkSQLSpatialRelationshipsTest / GeometricUdfTest golden assertions
+(citations in FIXTURES.md §3, §5, §6b)."""
+
+import math
+
+import pytest
+
+
+def sql1(spark, q):
+    return spark.sql(q).collect()[0][0]
+
+
+# --------------------------------------------------------------- constructors
+
+
+def test_constructors(spark):
+    assert (
+        sql1(spark, "select st_asText(st_geomFromWKT('POINT(5 5)'))") == "POINT (5 5)"
+    )
+    assert (
+        sql1(spark, "select st_asText(st_makePoint(1.0D, 2.0D))") == "POINT (1 2)"
+    )
+    assert (
+        sql1(spark, "select st_asText(st_makeBBOX(0.0D, 0.0D, 2.0D, 2.0D))")
+        == "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
+    )
+    assert (
+        sql1(
+            spark,
+            "select st_asText(st_geomFromGeoJSON('{\"type\":\"Point\",\"coordinates\":[1,2]}'))",
+        )
+        == "POINT (1 2)"
+    )
+
+
+def test_null_in_null_out(spark):
+    # reference nullableUDF semantics (SparkSQLDataTest.scala:359-361)
+    assert sql1(spark, "select st_asText(cast(null as binary))") is None
+    assert sql1(spark, "select st_geomFromWKT(cast(null as string))") is None
+    assert (
+        sql1(
+            spark,
+            "select st_contains(cast(null as binary), st_geomFromWKT('POINT(0 0)'))",
+        )
+        is None
+    )
+    assert sql1(spark, "select st_area(cast(null as binary))") is None
+
+
+# ----------------------------------------------------------------- accessors
+
+
+def test_accessors(spark):
+    assert sql1(spark, "select st_x(st_geomFromWKT('POINT(5 6)'))") == 5.0
+    assert sql1(spark, "select st_y(st_geomFromWKT('POINT(5 6)'))") == 6.0
+    assert (
+        sql1(spark, "select st_geometryType(st_geomFromWKT('LINESTRING(0 0, 1 1)'))")
+        == "LineString"
+    )
+    assert sql1(spark, "select st_dimension(st_geomFromWKT('POINT(0 0)'))") == 0
+    assert (
+        sql1(
+            spark,
+            "select st_asText(st_envelope(st_geomFromWKT('LINESTRING(0 0, 2 3)')))",
+        )
+        == "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))"
+    )
+    assert sql1(spark, "select st_isEmpty(st_geomFromWKT('POINT EMPTY'))") is True
+    assert (
+        sql1(
+            spark,
+            "select st_numPoints(st_geomFromWKT('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))",
+        )
+        == 5
+    )
+    # st_pointN negative wraps (GeometricAccessorFunctions.scala:60-72)
+    assert (
+        sql1(spark, "select st_asText(st_pointN(st_geomFromWKT('LINESTRING(0 0, 1 1, 2 2)'), -1))")
+        == "POINT (2 2)"
+    )
+    # st_geometryN is 1-based
+    assert (
+        sql1(
+            spark,
+            "select st_asText(st_geometryN(st_geomFromWKT('MULTIPOINT((1 1),(2 2))'), 2))",
+        )
+        == "POINT (2 2)"
+    )
+
+
+# ---------------------------------------------------------------- predicates
+
+
+def test_predicates_truth_table(spark):
+    box = "st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))')"
+    cases = {
+        "POINT(5 5)": (True, True),  # (contains, intersects)
+        "POINT(0 5)": (False, True),
+        "POINT(0 0)": (False, True),
+        "POINT(-5 0)": (False, False),
+    }
+    for wkt, (want_contains, want_intersects) in cases.items():
+        got_c = sql1(spark, f"select st_contains({box}, st_geomFromWKT('{wkt}'))")
+        got_i = sql1(spark, f"select st_intersects({box}, st_geomFromWKT('{wkt}'))")
+        assert got_c == want_contains, wkt
+        assert got_i == want_intersects, wkt
+
+
+def test_dwithin(spark):
+    d = sql1(
+        spark,
+        "select st_distanceSphere(st_geomFromWKT('POINT(-76.5 38.5)'), st_geomFromWKT('POINT(-77 38)'))",
+    )
+    assert 60000 < d < 80000
+    assert (
+        sql1(
+            spark,
+            "select st_dwithin(st_geomFromWKT('POINT(-76.5 38.5)'), st_geomFromWKT('POINT(-77 38)'), 80000.0D)",
+        )
+        is True
+    )
+    assert (
+        sql1(
+            spark,
+            "select st_dwithin(st_geomFromWKT('POINT(-76.5 38.5)'), st_geomFromWKT('POINT(-77 38)'), 60000.0D)",
+        )
+        is False
+    )
+
+
+# ------------------------------------------------------------------ measures
+
+
+def test_measures_golden(spark):
+    assert (
+        sql1(spark, "select st_area(st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'))")
+        == 100.0
+    )
+    assert sql1(spark, "select st_length(st_geomFromWKT('LINESTRING(0 0, 3 4)'))") == 5.0
+    # FIXTURES §5 golden: consecutive spheroid distances of the chicago points
+    d1 = sql1(
+        spark,
+        "select st_distanceSpheroid(st_geomFromWKT('POINT(-76.5 38.5)'), st_geomFromWKT('POINT(-77 38)'))",
+    )
+    assert abs(d1 - 70681.00230533126) < 1e-4
+    d2 = sql1(
+        spark,
+        "select st_distanceSpheroid(st_geomFromWKT('POINT(-77 38)'), st_geomFromWKT('POINT(-78 39)'))",
+    )
+    assert abs(d2 - 141178.0595870745) < 1e-4
+
+
+def test_transform_golden(spark):
+    # FIXTURES §5: st_transform 4326 -> 27700
+    wkt = sql1(
+        spark,
+        "select st_asText(st_transform(st_geomFromWKT('POINT(-0.871722 52.023636)'), 'EPSG:4326', 'EPSG:27700'))",
+    )
+    x, y = (float(v) for v in wkt[7:-1].split())
+    assert abs(x - 477514.0081191745) < 0.01
+    assert abs(y - 236736.03179981868) < 0.01
+
+
+def test_buffer_point_golden(spark):
+    # FIXTURES §6b
+    wkt = sql1(
+        spark,
+        "select st_asText(st_bufferPoint(st_geomFromWKT('POINT(0 0)'), 10.0D))",
+    )
+    first = wkt.split("((")[1].split(",")[0].split()
+    assert abs(float(first[0]) - 8.99320367762e-5) < 1e-9
+    contains = sql1(
+        spark,
+        "select st_contains(st_bufferPoint(st_geomFromWKT('POINT(-180 50)'), 100000.0D), st_geomFromWKT('POINT(179.9 50)'))",
+    )
+    assert contains is True
+
+
+def test_window_track_distance(spark):
+    """Reference test shape: great-circle track length via collect_list window
+    + st_aggregateDistanceSpheroid (SparkSQLDataTest.scala:649-689)."""
+    spark.sql(
+        """
+        select 1 as id, timestamp'2016-01-01' as dtg, st_geomFromWKT('POINT(-76.5 38.5)') as geom
+        union all select 2, timestamp'2016-01-02', st_geomFromWKT('POINT(-77 38)')
+        union all select 3, timestamp'2016-01-03', st_geomFromWKT('POINT(-78 39)')
+    """
+    ).createOrReplaceTempView("chicago")
+    rows = spark.sql(
+        """
+        select st_aggregateDistanceSpheroid(l) as d from (
+          select collect_list(geom) over (order by dtg rows between 1 preceding and current row) as l
+          from chicago
+        ) where size(l) > 1
+    """
+    ).collect()
+    vals = sorted(r.d for r in rows)
+    assert abs(vals[0] - 70681.00230533126) < 1e-4
+    assert abs(vals[1] - 141178.0595870745) < 1e-4
+
+
+def test_convex_hull_agg(spark):
+    spark.sql(
+        "select explode(array(st_geomFromWKT('POINT(0 0)'), st_geomFromWKT('POINT(4 0)'), st_geomFromWKT('POINT(4 4)'), st_geomFromWKT('POINT(0 4)'), st_geomFromWKT('POINT(2 2)'))) as geom"
+    ).createOrReplaceTempView("hull_pts")
+    area = sql1(spark, "select st_area(st_convexhull_agg(geom)) from hull_pts")
+    assert area == 16.0
+
+
+def test_geohash_sql(spark):
+    gh = sql1(spark, "select st_geoHash(st_geomFromWKT('POINT(-5.6 42.6)'), 25)")
+    assert gh == "ezs42"
+
+
+def test_intersection_sql(spark):
+    wkt = sql1(
+        spark,
+        "select st_asText(st_intersection(st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'), st_geomFromWKT('POLYGON((5 5, 5 15, 15 15, 15 5, 5 5))')))",
+    )
+    assert "POLYGON" in wkt
+    area = sql1(
+        spark,
+        "select st_area(st_intersection(st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'), st_geomFromWKT('POLYGON((5 5, 5 15, 15 15, 15 5, 5 5))')))",
+    )
+    assert area == 25.0
