@@ -1,0 +1,163 @@
+"""Density (heatmap) aggregation and slippy-tile assignment.
+
+Reference semantics: DensityScan (geomesa-index-api/.../iterators/
+DensityScan.scala:29-115) — snap each geometry to a width x height pixel grid
+over an envelope (GridSnap.scala:60-80 floor mapping), weight 1 / a numeric
+column / an expression; point -> one pixel, line -> Bresenham pixels,
+polygon -> filled pixels; partial grids merged by summing (DensityProcess).
+
+Spark-first: the snap is pure Column arithmetic for points (floor((x-xmin)/dx),
+whole-stage codegen) and the aggregation is a plain groupBy(i,j).sum(weight) —
+Catalyst's partial+final hash agg IS the reference's server-side fold + client
+merge. Only line/polygon rasterization needs a pandas UDF (explode of covered
+pixels)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..geom import algorithms as alg
+from ..geom.vectorized import points_in_polygon
+from ..geom.wkb import from_wkb
+from ..index.tiles import GridSnap, bresenham_cells
+
+
+def grid_i(col: Column, vmin: float, vmax: float, size: int) -> Column:
+    """GridSnap.i as a Column: floor((x-min)/dx) clamped; -1 outside."""
+    dx = (vmax - vmin) / size
+    i = F.floor((col - F.lit(vmin)) / F.lit(dx))
+    i = F.least(i, F.lit(size - 1))
+    return F.when((col >= F.lit(vmin)) & (col <= F.lit(vmax)), i).otherwise(F.lit(-1))
+
+
+def density(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int = 256,
+    height: int = 256,
+    weight: str | Column | None = None,
+    geometry_render: bool = False,
+) -> DataFrame:
+    """-> (i, j, weight) sparse grid. Points-only fast path by default (pure
+    codegen); geometry_render=True rasterizes lines/polygons via a UDF."""
+    minx, miny, maxx, maxy = bbox
+    w = F.lit(1.0) if weight is None else (F.col(weight) if isinstance(weight, str) else weight)
+    if not geometry_render:
+        snapped = df.select(
+            grid_i(F.col("x"), minx, maxx, width).alias("i"),
+            grid_i(F.col("y"), miny, maxy, height).alias("j"),
+            w.alias("_w"),
+        ).filter((F.col("i") >= 0) & (F.col("j") >= 0))
+        return snapped.groupBy("i", "j").agg(F.sum("_w").alias("weight"))
+
+    gs = GridSnap(minx, miny, maxx, maxy, width, height)
+
+    def pixels(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            if b is None:
+                out.append(None)
+                continue
+            g = from_wkb(bytes(b))
+            out.append([int(i) << 32 | int(j) for i, j in _render(g, gs)])
+        return pd.Series(out, dtype=object)
+
+    pix_udf = F.pandas_udf(pixels, ArrayType(LongType()))
+    exploded = df.select(
+        F.explode(pix_udf(F.col("geom_wkb"))).alias("_pix"), w.alias("_w")
+    )
+    return (
+        exploded.select(
+            F.shiftright("_pix", 32).alias("i"),
+            F.col("_pix").bitwiseAND(F.lit((1 << 32) - 1)).alias("j"),
+            "_w",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("_w").alias("weight"))
+    )
+
+
+def _render(g, gs: GridSnap) -> list[tuple[int, int]]:
+    """Pixels covered by a geometry (DensityScan renderers:287-345)."""
+    d = g.dimension()
+    if d == 0:
+        pts = alg._points_of(g)
+        out = set()
+        for x, y in pts:
+            i, j = int(gs.i([x])[0]), int(gs.j([y])[0])
+            if i >= 0 and j >= 0:
+                out.add((i, j))
+        return sorted(out)
+    if d == 1:
+        out = set()
+        for arr in alg._lines_of(g):
+            a = np.asarray(arr)
+            for k in range(len(a) - 1):
+                i0, j0 = int(gs.i([a[k, 0]])[0]), int(gs.j([a[k, 1]])[0])
+                i1, j1 = int(gs.i([a[k + 1, 0]])[0]), int(gs.j([a[k + 1, 1]])[0])
+                if i0 < 0 or j0 < 0 or i1 < 0 or j1 < 0:
+                    continue
+                out.update(bresenham_cells(i0, j0, i1, j1))
+        return sorted(out)
+    # polygon fill: test grid-cell centers within the geometry's snapped bbox
+    minx, miny, maxx, maxy = g.bounds()
+    i0 = max(0, int(gs.i([max(minx, gs.minx)])[0]))
+    i1 = int(gs.i([min(maxx, gs.maxx)])[0])
+    j0 = max(0, int(gs.j([max(miny, gs.miny)])[0]))
+    j1 = int(gs.j([min(maxy, gs.maxy)])[0])
+    if i1 < 0 or j1 < 0:
+        return []
+    ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1), indexing="ij")
+    cx = gs.x(ii.ravel())
+    cy = gs.y(jj.ravel())
+    mask = points_in_polygon(cx, cy, g, boundary_ok=True)
+    cells = list(zip(ii.ravel()[mask].tolist(), jj.ravel()[mask].tolist()))
+    if not cells:
+        # degenerate: polygon smaller than one pixel -> its centroid pixel
+        c = alg.centroid(g)
+        i, j = int(gs.i([c.coords[0]])[0]), int(gs.j([c.coords[1]])[0])
+        if i >= 0 and j >= 0:
+            cells = [(i, j)]
+    return cells
+
+
+# ------------------------------------------------------------------- tiling
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    n = float(2**zoom)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return F.greatest(F.lit(0), F.least(x, F.lit(int(n) - 1))).cast("long")
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    n = float(2**zoom)
+    lat_c = F.greatest(F.lit(-85.0511287798066), F.least(lat, F.lit(85.0511287798066)))
+    lr = F.radians(lat_c)
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(lr) + F.lit(1.0) / F.cos(lr)) / F.lit(float(np.pi)))
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    return F.greatest(F.lit(0), F.least(y, F.lit(int(n) - 1))).cast("long")
+
+
+def assign_tiles(df: DataFrame, zoom: int, lon_col: str = "x", lat_col: str = "y") -> DataFrame:
+    """Slippy z/x/y tile assignment for point documents — pure Column math
+    (raster<->vector bridge; matches index.tiles.lonlat_to_tile exactly)."""
+    return df.withColumn("tile_z", F.lit(zoom)).withColumn(
+        "tile_x", tile_x(F.col(lon_col), zoom)
+    ).withColumn("tile_y", tile_y(F.col(lat_col), zoom))
+
+
+def tile_counts(df: DataFrame, zoom: int) -> DataFrame:
+    """Documents per tile at a zoom level (tile aggregation output)."""
+    return (
+        assign_tiles(df.filter(F.col("x").isNotNull()), zoom)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_docs"))
+    )
