@@ -1,38 +1,635 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+`queries()` exposes the engine's operator surface (SURVEY.md §2) over the
+driver-generated parquet tables; `oracle_sql()` gives the DuckDB-equivalent
+ANSI SQL. The tables carry no coordinates, so geometry is DERIVED with
+identical integer-modulo arithmetic in both engines (BASELINE.json
+input_hint: synthesize deterministically; constants in geomesa_spark.oracle).
+
+Column names are aliased identically on both sides; floating aggregates are
+rounded (r6/r3) so IEEE-double results hash identically."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import geomesa_spark
+from geomesa_spark import oracle as O
+from geomesa_spark.operators import processes
+from geomesa_spark.operators.dedup import ngram_jaccard_pairs, minhash_lsh_pairs, simhash_pairs
+from geomesa_spark.operators.density import assign_tiles, density, grid_i, tile_counts
+from geomesa_spark.operators.knn import haversine_col, knn
+from geomesa_spark.operators.similarity import brute_force_topk, ann_topk_lsh, cosine_col
+from geomesa_spark.operators.spatial_join import spatial_join
+from geomesa_spark.sources.docs import index_points_df
+
+_INITIALIZED = set()
+
+# the flagship query polygon: non-rectangular pentagon (no axis-parallel or
+# lattice-aligned edges -> even-odd test is tie-free on the derived lattice)
+PENTAGON = [(-30.0, -20.0), (10.0, -25.0), (25.0, 10.0), (0.0, 30.0), (-25.0, 15.0)]
+PENTAGON_WKT = "POLYGON((-30 -20, 10 -25, 25 10, 0 30, -25 15, -30 -20))"
+
+KNN_QUERIES = [("q0", 0.5, 0.5), ("q1", -76.5, 38.5), ("q2", 139.7, 35.6)]
+PROX_POINT = (-76.5, 38.5)
+
+
+def _init(spark: SparkSession) -> None:
+    if id(spark) not in _INITIALIZED:
+        geomesa_spark.init_sql(spark)
+        _INITIALIZED.add(id(spark))
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_pts(spark, sf_dir) -> DataFrame:
+    """documents + derived lon/lat, engine-indexed (x/y/envelope/cell/wkb)."""
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "lon", F.expr(O.DOC_LON)
+    ).withColumn("lat", F.expr(O.DOC_LAT))
+    return index_points_df(d, "lon", "lat")
+
+
+def _events_pts(spark, sf_dir) -> DataFrame:
+    e = _read(spark, sf_dir, "events").withColumn(
+        "lon", F.expr(O.EVENT_LON)
+    ).withColumn("lat", F.expr(O.EVENT_LAT))
+    return index_points_df(e, "lon", "lat")
+
+
+def _part_polys(spark, sf_dir) -> DataFrame:
+    """Axis-aligned rectangle 'regions' derived from part (poly side of the
+    spatial join; envelope == geometry so bbox SQL is an exact oracle)."""
+    from geomesa_spark.functions.library import UDFS
+
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .withColumn("cx", F.expr(O.PART_CX))
+        .withColumn("cy", F.expr(O.PART_CY))
+        .withColumn("hw", F.expr(O.PART_HW))
+        .withColumn("hh", F.expr(O.PART_HH))
+    )
+    return p.select(
+        F.col("p_partkey").alias("poly_id"),
+        (F.col("cx") - F.col("hw")).alias("minx"),
+        (F.col("cy") - F.col("hh")).alias("miny"),
+        (F.col("cx") + F.col("hw")).alias("maxx"),
+        (F.col("cy") + F.col("hh")).alias("maxy"),
+        UDFS["st_makeBBOX"](
+            F.col("cx") - F.col("hw"),
+            F.col("cy") - F.col("hh"),
+            F.col("cx") + F.col("hw"),
+            F.col("cy") + F.col("hh"),
+        ).alias("geom_wkb"),
+    )
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon containment over span-derived documents at
+    sf0.001 — parse -> index -> prune -> vectorized ray-cast refine."""
+    _init(spark)
+    return q_spatial_pip_filter(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------------- queries
+
+
+def q_spatial_pip_filter(spark, sf_dir):
+    _init(spark)
+    from geomesa_spark.functions.library import UDFS
+
+    d = _docs_pts(spark, sf_dir)
+    poly = UDFS["st_geomFromWKT"](F.lit(PENTAGON_WKT))
+    return d.filter(UDFS["st_contains"](poly, F.col("geom_wkb"))).select(
+        "doc_id",
+        F.round("lon", 6).alias("lon_r6"),
+        F.round("lat", 6).alias("lat_r6"),
+    )
+
+
+def q_spatial_bbox_temporal(spark, sf_dir):
+    _init(spark)
+    e = _events_pts(spark, sf_dir)
+    return e.filter(
+        (F.col("x") >= -60.0) & (F.col("x") <= 60.0)
+        & (F.col("y") >= -30.0) & (F.col("y") <= 30.0)
+        & (F.col("ts") >= F.lit("2024-01-05")) & (F.col("ts") < F.lit("2024-01-20"))
+    ).select("event_id")
+
+
+def q_spatial_join_pip(spark, sf_dir):
+    _init(spark)
+    docs = _docs_pts(spark, sf_dir)
+    polys = _part_polys(spark, sf_dir)
+    j = spatial_join(docs, polys, predicate="intersects", broadcast=True)
+    return j.select("doc_id", "poly_id")
+
+
+def q_xz2_extent_query(spark, sf_dir):
+    """Extent (polygon) query through the XZ2 index: one cell per geometry,
+    range prefilter, envelope refine (XZ2SFC.scala semantics)."""
+    _init(spark)
+    from pyspark.sql.types import LongType
+
+    from geomesa_spark.index.xz2 import XZ2SFC
+
+    sfc = XZ2SFC(g=12)
+
+    def xz2(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        return pd.Series(
+            [sfc.index(a, b, c, d) for a, b, c, d in zip(minx, miny, maxx, maxy)]
+        )
+
+    xz2_udf = F.pandas_udf(xz2, LongType())
+    polys = _part_polys(spark, sf_dir).withColumn(
+        "xz2", xz2_udf("minx", "miny", "maxx", "maxy")
+    )
+    window = (-40.0, -20.0, 10.0, 25.0)
+    ranges = sfc.ranges([window], max_ranges=60)
+    cond = None
+    for r in ranges:
+        c = F.col("xz2").between(r.lower, r.upper)
+        cond = c if cond is None else (cond | c)
+    pre = polys.filter(cond)
+    exact = pre.filter(
+        (F.col("minx") <= window[2]) & (F.col("maxx") >= window[0])
+        & (F.col("miny") <= window[3]) & (F.col("maxy") >= window[1])
+    )
+    return exact.select("poly_id")
+
+
+def q_knn_geodesic(spark, sf_dir):
+    _init(spark)
+    e = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "doc_id")
+    # start radius ~ the estimatedDistance hint of the reference kNN process
+    res = knn(e, KNN_QUERIES, k=10, start_radius_m=500_000, max_radius_m=20_000_000)
+    return res.select(
+        "query_id", "doc_id", F.round("dist_m", 6).alias("dist_r6")
+    )
+
+
+def q_dwithin_proximity(spark, sf_dir):
+    _init(spark)
+    e = _events_pts(spark, sf_dir)
+    lon, lat = PROX_POINT
+    prox = processes.proximity_search(e, [PROX_POINT], 500_000.0)
+    return prox.select(
+        "event_id",
+        F.round(haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)), 6).alias(
+            "dist_r6"
+        ),
+    )
+
+
+def q_tile_assignment_z8(spark, sf_dir):
+    _init(spark)
+    return tile_counts(_docs_pts(spark, sf_dir), 8).select(
+        "tile_x", "tile_y", "n_docs"
+    )
+
+
+def q_density_grid(spark, sf_dir):
+    _init(spark)
+    d = _docs_pts(spark, sf_dir)
+    return density(d, (-180.0, -90.0, 180.0, 90.0), 256, 128).select(
+        "i", "j", F.col("weight").cast("double").alias("weight")
+    )
+
+
+def q_cell_count_z6(spark, sf_dir):
+    _init(spark)
+    d = _docs_pts(spark, sf_dir)
+    d6 = index_points_df(
+        _read(spark, sf_dir, "documents")
+        .withColumn("lon", F.expr(O.DOC_LON))
+        .withColumn("lat", F.expr(O.DOC_LAT)),
+        "lon",
+        "lat",
+        cell_bits=6,
+        with_wkb=False,
+    )
+    return d6.groupBy(F.col("cell").alias("cell6")).agg(F.count("*").alias("n"))
+
+
+def q_track_length(spark, sf_dir):
+    _init(spark)
+    e = _events_pts(spark, sf_dir)
+    t = processes.track_length(
+        e.withColumn("ts", F.col("ts")), "user_id", "ts"
+    )
+    return t.select("user_id", F.round("track_meters", 3).alias("meters_r3"))
+
+
+def q_point2point(spark, sf_dir):
+    _init(spark)
+    e = _events_pts(spark, sf_dir)
+    seg = processes.point2point(e, "user_id", "ts")
+    return seg.select(
+        "user_id",
+        F.unix_timestamp("t_start").alias("t0"),
+        F.unix_timestamp("t_end").alias("t1"),
+        F.round("seg_meters", 3).alias("seg_r3"),
+    )
+
+
+def q_track_label(spark, sf_dir):
+    _init(spark)
+    e = _read(spark, sf_dir, "events")
+    last = processes.track_label(e, "user_id", "ts", tiebreak="event_id")
+    return last.select("user_id", "event_id")
+
+
+def q_sampling_every_nth(spark, sf_dir):
+    _init(spark)
+    e = _read(spark, sf_dir, "events")
+    return processes.sample_every_nth(e, 10, "event_id").select("event_id")
+
+
+def q_date_offset(spark, sf_dir):
+    _init(spark)
+    e = processes.date_offset(_read(spark, sf_dir, "events"), "ts", "INTERVAL 1 HOUR")
+    return e.select("event_id", F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+def q_attribute_buckets(spark, sf_dir):
+    _init(spark)
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_stats_minmax(spark, sf_dir):
+    _init(spark)
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def q_stats_histogram(spark, sf_dir):
+    _init(spark)
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_stats_topk_users(spark, sf_dir):
+    _init(spark)
+    from pyspark.sql.window import Window
+
+    e = _read(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "n", "rank")
+    )
+
+
+def q_unique_values_lang(spark, sf_dir):
+    _init(spark)
+    return processes.unique_values(_read(spark, sf_dir, "documents"), "lang").select(
+        "lang", "count"
+    )
+
+
+def q_tpch_q1ish(spark, sf_dir):
+    _init(spark)
+    l = _read(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias(
+            "sum_disc_price"
+        ),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    _init(spark)
+    from geomesa_spark.operators.textstats import quality_cols
+
+    d = quality_cols(_read(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio")
+
+
+def q_ngram_dedup(spark, sf_dir):
+    _init(spark)
+    d = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.9, k=3, block_col="lang")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    _init(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return brute_force_topk(emb, qvec, k=20)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Exact cosine near-dup pairs, blocked on the label column (the
+    deterministic-blocking scale pattern; LSH variant is rows-only below)."""
+    _init(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, on="label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine_r6"),
+        )
+        .filter(F.col("cosine_r6") >= 0.9)
+    )
+
+
+# ---- rows-only checks (non-SQL-expressible: LSH bucketing, simhash bits) ----
+
+
+def q_minhash_dedup(spark, sf_dir):
+    _init(spark)
+    d = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b", "est_jaccard")
+
+
+def q_simhash_dedup(spark, sf_dir):
+    _init(spark)
+    d = _read(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=6).select("id_a", "id_b", "hamming")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    _init(spark)
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann_topk_lsh(emb, qvec, k=20, bits=8, probes=4)
+
+
+def q_convexhull_by_type(spark, sf_dir):
+    _init(spark)
+    from geomesa_spark.functions.library import UDFS, st_convexhull_agg
+
+    e = _events_pts(spark, sf_dir)
+    hulls = e.groupBy("event_type").agg(
+        st_convexhull_agg(F.col("geom_wkb")).alias("hull")
+    )
+    return hulls.select(
+        "event_type", F.round(UDFS["st_area"](F.col("hull")), 6).alias("hull_area_r6")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_pip_filter": q_spatial_pip_filter,
+        "spatial_bbox_temporal": q_spatial_bbox_temporal,
+        "spatial_join_pip": q_spatial_join_pip,
+        "xz2_extent_query": q_xz2_extent_query,
+        "knn_geodesic": q_knn_geodesic,
+        "dwithin_proximity": q_dwithin_proximity,
+        "tile_assignment_z8": q_tile_assignment_z8,
+        "density_grid": q_density_grid,
+        "cell_count_z6": q_cell_count_z6,
+        "track_length": q_track_length,
+        "point2point": q_point2point,
+        "track_label": q_track_label,
+        "sampling_every_nth": q_sampling_every_nth,
+        "date_offset": q_date_offset,
+        "attribute_buckets": q_attribute_buckets,
+        "stats_minmax": q_stats_minmax,
+        "stats_histogram": q_stats_histogram,
+        "stats_topk_users": q_stats_topk_users,
+        "unique_values_lang": q_unique_values_lang,
+        "tpch_q1ish": q_tpch_q1ish,
+        "text_quality": q_text_quality,
+        "ngram_dedup": q_ngram_dedup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "convexhull_by_type": q_convexhull_by_type,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lon, lat = O.DOC_LON, O.DOC_LAT
+    elon, elat = O.EVENT_LON, O.EVENT_LAT
+    hav = O.haversine_sql(elon, elat, str(PROX_POINT[0]), str(PROX_POINT[1]))
+    knn_parts = []
+    for qid, qlon, qlat in KNN_QUERIES:
+        h = O.haversine_sql(elon, elat, str(qlon), str(qlat))
+        knn_parts.append(
+            f"select '{qid}' as query_id, event_id as doc_id, round({h}, 6) as dist_r6, "
+            f"row_number() over (order by {h}, event_id) as rn from events"
+        )
+    knn_sql = (
+        "select query_id, doc_id, dist_r6 from ("
+        + " union all ".join(f"({p})" for p in knn_parts)
+        + ") where rn <= 10"
+    )
+    return {
+        "spatial_pip_filter": f"""
+            select doc_id, round({lon}, 6) as lon_r6, round({lat}, 6) as lat_r6
+            from documents where {O.raycast_sql(PENTAGON, lon, lat)}
+        """,
+        "spatial_bbox_temporal": f"""
+            select event_id from events
+            where {elon} >= -60.0 and {elon} <= 60.0
+              and {elat} >= -30.0 and {elat} <= 30.0
+              and ts >= timestamp '2024-01-05' and ts < timestamp '2024-01-20'
+        """,
+        "spatial_join_pip": f"""
+            select d.doc_id, p.p_partkey as poly_id
+            from documents d join part p
+              on p.p_partkey < 200
+             and {lon.replace('doc_id', 'd.doc_id')} between ({O.PART_CX.replace('p_partkey','p.p_partkey')}) - ({O.PART_HW.replace('p_partkey','p.p_partkey')})
+                                                         and ({O.PART_CX.replace('p_partkey','p.p_partkey')}) + ({O.PART_HW.replace('p_partkey','p.p_partkey')})
+             and {lat.replace('doc_id', 'd.doc_id')} between ({O.PART_CY.replace('p_partkey','p.p_partkey')}) - ({O.PART_HH.replace('p_partkey','p.p_partkey')})
+                                                         and ({O.PART_CY.replace('p_partkey','p.p_partkey')}) + ({O.PART_HH.replace('p_partkey','p.p_partkey')})
+        """,
+        "xz2_extent_query": f"""
+            select p_partkey as poly_id from part
+            where p_partkey < 200
+              and ({O.PART_CX}) - ({O.PART_HW}) <= 10.0 and ({O.PART_CX}) + ({O.PART_HW}) >= -40.0
+              and ({O.PART_CY}) - ({O.PART_HH}) <= 25.0 and ({O.PART_CY}) + ({O.PART_HH}) >= -20.0
+        """,
+        "knn_geodesic": knn_sql,
+        "dwithin_proximity": f"""
+            select event_id, round({hav}, 6) as dist_r6
+            from events where {hav} <= 500000.0
+        """,
+        "tile_assignment_z8": f"""
+            select {O.tile_x_sql(lon, 8)} as tile_x, {O.tile_y_sql(lat, 8)} as tile_y,
+                   count(*) as n_docs
+            from documents group by 1, 2
+        """,
+        "density_grid": f"""
+            select {O.grid_i_sql(lon, -180.0, 180.0, 256)} as i,
+                   {O.grid_i_sql(lat, -90.0, 90.0, 128)} as j,
+                   cast(count(*) as double) as weight
+            from documents where {lon} between -180.0 and 180.0
+              and {lat} between -90.0 and 90.0
+            group by 1, 2
+        """,
+        "cell_count_z6": f"""
+            select {O.cell_sql(lon, lat, 6)} as cell6, count(*) as n
+            from documents group by 1
+        """,
+        "track_length": f"""
+            with pts as (
+              select user_id, ts, {elon} as lon, {elat} as lat,
+                     lead({elon}) over w as lon2, lead({elat}) over w as lat2
+              from events window w as (partition by user_id order by ts, event_id)
+            )
+            select user_id,
+                   round(sum({O.haversine_sql('lon', 'lat', 'lon2', 'lat2')}), 3) as meters_r3
+            from pts where lon2 is not null group by user_id
+        """,
+        "point2point": f"""
+            with pts as (
+              select user_id, ts, {elon} as lon, {elat} as lat,
+                     lead(ts) over w as ts2,
+                     lead({elon}) over w as lon2, lead({elat}) over w as lat2
+              from events window w as (partition by user_id order by ts, event_id)
+            )
+            select user_id,
+                   cast(floor(epoch(ts)) as bigint) as t0,
+                   cast(floor(epoch(ts2)) as bigint) as t1,
+                   round({O.haversine_sql('lon', 'lat', 'lon2', 'lat2')}, 3) as seg_r3
+            from pts where lon2 is not null
+        """,
+        "track_label": """
+            select user_id, event_id from (
+              select user_id, event_id,
+                     row_number() over (partition by user_id order by ts desc, event_id desc) as rn
+              from events
+            ) where rn = 1
+        """,
+        "sampling_every_nth": "select event_id from events where event_id % 10 = 0",
+        "date_offset": """
+            select event_id,
+                   cast(floor(epoch(ts + interval 1 hour)) as bigint) as ts_epoch
+            from events
+        """,
+        "attribute_buckets": """
+            select user_id % 16 as bucket, count(*) as n from events group by 1
+        """,
+        "stats_minmax": """
+            select event_type, count(*) as cnt, round(min(value), 6) as vmin,
+                   round(max(value), 6) as vmax
+            from events group by event_type
+        """,
+        "stats_histogram": """
+            select cast(floor(value / 50.0) as bigint) as bucket, count(*) as n
+            from events group by 1
+        """,
+        "stats_topk_users": """
+            select user_id, n, rank from (
+              select user_id, count(*) as n,
+                     row_number() over (order by count(*) desc, user_id asc) as rank
+              from events group by user_id
+            ) where rank <= 10
+        """,
+        "unique_values_lang": "select lang, count(*) as count from documents group by lang",
+        "tpch_q1ish": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 3) as sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3) as sum_disc_price,
+                   count(*) as count_order
+            from lineitem group by l_returnflag, l_linestatus
+        """,
+        "text_quality": """
+            select doc_id,
+                   len(string_split(lower(text), ' ')) as n_tokens,
+                   round(len(list_filter(string_split(lower(text), ' '),
+                         t -> t in ('the','a','of','and','to','in','is','it','for','on')))
+                         * 1.0 / greatest(len(string_split(lower(text), ' ')), 1), 6) as stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) as punct_ratio
+            from documents
+        """,
+        "ngram_dedup": """
+            with sh as (
+              select doc_id, lang,
+                     list_distinct([substr(lower(text), i, 3)
+                                    for i in range(1, greatest(length(text)-1, 2))]) as s
+              from documents
+            )
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 /
+                         len(list_distinct(list_concat(a.s, b.s))), 6) as jaccard_r6
+            from sh a join sh b on a.lang = b.lang and a.doc_id < b.doc_id
+            where len(list_intersect(a.s, b.s)) * 1.0 /
+                  len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+        """,
+        "ann_cosine_topk": """
+            with q as (select embedding as qe from embeddings where vec_id = 0),
+            scored as (
+              select vec_id,
+                     round(
+                       list_sum([cast(e.embedding[i] as double) * cast(q.qe[i] as double)
+                                 for i in range(1, len(e.embedding)+1)]) /
+                       (sqrt(list_sum([cast(e.embedding[i] as double) * cast(e.embedding[i] as double)
+                                 for i in range(1, len(e.embedding)+1)])) *
+                        sqrt(list_sum([cast(q.qe[i] as double) * cast(q.qe[i] as double)
+                                 for i in range(1, len(q.qe)+1)])))
+                     , 6) as score
+              from embeddings e, q
+            )
+            select vec_id, score, rank from (
+              select vec_id, score,
+                     row_number() over (order by score desc, vec_id asc) as rank
+              from scored
+            ) where rank <= 20
+        """,
+        "embedding_dedup": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(
+                     list_sum([cast(a.embedding[i] as double) * cast(b.embedding[i] as double)
+                               for i in range(1, len(a.embedding)+1)]) /
+                     (sqrt(list_sum([cast(a.embedding[i] as double) * cast(a.embedding[i] as double)
+                               for i in range(1, len(a.embedding)+1)])) *
+                      sqrt(list_sum([cast(b.embedding[i] as double) * cast(b.embedding[i] as double)
+                               for i in range(1, len(b.embedding)+1)])))
+                   , 6) as cosine_r6
+            from embeddings a join embeddings b
+              on a.label = b.label and a.vec_id < b.vec_id
+            where round(
+                     list_sum([cast(a.embedding[i] as double) * cast(b.embedding[i] as double)
+                               for i in range(1, len(a.embedding)+1)]) /
+                     (sqrt(list_sum([cast(a.embedding[i] as double) * cast(a.embedding[i] as double)
+                               for i in range(1, len(a.embedding)+1)])) *
+                      sqrt(list_sum([cast(b.embedding[i] as double) * cast(b.embedding[i] as double)
+                               for i in range(1, len(b.embedding)+1)])))
+                   , 6) >= 0.9
+        """,
+        # minhash_dedup / simhash_dedup / ann_lsh_topk / convexhull_by_type:
+        # LSH bucketing, hash signatures and hull geometry are not
+        # SQL-expressible -> rows-only checks.
+    }

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric","value","unit","queries",...}.
+
+The headline metric is spatial-join throughput (docs/sec) over a
+deterministically synthesized interleaved-docs table (BASELINE.json metric) —
+index job + cell-keyed spatial join against a polygon side.
+
+`python bench.py --scaling` additionally runs the same job at two parallelism
+levels (local[N] vs local[4N] worth of cores, default 8 vs 32) and reports the
+scaling efficiency (BASELINE.md: >= 0.8 target), evidencing the north rule's
+two-cluster-size criterion in this single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_DOCS", "200000"))
+N_POLYS = int(os.environ.get("SPARK_GRAFT_POLYS", "3000"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"geomesa-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import geomesa_spark
+
+    geomesa_spark.init_sql(spark)
+    return spark
+
+
+def synth_join_job(spark, n_docs: int, n_polys: int) -> tuple[int, float]:
+    """The headline job: synthesize -> index -> spatial join -> count.
+    Returns (docs processed, wall seconds)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.spatial_join import spatial_join
+    from geomesa_spark.sources.docs import index_docs, synth_docs_distributed
+
+    t0 = time.time()
+    docs = index_docs(synth_docs_distributed(spark, n_docs, partitions=max(8, CPUS)))
+    polys = index_docs(
+        synth_docs_distributed(spark, n_polys * 10, partitions=8).filter(
+            F.col("doc_id").substr(-1, 1) == "3"  # keep the polygon rows
+        )
+    )
+    joined = spatial_join(docs, polys, predicate="intersects", bits=6)
+    n = joined.count()
+    dt = time.time() - t0
+    assert n > 0, "bench join must be non-trivial"
+    return n_docs, dt
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = [
+        "spatial_pip_filter",
+        "spatial_bbox_temporal",
+        "spatial_join_pip",
+        "xz2_extent_query",
+        "knn_geodesic",
+        "dwithin_proximity",
+        "tile_assignment_z8",
+        "density_grid",
+        "cell_count_z6",
+        "track_length",
+        "stats_minmax",
+        "stats_topk_users",
+        "tpch_q1ish",
+        "text_quality",
+        "ngram_dedup",
+        "ann_cosine_topk",
+        "minhash_dedup",
+        "simhash_dedup",
+        "embedding_dedup",
+        "convexhull_by_type",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    spark = make_spark(CPUS)
+    queries = run_queries(spark)
+    n_docs, t_join = synth_join_job(spark, N_DOCS, N_POLYS)
+    queries["synth_join"] = round(t_join, 3)
+    docs_per_sec = n_docs / t_join
+    result = {
+        "metric": "spatial-join throughput (docs/sec)",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "n_docs": n_docs,
+    }
+    spark.stop()
+
+    if scaling:
+        lo_cpus = max(2, CPUS // 4)
+        spark_lo = make_spark(lo_cpus)
+        _, t_lo = synth_join_job(spark_lo, N_DOCS, N_POLYS)
+        spark_lo.stop()
+        tp_hi = n_docs / t_join
+        tp_lo = n_docs / t_lo
+        result["scaling"] = {
+            "cpus_lo": lo_cpus,
+            "cpus_hi": CPUS,
+            "docs_per_sec_lo": round(tp_lo, 1),
+            "docs_per_sec_hi": round(tp_hi, 1),
+            "speedup": round(tp_hi / tp_lo, 3),
+            "efficiency_vs_4x": round((tp_hi / tp_lo) / (CPUS / lo_cpus), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

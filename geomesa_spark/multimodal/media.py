@@ -1,0 +1,184 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partition-aware batching, Arrow UDF
+signatures, batch shapes) is REAL and tested; the codec step is stubbed —
+this container has no image/audio libraries, so `decode_*` either parses the
+deterministic fake header written by `synth_media` or raises
+NotImplementedError for real formats (clearly marked; swap in PIL/ffmpeg
+decode functions on a cluster that has them)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def synth_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Deterministic fake media blobs: 8-byte magic + packed (w, h, seed) +
+    seed-derived payload bytes."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w = 32 + (int(i) * 31) % 224
+                h = 32 + (int(i) * 37) % 224
+                seed = int(i) & 0xFFFFFFFF
+                rng = np.random.default_rng(seed)
+                payload = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+                content = _MAGIC + struct.pack("<III", w, h, seed) + payload
+                mtype = ["image/fake", "audio/fake", "video/fake"][int(i) % 3]
+                rows.append(
+                    {
+                        "media_ref": f"media://{int(i):08x}",
+                        "media_type": mtype,
+                        "content": content,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": (int(i) % 600) * 1000,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _parse_header(content: bytes) -> tuple[int, int, int]:
+    if content is None or not content.startswith(_MAGIC):
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library not present "
+            "in this environment — plug a PIL/ffmpeg decode function in here"
+        )
+    w, h, seed = struct.unpack_from("<III", content, len(_MAGIC))
+    return w, h, seed
+
+
+def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas decode: per Arrow batch, parse headers -> (decoded_w,
+    decoded_h, checksum). The batch shape/schema plumbing is exactly what a
+    real decoder uses; only _parse_header changes."""
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("decoded_w", IntegerType()),
+            StructField("decoded_h", IntegerType()),
+            StructField("checksum", LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ws, hs, cks = [], [], []
+            for b in pdf[content_col]:
+                try:
+                    w, h, seed = _parse_header(bytes(b))
+                    ws.append(w)
+                    hs.append(h)
+                    cks.append(int(np.int64(seed * 2654435761 % (1 << 31))))
+                except NotImplementedError:
+                    ws.append(None)
+                    hs.append(None)
+                    cks.append(None)
+            pdf["decoded_w"] = pd.array(ws, dtype="Int32")
+            pdf["decoded_h"] = pd.array(hs, dtype="Int32")
+            pdf["checksum"] = pd.array(cks, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content") -> DataFrame:
+    """Feature-extraction plumbing: content -> array<float> embedding.
+    Deterministic fake features (seed-derived); a real model would replace
+    `fake_embed` with an ONNX/torch call over the same Arrow batches."""
+    out_schema = StructType(df.schema.fields + [StructField("features", ArrayType(FloatType()))])
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                try:
+                    _, _, seed = _parse_header(bytes(b))
+                    rng = np.random.default_rng(seed)
+                    v = rng.normal(0, 1, dim).astype(np.float32)
+                    v /= np.linalg.norm(v)
+                    feats.append([float(x) for x in v])
+                except NotImplementedError:
+                    feats.append(None)
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real resize needs an imaging library. The fake path rewrites the
+    header dims (exercises binary-out UDF plumbing)."""
+    out_schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                w, h, seed = _parse_header(bytes(b))
+                out.append(_MAGIC + struct.pack("<III", width, height, seed) + bytes(b)[20:])
+            pdf["content"] = out
+            pdf["width"] = width
+            pdf["height"] = height
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    timestamp (explode), decode stubbed."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+        F.lit(int(every_ms)),
+    )
+    return (
+        df.filter(F.col("media_type").startswith("video"))
+        .withColumn("frame_ms", F.explode(frames))
+        .select("media_ref", "frame_ms", "content")
+    )
+
+
+def join_docs_media(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Attach media blobs to documents via the span media_ref (broadcast if
+    media is a dimension table; else plain hash join on media_ref)."""
+    refs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(spans, s -> s.kind = 'media')")
+        ).alias("_m"),
+    ).select("doc_id", F.col("_m.media_ref").alias("media_ref"))
+    return refs.join(media, "media_ref")

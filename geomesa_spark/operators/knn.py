@@ -119,7 +119,9 @@ def knn(
         done_df = topk.filter(F.col("query_id").isin(sorted(done_ids))).drop("_rn")
         results = done_df if results is None else results.unionByName(done_df)
         pending = [q for q in pending if str(q[0]) not in done_ids]
-        radius = min(radius * 2, max_radius_m) if radius < max_radius_m else max_radius_m
+        # x4 expansion: each extra round quadruples the window area, so even a
+        # badly-underestimated start radius converges in a few Spark jobs
+        radius = min(radius * 4, max_radius_m) if radius < max_radius_m else max_radius_m
         if pending and results is not None:
             results = results.localCheckpoint(eager=False)  # bound lineage growth
     return results if results is not None else docs.limit(0)

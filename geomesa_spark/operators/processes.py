@@ -1,0 +1,154 @@
+"""Search/analytic "processes" — the reference's geomesa-process surface
+(geomesa-process-vector, SURVEY.md §2.6) as DataFrame compositions.
+
+Each docstring cites the process it mirrors."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .knn import haversine_col
+
+
+def proximity_search(
+    docs: DataFrame,
+    inputs: list[tuple[float, float]],
+    meters: float,
+) -> DataFrame:
+    """Features within `meters` of ANY input point
+    (ProximitySearchProcess.scala:25-93): bbox prefilter (codegen) + geodesic
+    distance check; dwithin two-phase shape."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+
+    conds = None
+    for lon, lat in inputs:
+        dlat = math.degrees(meters / EARTH_MEAN_RADIUS_M)
+        dlon = dlat / max(0.01, math.cos(math.radians(lat)))
+        box = (
+            (F.col("x") >= lon - dlon)
+            & (F.col("x") <= lon + dlon)
+            & (F.col("y") >= lat - dlat)
+            & (F.col("y") <= lat + dlat)
+            & (haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters)
+        )
+        conds = box if conds is None else (conds | box)
+    return docs.filter(conds)
+
+
+def track_label(
+    df: DataFrame, track_col: str, time_col: str = "ts", tiebreak: str | None = None
+) -> DataFrame:
+    """Last feature per track (TrackLabelProcess.scala:26-65)."""
+    order = [F.col(time_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def date_offset(df: DataFrame, time_col: str, offset_sql: str) -> DataFrame:
+    """Shift a date attribute (DateOffsetProcess.scala:24-54), e.g.
+    offset_sql='INTERVAL 1 HOUR'."""
+    return df.withColumn(time_col, F.col(time_col) + F.expr(offset_sql))
+
+
+def hash_attribute(df: DataFrame, col: str, buckets: int, out: str = "hash_bucket") -> DataFrame:
+    """hash(attr) % buckets as a new column (HashAttributeProcess.scala:61-91)."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(col)), F.lit(buckets)))
+
+
+def sample_every_nth(df: DataFrame, n: int, id_col: str, by: str | None = None) -> DataFrame:
+    """Deterministic 1-in-n thinning (SamplingIterator.scala:19-67 every-nth
+    semantics; optionally per-track via `by`)."""
+    if by is None:
+        return df.filter(F.pmod(F.col(id_col), F.lit(n)) == 0)
+    w = Window.partitionBy(by).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.pmod(F.col("_rn") - 1, F.lit(n)) == 0)
+        .drop("_rn")
+    )
+
+
+def point2point(
+    df: DataFrame, track_col: str, time_col: str = "ts",
+    lon_col: str = "x", lat_col: str = "y",
+) -> DataFrame:
+    """Aggregate point sequences into per-track consecutive segments
+    (Point2PointProcess.scala:27-113): each output row is one segment with a
+    geodesic length."""
+    w = Window.partitionBy(track_col).orderBy(time_col)
+    seg = (
+        df.withColumn("_x2", F.lead(lon_col).over(w))
+        .withColumn("_y2", F.lead(lat_col).over(w))
+        .withColumn("_t2", F.lead(time_col).over(w))
+        .filter(F.col("_x2").isNotNull())
+    )
+    return seg.select(
+        F.col(track_col),
+        F.col(time_col).alias("t_start"),
+        F.col("_t2").alias("t_end"),
+        F.col(lon_col).alias("x1"),
+        F.col(lat_col).alias("y1"),
+        F.col("_x2").alias("x2"),
+        F.col("_y2").alias("y2"),
+        haversine_col(F.col(lon_col), F.col(lat_col), F.col("_x2"), F.col("_y2")).alias(
+            "seg_meters"
+        ),
+    )
+
+
+def track_length(df: DataFrame, track_col: str, time_col: str = "ts") -> DataFrame:
+    """Great-circle track length per track: window lag + vectorized haversine
+    (cleaner than the reference's collect_list + st_aggregateDistanceSphere,
+    SparkSQLDataTest.scala:649-666)."""
+    segs = point2point(df, track_col, time_col)
+    return segs.groupBy(track_col).agg(F.sum("seg_meters").alias("track_meters"))
+
+
+def unique_values(df: DataFrame, col: str) -> DataFrame:
+    """Distinct attribute values with counts (UniqueProcess.scala:27-140)."""
+    return df.groupBy(col).agg(F.count("*").alias("count"))
+
+
+def min_max(df: DataFrame, col: str) -> DataFrame:
+    """Attribute bounds (MinMaxProcess.scala:19-52)."""
+    return df.agg(
+        F.min(col).alias("min_value"),
+        F.max(col).alias("max_value"),
+        F.count("*").alias("count"),
+    )
+
+
+def tube_select(
+    docs: DataFrame,
+    track_points: list[tuple[float, float, str]],
+    meters: float,
+    time_window_s: float = 3600.0,
+) -> DataFrame:
+    """Features within a buffered, time-binned corridor around a track
+    (TubeSelectProcess.scala:33-184): per track vertex, docs within `meters`
+    AND within the vertex's time window."""
+    conds = None
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+
+    for lon, lat, iso_ts in track_points:
+        dlat = math.degrees(meters / EARTH_MEAN_RADIUS_M)
+        dlon = dlat / max(0.01, math.cos(math.radians(lat)))
+        c = (
+            (F.col("x").between(lon - dlon, lon + dlon))
+            & (F.col("y").between(lat - dlat, lat + dlat))
+            & (haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters)
+            & (
+                F.abs(F.unix_timestamp("ts") - F.unix_timestamp(F.lit(iso_ts)))
+                <= time_window_s
+            )
+        )
+        conds = c if conds is None else (conds | c)
+    return docs.filter(conds)

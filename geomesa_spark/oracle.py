@@ -1,0 +1,103 @@
+"""Portable-SQL generators for spatial math.
+
+These emit plain ANSI SQL (runs in DuckDB and Spark alike) for the arithmetic
+kernels the engine implements natively: ray-cast point-in-polygon, haversine,
+slippy tiles, grid snap, Morton interleave. Used to build the DuckDB oracle
+queries in __spark_entry__ (the driver's correctness gate) — every expression
+is pure IEEE-double arithmetic evaluated identically by both engines."""
+
+from __future__ import annotations
+
+EARTH_R = "6371008.7714"  # reference mean radius (GeometricProcessingFunctions.scala:60)
+
+
+def raycast_sql(poly: list[tuple[float, float]], lon: str, lat: str) -> str:
+    """Even-odd crossing-number point-in-polygon as an unrolled SQL predicate.
+    `poly` is a closed or open ring; edges must not be axis-aligned through
+    data lattice points (boundary ties undefine even-odd)."""
+    ring = list(poly)
+    if ring[0] == ring[-1]:
+        ring = ring[:-1]
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        terms.append(
+            f"(case when (({ay} > {lat}) <> ({by} > {lat})) and "
+            f"({lon} < ({bx} - {ax}) * ({lat} - {ay}) / ({by} - {ay}) + {ax}) "
+            f"then 1 else 0 end)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Great-circle meters, same formula as knn.haversine_col."""
+    return (
+        f"(2 * {EARTH_R} * asin(least(1.0, sqrt("
+        f"power(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"power(sin((radians({lon2}) - radians({lon1})) / 2), 2)))))"
+    )
+
+
+def tile_x_sql(lon: str, zoom: int) -> str:
+    n = 2**zoom
+    return f"greatest(0, least(cast(floor(({lon} + 180.0) / 360.0 * {float(n)}) as bigint), {n - 1}))"
+
+
+def tile_y_sql(lat: str, zoom: int) -> str:
+    n = 2**zoom
+    clamped = f"greatest(-85.0511287798066, least({lat}, 85.0511287798066))"
+    return (
+        f"greatest(0, least(cast(floor((1.0 - ln(tan(radians({clamped})) + "
+        f"1.0 / cos(radians({clamped}))) / pi()) / 2.0 * {float(n)}) as bigint), {n - 1}))"
+    )
+
+
+def grid_i_sql(expr: str, vmin: float, vmax: float, size: int) -> str:
+    """GridSnap column index; ONLY exact when (vmax-vmin)/size is a binary
+    rational (e.g. world grid at power-of-two sizes)."""
+    dx = (vmax - vmin) / size
+    return (
+        f"(case when {expr} >= {vmin} and {expr} <= {vmax} then "
+        f"least(cast(floor(({expr} - ({vmin})) / {dx!r}) as bigint), {size - 1}) "
+        f"else -1 end)"
+    )
+
+
+def interleave_sql(ix: str, iy: str, bits: int) -> str:
+    """Morton interleave of two non-negative ints, unrolled shifts/ands."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cell_sql(lon: str, lat: str, bits: int) -> str:
+    """Coarse Z2 partition cell id — matches sources.docs.index_points_df
+    exactly (exact binary divisors 360/2^b, 180/2^b)."""
+    n = 2**bits
+    dx, dy = 360.0 / n, 180.0 / n
+    ix = f"greatest(0, least(cast(floor(({lon} + 180.0) / {dx!r}) as bigint), {n - 1}))"
+    iy = f"greatest(0, least(cast(floor(({lat} + 90.0) / {dy!r}) as bigint), {n - 1}))"
+    return interleave_sql(f"({ix})", f"({iy})", bits)
+
+
+# Deterministic derived geometry: the documents/events tables carry no
+# coordinates, so both engines derive them with IDENTICAL integer-modulo
+# arithmetic (BASELINE.json input_hint: synthesize deterministically).
+# NB: plain `100.0` literals parse as DECIMAL in both Spark and DuckDB SQL —
+# exponent form (`1e2`) forces DOUBLE so both engines use identical IEEE math.
+DOC_LON = "((((doc_id * 7919) % 36000) / 1e2) - 1.8e2)"
+DOC_LAT = "((((doc_id * 104729) % 18000) / 1e2) - 9e1)"
+EVENT_LON = "((((event_id * 48271) % 36000) / 1e2) - 1.8e2)"
+EVENT_LAT = "((((event_id * 16807) % 18000) / 1e2) - 9e1)"
+
+# rectangular poly parts derived from the part table (axis-aligned, so bbox
+# logic is exact in SQL)
+PART_CX = "((((p_partkey * 7919) % 33000) / 1e2) - 1.65e2)"
+PART_CY = "((((p_partkey * 104729) % 15000) / 1e2) - 7.5e1)"
+PART_HW = "(2e0 + (p_partkey % 97) * 8e0 / 9.7e1)"  # half-width 2..10 deg
+PART_HH = "(1e0 + (p_partkey % 53) * 4e0 / 5.3e1)"  # half-height 1..5 deg

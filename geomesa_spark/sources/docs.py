@@ -290,3 +290,97 @@ def write_indexed(df: DataFrame, path: str, fmt: str = "parquet") -> None:
     DateTimeScheme.scala:25-117). Spark prunes on day/cell predicates natively;
     with Iceberg jars present, swap fmt='iceberg' for the same spec."""
     df.write.mode("overwrite").format(fmt).partitionBy("day", "cell").save(path)
+
+
+# ------------------------------------------------- Column-level point indexer
+
+
+def interleave2_col(ix, iy, bits: int):
+    """Morton interleave of two small ints as a pure Column expression
+    (unrolled; codegen-able — used for coarse partition cells)."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def index_points_df(
+    df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    cell_bits: int = PARTITION_CELL_BITS,
+    with_wkb: bool = True,
+) -> DataFrame:
+    """Add the engine's derived columns to a plain lon/lat point table using
+    ONLY Column arithmetic (whole-stage codegen; the cell divisors 360/2^b and
+    180/2^b are exact binary so results are bit-identical to SQL oracles)."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    n = 2**cell_bits
+    dx, dy = 360.0 / n, 180.0 / n
+    ix = F.greatest(F.lit(0), F.least(F.floor((lon + 180.0) / dx), F.lit(n - 1))).cast("long")
+    iy = F.greatest(F.lit(0), F.least(F.floor((lat + 90.0) / dy), F.lit(n - 1))).cast("long")
+    out = (
+        df.withColumn("x", lon.cast("double"))
+        .withColumn("y", lat.cast("double"))
+        .withColumn("minx", lon.cast("double"))
+        .withColumn("miny", lat.cast("double"))
+        .withColumn("maxx", lon.cast("double"))
+        .withColumn("maxy", lat.cast("double"))
+        .withColumn("cell", interleave2_col(ix, iy, cell_bits))
+    )
+    if with_wkb:
+        from ..functions.library import UDFS
+
+        out = out.withColumn("geom_wkb", UDFS["st_makePoint"](lon, lat))
+    return out
+
+
+def synth_docs_distributed(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Deterministic interleaved-docs synthesis as pure Column arithmetic over
+    spark.range(n) — no driver-side loop, scales linearly with executors
+    (the 10^12-doc design-scale generator; seed-free but fully deterministic
+    in doc_id). ~10% polygons, 5% hot-cell points near (0.5, 0.5)."""
+    df = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+    lon = (F.col("i") * 7919 % 360000) / 1000.0 - 180.0
+    lat = (F.col("i") * 104729 % 180000) / 1000.0 - 90.0
+    hot = F.col("i") % 20 == 7
+    lon = F.when(hot, 0.5 + ((F.col("i") * 31 % 200) - 100) / 1000.0).otherwise(lon)
+    lat = F.when(hot, 0.5 + ((F.col("i") * 37 % 200) - 100) / 1000.0).otherwise(lat)
+    is_poly = (F.col("i") % 10 == 3) & ~hot
+    w = 0.05 + (F.col("i") % 29) / 20.0  # up to ~1.5 deg
+    h = 0.05 + (F.col("i") % 11) / 22.0  # up to ~0.5 deg
+    x0 = F.greatest(F.lit(-180.0), lon - w / 2)
+    x1 = F.least(F.lit(180.0), lon + w / 2)
+    y0 = F.greatest(F.lit(-90.0), lat - h / 2)
+    y1 = F.least(F.lit(90.0), lat + h / 2)
+    poly_wkt = F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+        x0, y0, x0, y1, x1, y1, x1, y0, x0, y0,
+    )
+    point_wkt = F.format_string("POINT (%.6f %.6f)", lon, lat)
+    wkt = F.when(is_poly, poly_wkt).otherwise(point_wkt)
+    ts = F.timestamp_seconds(F.lit(1451606400) + (F.col("i") * 48271 % 2678400))
+    iso = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.format_string("document %d body", F.col("i")).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("geo").alias("kind"), wkt.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("time").alias("kind"), iso.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(2).alias("offset"),
+        ),
+    )
+    return df.select(
+        F.format_string("doc-%08d", F.col("i")).alias("doc_id"), spans.alias("spans")
+    )

@@ -1,0 +1,242 @@
+"""Tests: dedup operators (vs exact-Jaccard oracle), similarity (LSH recall),
+streaming windowed aggregation, multimodal plumbing, metrics/checkpoint-resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def exact_jaccard_pairs(documents, threshold, k=3):
+    rows = documents.select("doc_id", "lang", "text").collect()
+    sh = {}
+    for r in rows:
+        t = r.text.lower()
+        sh[r.doc_id] = (r.lang, {t[i : i + k] for i in range(len(t) - k + 1)})
+    out = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if sh[a][0] != sh[b][0]:
+                continue
+            ja = len(sh[a][1] & sh[b][1]) / len(sh[a][1] | sh[b][1])
+            if ja >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_vs_oracle(spark, documents):
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(documents, threshold=0.9).collect()
+    }
+    want = exact_jaccard_pairs(documents, 0.9)
+    assert got == want
+    assert len(want) > 0, "fixture should contain planted near-dups"
+
+
+def test_minhash_lsh_recall(spark, documents):
+    """MinHash-LSH must find the high-similarity pairs (est_jaccard is an
+    unbiased estimate; at threshold .7 vs true .9 recall should be total)."""
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(documents, threshold=0.7, num_hashes=64, bands=16).collect()
+    }
+    want = exact_jaccard_pairs(documents, 0.9)
+    missing = want - set(got)
+    assert not missing, f"LSH missed true near-dups: {missing}"
+    for pair in want:
+        assert got[pair] >= 0.7
+
+
+def test_exact_dedup(spark, documents):
+    from geomesa_spark.operators.dedup import exact_dedup
+
+    dup = documents.union(documents.limit(5))
+    groups = exact_dedup(dup).collect()
+    assert len(groups) == 5
+    assert all(g.n_dups == 2 for g in groups)
+
+
+def test_simhash_finds_near_dups(spark, documents):
+    from geomesa_spark.operators.dedup import simhash_pairs
+
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(documents, max_hamming=8).collect()}
+    want = exact_jaccard_pairs(documents, 0.95)
+    # simhash prefix-bucketing is approximate: it must at least find most of
+    # the truly-identical-ish pairs that share the 16-bit prefix
+    assert len(got & want) >= len(want) // 2 or len(want) == 0
+
+
+# --------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_vs_numpy(spark, embeddings):
+    from geomesa_spark.operators.similarity import brute_force_topk
+
+    rows = embeddings.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    q = mat[ids == 0][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(sims, 6), -ids), key=lambda t: (-t[0], t[1]))
+    want = [int(-i) for s, i in order[:10]]
+    got = [r.vec_id for r in brute_force_topk(embeddings, list(q), k=10).orderBy("rank").collect()]
+    assert got == want
+
+
+def test_ann_lsh_contains_top1(spark, embeddings):
+    from geomesa_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+
+    rows = embeddings.filter("vec_id = 0").collect()
+    q = [float(v) for v in rows[0].embedding]
+    exact = [r.vec_id for r in brute_force_topk(embeddings, q, k=5).orderBy("rank").collect()]
+    approx = [r.vec_id for r in ann_topk_lsh(embeddings, q, k=20, bits=8, probes=6).collect()]
+    # the query vector itself (top-1) must be found; decent overlap expected
+    assert exact[0] in approx
+    assert len(set(exact) & set(approx)) >= 2
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    from geomesa_spark.streaming.stream import windowed_tile_counts
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .withColumn("x", (F.col("value") * 7919 % 36000) / 100.0 - 180.0)
+        .withColumn("y", (F.col("value") * 104729 % 18000) / 100.0 - 90.0)
+        .withColumnRenamed("timestamp", "ts")
+    )
+    agg = windowed_tile_counts(src, zoom=2, time_col="ts", window="10 seconds", watermark="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tiles_stream")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        rows = 0
+        while time.time() < deadline:
+            rows = spark.sql("select count(*) from tiles_stream").collect()[0][0]
+            if rows > 0:
+                break
+            time.sleep(1)
+        assert rows > 0
+        bad = spark.sql(
+            "select count(*) from tiles_stream where tile_x < 0 or tile_x > 3 or tile_y < 0 or tile_y > 3"
+        ).collect()[0][0]
+        assert bad == 0
+    finally:
+        q.stop()
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_media_plumbing(spark):
+    from geomesa_spark.multimodal.media import (
+        decode_image_meta,
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, 60).cache()
+    assert media.count() == 60
+    dec = decode_image_meta(media)
+    rows = dec.select("media_ref", "width", "decoded_w", "height", "decoded_h").collect()
+    for r in rows:
+        assert r.width == r.decoded_w and r.height == r.decoded_h
+    feats = extract_features(media, dim=16)
+    frow = feats.select("features").first()
+    assert len(frow.features) == 16
+    norm = sum(v * v for v in frow.features) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    fr = frame_sample(media, every_ms=1000)
+    vids = media.filter("media_type = 'video/fake'").select("media_ref", "duration_ms").collect()
+    want_frames = sum(max(1, (v.duration_ms + 999) // 1000) if v.duration_ms > 0 else 1 for v in vids)
+    assert fr.count() == want_frames
+
+
+def test_media_real_format_raises(spark):
+    from geomesa_spark.multimodal.media import _parse_header
+
+    with pytest.raises(NotImplementedError):
+        _parse_header(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_join_docs_media(spark):
+    from geomesa_spark.multimodal.media import join_docs_media, synth_media
+    from geomesa_spark.sources.docs import synth_docs
+
+    docs = synth_docs(spark, 100)
+    media = synth_media(spark, 100)
+    j = join_docs_media(docs, media)
+    n_media_docs = docs.filter(
+        F.exists("spans", lambda s: s["kind"] == F.lit("media"))
+    ).count()
+    assert j.count() == n_media_docs
+    assert j.count() > 0
+
+
+# -------------------------------------------------------- metrics/checkpoint
+
+
+def test_stage_runner_resume(spark, tmp_path):
+    from geomesa_spark.plans.metrics import StageRunner
+
+    root = str(tmp_path / "pipe")
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    r1 = StageRunner(spark, root)
+    df1 = r1.stage("s1", make)
+    assert df1.count() == 100 and calls["n"] == 1
+    # resume: second runner skips the completed stage
+    r2 = StageRunner(spark, root)
+    df2 = r2.stage("s1", make)
+    assert df2.count() == 100 and calls["n"] == 1
+    lin = r2.lineage()
+    assert lin[0]["skipped"] is True and lin[0]["rows"] == 100
+
+
+def test_partition_metrics_and_observe(spark):
+    from geomesa_spark.plans.metrics import observe_rows, partition_metrics
+
+    df = spark.range(0, 1000, 1, 8)
+    pm = partition_metrics(df).collect()
+    assert sum(r.rows for r in pm) == 1000
+    assert len(pm) == 8
+    odf, obs = observe_rows(df, "reads")
+    odf.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == 1000
