@@ -381,17 +381,20 @@ def st_asGeoJSON(s: pd.Series) -> pd.Series:
 @_udf("st_asLatLonText", StringType())
 def st_asLatLonText(s: pd.Series) -> pd.Series:
     def dms(g):
-        # DMS formatting (GeometricOutputFunctions.scala:50-64)
+        # DMS formatting (GeometricOutputFunctions.scala:50-64). Degrees are
+        # floor-based, so -76.5 renders as 77°30'0.000"W (reference golden:
+        # GeometricUdfTest.scala "st_asLatLonText").
+        import math as _math
+
         x, y = float(g.coords[0]), float(g.coords[1])
 
         def fmt(v, pos, neg):
             h = pos if v >= 0 else neg
-            v = abs(v)
-            d = int(v)
+            d = _math.floor(v)
             mfull = (v - d) * 60
             m = int(mfull)
             sec = (mfull - m) * 60
-            return f"{d}°{m:02d}'{sec:06.3f}\"{h}"
+            return f"{abs(d)}°{m}'{sec:.3f}\"{h}"
 
         return f"{fmt(y, 'N', 'S')} {fmt(x, 'E', 'W')}"
 

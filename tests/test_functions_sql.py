@@ -224,3 +224,51 @@ def test_intersection_sql(spark):
         "select st_area(st_intersection(st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'), st_geomFromWKT('POLYGON((5 5, 5 15, 15 15, 15 5, 5 5))')))",
     )
     assert area == 25.0
+
+
+def test_aslatlontext_golden(spark):
+    # GeometricUdfTest.scala "st_asLatLonText": floor-based degrees
+    r = sql1(spark, "select st_asLatLonText(st_geomFromWKT('POINT(-76.5 38.5)'))")
+    assert r == '38°30\'0.000"N 77°30\'0.000"W'
+
+
+def test_geohash_reference_golden(spark):
+    # GeometricUdfTest.scala "st_geoHash": POINT(-76.5 38.5) prec 25 -> dqce5
+    assert sql1(spark, "select st_geoHash(st_geomFromWKT('POINT (-76.5 38.5)'), 25)") == "dqce5"
+
+
+def test_box2d_from_geohash(spark):
+    wkt = sql1(spark, "select st_asText(st_box2DFromGeoHash('dqce5', 25))")
+    assert wkt.startswith("POLYGON")
+    x = sql1(spark, "select st_x(st_pointFromGeoHash('dqce5', 25))")
+    y = sql1(spark, "select st_y(st_pointFromGeoHash('dqce5', 25))")
+    assert abs(x - -76.5) < 0.05 and abs(y - 38.5) < 0.05
+
+
+def test_translate_and_relate(spark):
+    wkt = sql1(spark, "select st_asText(st_translate(st_geomFromWKT('POINT(1 2)'), 3.0D, -1.0D))")
+    assert wkt == "POINT (4 1)"
+    m = sql1(
+        spark,
+        "select st_relate(st_geomFromWKT('POINT(5 5)'), st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'))",
+    )
+    assert m[0] == "0"
+    rb = sql1(
+        spark,
+        "select st_relateBool(st_geomFromWKT('POINT(5 5)'), st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'), 'T********')",
+    )
+    assert rb is True
+
+
+def test_antimeridian_safe_sql(spark):
+    # FIXTURES §6b golden: split polygon mass conserved, bounded to world
+    area = sql1(
+        spark,
+        "select st_area(st_antimeridianSafeGeom(st_geomFromWKT('POLYGON((-190 50, -190 60, -170 60, -170 50, -190 50))')))",
+    )
+    assert abs(area - 200.0) < 1e-9
+    t = sql1(
+        spark,
+        "select st_geometryType(st_antimeridianSafeGeom(st_geomFromWKT('POLYGON((-190 50, -190 60, -170 60, -170 50, -190 50))')))",
+    )
+    assert t == "MultiPolygon"
