@@ -124,12 +124,20 @@ def main():
     spark.stop()
 
     if scaling:
+        # apples-to-apples: each parallelism level gets a FRESH session running
+        # ONLY the join job (running it inside the query-laden main session
+        # skews the hi measurement with JVM/GC state)
         lo_cpus = max(2, CPUS // 4)
-        spark_lo = make_spark(lo_cpus)
-        _, t_lo = synth_join_job(spark_lo, N_DOCS, N_POLYS)
-        spark_lo.stop()
-        tp_hi = n_docs / t_join
-        tp_lo = n_docs / t_lo
+        times = {}
+        for cpus in (lo_cpus, CPUS):
+            s = make_spark(cpus)
+            # warm-up pass (JIT/codegen) then measured pass
+            synth_join_job(s, max(10000, N_DOCS // 10), max(200, N_POLYS // 10))
+            _, t = synth_join_job(s, N_DOCS, N_POLYS)
+            times[cpus] = t
+            s.stop()
+        tp_lo = n_docs / times[lo_cpus]
+        tp_hi = n_docs / times[CPUS]
         result["scaling"] = {
             "cpus_lo": lo_cpus,
             "cpus_hi": CPUS,

@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Single-file reads arrive as one partition; spread heavy per-row work."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingles_col(text_col, k: int = 3):
     """Distinct lowercase character k-shingles as a Column (pure built-ins)."""
     t = F.lower(text_col)
@@ -54,7 +62,7 @@ def ngram_jaccard_pairs(
     Blocking: pairs are generated only within `block_col` groups (equi-join,
     one shuffle) — the deterministic analog of LSH banding for moderate
     cardinality blocks."""
-    sh = df.select(
+    sh = _ensure_parallel(df).select(
         F.col(id_col), F.col(block_col) if block_col else F.lit(0).alias("_b"),
         shingles_col(F.col(text_col), k).alias("_sh"),
     )
@@ -76,12 +84,16 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_udf(num_hashes: int, k: int, seed: int = 42):
-    """shingle array -> minhash signature (vectorized numpy per batch).
-    h_i(x) = (a_i * x + b_i) mod p over 64-bit shingle hashes."""
+    """shingle array -> minhash signature, fully vectorized numpy.
+
+    Shingles (short strings) pack directly into uint64 words via a fixed-width
+    bytes view; the hash family is h_i(x) = (a_i*x + b_i) mod (2^31-1) with
+    a,b,x < 2^31 so products stay inside uint64 — no object math, one matrix
+    op per document."""
     rng = np.random.default_rng(seed)
-    P = (1 << 61) - 1
-    A = rng.integers(1, P, num_hashes, dtype=np.int64)
-    B = rng.integers(0, P, num_hashes, dtype=np.int64)
+    P = np.uint64((1 << 31) - 1)
+    A = rng.integers(1, int(P), num_hashes, dtype=np.uint64)
+    B = rng.integers(0, int(P), num_hashes, dtype=np.uint64)
 
     def mh(shingles: pd.Series) -> pd.Series:
         out = []
@@ -89,19 +101,12 @@ def _minhash_udf(num_hashes: int, k: int, seed: int = 42):
             if arr is None or len(arr) == 0:
                 out.append(None)
                 continue
-            # deterministic 64-bit shingle hash (FNV-1a, python ints + mask)
-            hs = np.empty(len(arr), dtype=np.uint64)
-            M = 0xFFFFFFFFFFFFFFFF
-            for i, s in enumerate(arr):
-                h = 14695981039346656037
-                for ch in s.encode("utf-8"):
-                    h = ((h ^ ch) * 1099511628211) & M
-                hs[i] = h
-            x = (hs % np.uint64(P)).astype(np.int64)
-            sig = (
-                (A[:, None].astype(object) * x[None, :].astype(object) + B[:, None].astype(object))
-                % P
-            ).min(axis=1)
+            # pack each shingle's first 8 utf-8 bytes into a uint64
+            packed = np.frombuffer(
+                np.asarray(arr, dtype="S8").tobytes(), dtype=np.uint64
+            )
+            x = ((packed >> np.uint64(31)) ^ packed) & P  # fold to 31 bits
+            sig = ((A[:, None] * x[None, :] + B[:, None]) % P).min(axis=1)
             out.append([int(v) for v in sig])
         return pd.Series(out, dtype=object)
 
@@ -125,6 +130,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     mh = _minhash_udf(num_hashes, k)
+    df = _ensure_parallel(df)
     sig = df.select(
         F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
     ).withColumn("_sig", mh(F.col("_sh"))).filter(F.col("_sig").isNotNull())
@@ -199,7 +205,7 @@ def simhash_pairs(
     """Near-dup candidates with Hamming(simhash) <= max_hamming, bucketed by
     signature prefix (standard simhash table trick; multiple rotations would
     give full recall — one prefix table is the demonstration path)."""
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("_sh"))
+    sh = _ensure_parallel(df).select(F.col(id_col), simhash_col(F.col(text_col)).alias("_sh"))
     bucket = F.shiftrightunsigned(F.col("_sh"), 64 - prefix_bits).alias("_bkt")
     sb = sh.select(id_col, "_sh", bucket)
     a = sb.alias("a")

@@ -146,9 +146,47 @@ def tube_select(
             & (F.col("y").between(lat - dlat, lat + dlat))
             & (haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters)
             & (
-                F.abs(F.unix_timestamp("ts") - F.unix_timestamp(F.lit(iso_ts)))
+                F.abs(
+                    F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lit(iso_ts).cast("timestamp"))
+                )
                 <= time_window_s
             )
         )
+        conds = c if conds is None else (conds | c)
+    return docs.filter(conds)
+
+
+def route_search(
+    docs: DataFrame,
+    route_points: list[tuple[float, float]],
+    meters: float,
+    heading_tolerance_deg: float | None = None,
+    heading_col: str | None = None,
+) -> DataFrame:
+    """Features along a route, optionally matching the route's local bearing
+    (RouteSearchProcess.scala:36-311): per route segment, docs within
+    `meters` of the segment midpoint AND (if heading_col) heading within
+    tolerance of the segment bearing."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M, haversine
+
+    conds = None
+    for (x1, y1), (x2, y2) in zip(route_points[:-1], route_points[1:]):
+        mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+        seg_len = float(haversine(x1, y1, x2, y2))
+        radius = meters + seg_len / 2
+        dlat = math.degrees(radius / EARTH_MEAN_RADIUS_M)
+        dlon = dlat / max(0.01, math.cos(math.radians(my)))
+        c = (
+            F.col("x").between(mx - dlon, mx + dlon)
+            & F.col("y").between(my - dlat, my + dlat)
+            & (haversine_col(F.col("x"), F.col("y"), F.lit(mx), F.lit(my)) <= radius)
+        )
+        if heading_col and heading_tolerance_deg is not None:
+            bearing = math.degrees(math.atan2(x2 - x1, y2 - y1)) % 360
+            diff = F.abs(F.pmod(F.col(heading_col) - F.lit(bearing) + 180.0, F.lit(360.0)) - 180.0)
+            c = c & (diff <= heading_tolerance_deg)
         conds = c if conds is None else (conds | c)
     return docs.filter(conds)
