@@ -57,15 +57,28 @@ def synth_join_job(spark, n_docs: int, n_polys: int) -> tuple[int, float]:
     from geomesa_spark.sources.docs import index_docs, synth_docs_distributed
 
     t0 = time.time()
-    docs = index_docs(synth_docs_distributed(spark, n_docs, partitions=max(8, CPUS)))
+    # materialize the indexed table before joining (the real pipeline shape:
+    # the index job writes once, queries read the indexed table; recomputing
+    # the index UDF inside the join stage chains 3 python phases per task
+    # and thrashes at high parallelism)
+    cpus = spark.sparkContext.defaultParallelism
+    from pyspark import StorageLevel
+
+    docs = index_docs(
+        synth_docs_distributed(spark, n_docs, partitions=max(8, cpus))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     polys = index_docs(
         synth_docs_distributed(spark, n_polys * 10, partitions=8).filter(
             F.col("doc_id").substr(-1, 1) == "3"  # keep the polygon rows
         )
-    )
+    ).cache()
+    polys.count()
     joined = spatial_join(docs, polys, predicate="intersects", bits=6)
     n = joined.count()
     dt = time.time() - t0
+    docs.unpersist()
+    polys.unpersist()
     assert n > 0, "bench join must be non-trivial"
     return n_docs, dt
 
@@ -125,26 +138,35 @@ def main():
 
     if scaling:
         # apples-to-apples: each parallelism level gets a FRESH session running
-        # ONLY the join job (running it inside the query-laden main session
-        # skews the hi measurement with JVM/GC state)
-        lo_cpus = max(2, CPUS // 4)
-        times = {}
-        for cpus in (lo_cpus, CPUS):
-            s = make_spark(cpus)
-            # warm-up pass (JIT/codegen) then measured pass
-            synth_join_job(s, max(10000, N_DOCS // 10), max(200, N_POLYS // 10))
-            _, t = synth_join_job(s, N_DOCS, N_POLYS)
-            times[cpus] = t
-            s.stop()
-        tp_lo = n_docs / times[lo_cpus]
-        tp_hi = n_docs / times[CPUS]
+        # ONLY the join job. Runs are INTERLEAVED lo/hi/lo/hi and best-of-k is
+        # taken per level: this sandbox is a shared VM with bursty CPU steal,
+        # and best-of across interleaved repeats removes transient slowdowns
+        # that would otherwise dominate the ratio.
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", max(2, CPUS // 4)))
+        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", CPUS))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        times: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
+        for _ in range(repeats):
+            for cpus in (lo_cpus, hi_cpus):
+                s = make_spark(cpus)
+                # warm-up pass (JIT/codegen) then measured pass
+                synth_join_job(s, max(10000, N_DOCS // 10), max(200, N_POLYS // 10))
+                _, t = synth_join_job(s, N_DOCS, N_POLYS)
+                times[cpus].append(t)
+                s.stop()
+        tp_lo = n_docs / min(times[lo_cpus])
+        tp_hi = n_docs / min(times[hi_cpus])
+        CPUS_EFF = hi_cpus / lo_cpus
         result["scaling"] = {
             "cpus_lo": lo_cpus,
-            "cpus_hi": CPUS,
+            "cpus_hi": hi_cpus,
+            "repeats": repeats,
+            "times_lo": [round(t, 2) for t in times[lo_cpus]],
+            "times_hi": [round(t, 2) for t in times[hi_cpus]],
             "docs_per_sec_lo": round(tp_lo, 1),
             "docs_per_sec_hi": round(tp_hi, 1),
             "speedup": round(tp_hi / tp_lo, 3),
-            "efficiency_vs_4x": round((tp_hi / tp_lo) / (CPUS / lo_cpus), 3),
+            "efficiency": round((tp_hi / tp_lo) / CPUS_EFF, 3),
         }
 
     print(json.dumps(result))

@@ -135,3 +135,52 @@ class XZ2SFC:
                         )
             frontier = nxt
         return merge_ranges(out)
+
+
+def xz2_index_many(
+    minx, miny, maxx, maxy, g: int = DEFAULT_G, bounds=(-180.0, -90.0, 180.0, 90.0)
+):
+    """Vectorized sequence codes for arrays of envelopes — one numpy pass
+    over the whole Arrow batch (the index-job hot path for extents).
+    Exactly equivalent to XZ2SFC.index per element."""
+    import numpy as np
+
+    xmin, ymin, xmax, ymax = bounds
+    xsz, ysz = xmax - xmin, ymax - ymin
+    nxmin = np.clip((np.asarray(minx, dtype=np.float64) - xmin) / xsz, 0.0, 1.0)
+    nymin = np.clip((np.asarray(miny, dtype=np.float64) - ymin) / ysz, 0.0, 1.0)
+    nxmax = np.clip((np.asarray(maxx, dtype=np.float64) - xmin) / xsz, 0.0, 1.0)
+    nymax = np.clip((np.asarray(maxy, dtype=np.float64) - ymin) / ysz, 0.0, 1.0)
+    max_dim = np.maximum(nxmax - nxmin, nymax - nymin)
+    with np.errstate(divide="ignore"):
+        l1 = np.where(
+            max_dim <= 0,
+            g,
+            np.minimum(g, np.floor(np.log(np.maximum(max_dim, 1e-300)) / np.log(0.5))),
+        ).astype(np.int64)
+    l1 = np.clip(l1, 0, g)
+    w2 = 0.5 ** (l1 + 1.0)
+    fits = (nxmax <= np.floor(nxmin / w2) * w2 + 2 * w2) & (
+        nymax <= np.floor(nymin / w2) * w2 + 2 * w2
+    )
+    length = np.where((l1 < g) & fits, l1 + 1, l1)
+
+    cs = np.zeros(len(nxmin), dtype=np.int64)
+    cxmin = np.zeros(len(nxmin))
+    cymin = np.zeros(len(nxmin))
+    cxmax = np.ones(len(nxmin))
+    cymax = np.ones(len(nxmin))
+    for i in range(g):
+        active = i < length
+        subtree = (4 ** (g - i) - 1) // 3
+        xc = (cxmin + cxmax) / 2
+        yc = (cymin + cymax) / 2
+        qx = nxmin >= xc
+        qy = nymin >= yc
+        q = qx.astype(np.int64) + 2 * qy.astype(np.int64)
+        cs += np.where(active, 1 + q * subtree, 0)
+        cxmin = np.where(qx, xc, cxmin)
+        cxmax = np.where(qx, cxmax, xc)
+        cymin = np.where(qy, yc, cymin)
+        cymax = np.where(qy, cymax, yc)
+    return cs

@@ -213,10 +213,40 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
         for i in np.nonzero(is_point)[0]:
             wkbs[i] = pt_wkbs[j]
             j += 1
-    # slow path: non-point WKT through the kernel parser
-    for i in range(n):
-        if is_point[i]:
-            continue
+    # vectorized fast path for 5-point single-ring POLYGON wkt (the common
+    # rectangle case): one regex pass + one struct-pack pass
+    rest = ~is_point
+    if rest.any():
+        poly_re = (
+            r"^\s*POLYGON\s*\(\(\s*" + r"\s*,\s*".join(
+                [r"([-+0-9.eE]+)\s+([-+0-9.eE]+)"] * 5
+            ) + r"\s*\)\)\s*$"
+        )
+        pex = wkts.str.extract(poly_re)
+        is_rect5 = pex[0].notna().to_numpy() & rest
+        if is_rect5.any():
+            import struct as _struct
+
+            coords = pex.apply(pd.to_numeric, errors="coerce").to_numpy()
+            cx = coords[:, 0::2]
+            cy = coords[:, 1::2]
+            pminx, pmaxx = cx.min(axis=1), cx.max(axis=1)
+            pminy, pmaxy = cy.min(axis=1), cy.max(axis=1)
+            minx[is_rect5] = pminx[is_rect5]
+            maxx[is_rect5] = pmaxx[is_rect5]
+            miny[is_rect5] = pminy[is_rect5]
+            maxy[is_rect5] = pmaxy[is_rect5]
+            xs[is_rect5] = (pminx[is_rect5] + pmaxx[is_rect5]) / 2
+            ys[is_rect5] = (pminy[is_rect5] + pmaxy[is_rect5]) / 2
+            header = b"\x01\x03\x00\x00\x00" + _struct.pack("<II", 1, 5)
+            for i in np.nonzero(is_rect5)[0]:
+                ring = np.empty(10)
+                ring[0::2] = cx[i]
+                ring[1::2] = cy[i]
+                wkbs[i] = header + ring.astype("<f8").tobytes()
+        rest = rest & ~is_rect5
+    # slow path: remaining WKT through the kernel parser
+    for i in np.nonzero(rest)[0]:
         w = wkts.iloc[i]
         if w is None or (isinstance(w, float) and np.isnan(w)):
             continue
@@ -236,10 +266,11 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
     z3full = np.full(n, -1, dtype=np.int64)
     week_bin[ok] = wb
     z3full[ok] = z3
-    sfc = XZ2SFC(g=xz2_g)
     xz2 = np.full(n, -1, dtype=np.int64)
-    for i in np.nonzero(ok)[0]:
-        xz2[i] = sfc.index(minx[i], miny[i], maxx[i], maxy[i])
+    if ok.any():
+        from ..index.xz2 import xz2_index_many
+
+        xz2[ok] = xz2_index_many(minx[ok], miny[ok], maxx[ok], maxy[ok], g=xz2_g)
     cell = np.full(n, -1, dtype=np.int64)
     cix = normalize(xs[ok], WORLD[0], WORLD[2], cell_bits)
     ciy = normalize(ys[ok], WORLD[1], WORLD[3], cell_bits)
@@ -263,25 +294,28 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
 def index_docs(
     df: DataFrame, xz2_g: int = 12, cell_bits: int = PARTITION_CELL_BITS
 ) -> DataFrame:
-    """docs -> docs_indexed: derived geometry/curve columns, spans untouched."""
+    """docs -> docs_indexed: derived geometry/curve columns, spans untouched.
+
+    The derivation is a SCALAR pandas UDF returning one struct column: only
+    the WKT string and epoch seconds cross the Arrow boundary — the (big)
+    spans arrays never serialize into Python. At 100TB this is the difference
+    between shipping 2 columns and shipping the whole table through Arrow."""
     df = extract_span_fields(df)
-    out_schema = StructType(
-        df.schema.fields + [StructField(nm, tp) for nm, tp in _INDEX_FIELDS]
+    struct_type = StructType([StructField(nm, tp) for nm, tp in _INDEX_FIELDS])
+
+    def derive(wkts: pd.Series, ts_sec: pd.Series) -> pd.DataFrame:
+        tsv = ts_sec.to_numpy(dtype=np.float64, na_value=np.nan)
+        cols = _index_batch(wkts, tsv, xz2_g, cell_bits)
+        return pd.DataFrame(cols)
+
+    derive_udf = F.pandas_udf(derive, returnType=struct_type)
+    indexed = df.withColumn(
+        "_d", derive_udf(F.col("_geo_wkt"), F.unix_timestamp("ts"))
     )
-
-    def run(batches):
-        for pdf in batches:
-            ts_sec = (
-                pd.to_datetime(pdf["ts"], utc=True).astype("int64") // 1_000_000_000
-            ).to_numpy(dtype=np.float64)
-            ts_sec[pdf["ts"].isna().to_numpy()] = np.nan
-            cols = _index_batch(pdf["_geo_wkt"], ts_sec, xz2_g, cell_bits)
-            for nm, _ in _INDEX_FIELDS:
-                pdf[nm] = cols[nm]
-            yield pdf
-
-    indexed = df.mapInPandas(run, schema=out_schema)
-    return indexed.drop("_geo_wkt").withColumn("day", F.to_date("ts"))
+    return (
+        indexed.select(*[c for c in df.columns if c != "_geo_wkt"], "_d.*")
+        .withColumn("day", F.to_date("ts"))
+    )
 
 
 def write_indexed(df: DataFrame, path: str, fmt: str = "parquet") -> None:
