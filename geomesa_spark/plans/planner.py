@@ -228,3 +228,62 @@ def spatial_filter(
 ) -> DataFrame:
     """One-call API: plan + apply (the engine's `df.filter(st_...)` fast path)."""
     return apply_plan(df, plan(geometry, predicate, interval, loose))
+
+
+# ----------------------------------------------------------- Z3 pushdown path
+
+
+def z3_predicate(
+    bboxes: list[tuple[float, float, float, float]],
+    interval: tuple,
+    max_ranges: int = 200,
+) -> Column | None:
+    """(week_bin, z3) range predicate for a spatio-temporal query — the
+    Z3IndexKeySpace analog (z3/Z3IndexKeySpace.scala:63-95: per-bin z-range
+    decomposition, range budget split across bins :169-181). Emitted as an
+    ordinary Column so parquet min/max stats on the sorted z3 column prune
+    row groups; combine with apply_plan's envelope compare for exactness."""
+    import pandas as pd
+
+    from ..index.ranges import zranges_box
+    from ..index.zorder import SECONDS_PER, WORLD, Z3_BITS, normalize
+
+    if not bboxes or interval is None:
+        return None
+
+    def _or_tree(conds):
+        """Balanced OR combination: left-nested chains of hundreds of ranges
+        overflow Catalyst's recursive converter; a log-depth tree does not."""
+        while len(conds) > 1:
+            nxt = [
+                conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+                for i in range(0, len(conds), 2)
+            ]
+            conds = nxt
+        return conds[0] if conds else None
+    lo = pd.Timestamp(interval[0]).timestamp()
+    hi = pd.Timestamp(interval[1]).timestamp()
+    per = SECONDS_PER["week"]
+    bin_lo, bin_hi = int(lo // per), int(hi // per)
+    n_bins = bin_hi - bin_lo + 1
+    per_bin_budget = max(1, max_ranges // max(1, n_bins * len(bboxes)))
+    all_conds = []
+    for b in range(bin_lo, bin_hi + 1):
+        t0 = max(lo, b * per) - b * per
+        t1 = min(hi, (b + 1) * per) - b * per
+        it0 = int(normalize([t0], 0, per, Z3_BITS)[0])
+        it1 = int(normalize([max(t0, t1 - 1e-9)], 0, per, Z3_BITS)[0])
+        for minx, miny, maxx, maxy in bboxes:
+            ix0 = int(normalize([minx], WORLD[0], WORLD[2], Z3_BITS)[0])
+            ix1 = int(normalize([maxx], WORLD[0], WORLD[2], Z3_BITS)[0])
+            iy0 = int(normalize([miny], WORLD[1], WORLD[3], Z3_BITS)[0])
+            iy1 = int(normalize([maxy], WORLD[1], WORLD[3], Z3_BITS)[0])
+            ranges = zranges_box(
+                ix0, iy0, ix1, iy1, Z3_BITS,
+                max_ranges=per_bin_budget, max_recurse=7,
+                itmin=it0, itmax=it1,
+            )
+            rc = _or_tree([F.col("z3").between(r.lower, r.upper) for r in ranges])
+            if rc is not None:
+                all_conds.append((F.col("week_bin") == b) & rc)
+    return _or_tree(all_conds) if all_conds else None
