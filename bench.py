@@ -29,6 +29,10 @@ N_POLYS = int(os.environ.get("SPARK_GRAFT_POLYS", "3000"))
 
 
 def make_spark(cpus: int):
+    # pin per-worker numpy/BLAS pools: each of N python workers otherwise
+    # spawns nproc BLAS threads (N x 32 threads thrash at high parallelism)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
     from pyspark.sql import SparkSession
 
     spark = (

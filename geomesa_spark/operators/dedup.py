@@ -134,9 +134,12 @@ def minhash_lsh_pairs(
     sig = df.select(
         F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
     ).withColumn("_sig", mh(F.col("_sh"))).filter(F.col("_sig").isNotNull())
+    sig = sig.persist()
+    # candidate generation shuffles ONLY (id, band, bucket) — signatures are
+    # re-attached afterwards (high-collision corpora otherwise shuffle the
+    # full 64-long signature per candidate pair)
     bands_df = sig.select(
         id_col,
-        "_sig",
         F.explode(
             F.array(
                 *[
@@ -150,7 +153,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_bb"),
-    ).select(id_col, "_sig", "_bb.band", "_bb.bucket")
+    ).select(id_col, "_bb.band", "_bb.bucket")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -159,10 +162,16 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sig").alias("_siga"),
-            F.col("b._sig").alias("_sigb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = sig.select(F.col(id_col), F.col("_sig"))
+    cand = cand.join(
+        F.broadcast(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sig", "_siga")),
+        on="id_a",
+    ).join(
+        F.broadcast(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sig", "_sigb")),
+        on="id_b",
     )
     est = F.size(
         F.filter(
