@@ -78,7 +78,7 @@ def synth_join_job(spark, n_docs: int, n_polys: int) -> tuple[int, float]:
         )
     ).cache()
     polys.count()
-    joined = spatial_join(docs, polys, predicate="intersects", bits=6)
+    joined = spatial_join(docs, polys, predicate="intersects", bits=6, salt=8)
     n = joined.count()
     dt = time.time() - t0
     docs.unpersist()

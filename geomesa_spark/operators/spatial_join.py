@@ -230,10 +230,39 @@ def spatial_join(
     )
 
     if salt:
-        # subdivide every cell `salt` ways: replicate the smaller side
-        L3 = L3.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ("l_minx", "l_miny")]), F.lit(salt)))
-        R3 = R3.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
-        join_keys = ["join_cell", "_salt"]
+        # ADAPTIVE salting: a single hot cell is one join KEY, which AQE skew
+        # handling cannot split — so find cells holding more rows than an
+        # average shuffle partition and subdivide only those `salt` ways
+        # (left rows hash-salted; right rows replicated). Cold cells pay
+        # nothing. Reference analog: shard-byte key prefixes (ShardStrategy)
+        # + RTREE/WEIGHTED partitioning; this is strictly more targeted.
+        n_shuffle = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        counts = L3.groupBy("join_cell").count()
+        total = left.count()
+        thresh = max(10000, 2 * total // max(1, n_shuffle))
+        hot = [r.join_cell for r in counts.filter(F.col("count") > thresh).collect()]
+        if hot:
+            is_hot_l = F.col("join_cell").isin(hot)
+            L3 = L3.withColumn(
+                "_salt",
+                F.when(
+                    is_hot_l,
+                    F.pmod(F.xxhash64(F.col("l_minx"), F.col("l_miny")), F.lit(salt)),
+                ).otherwise(F.lit(0)),
+            )
+            R3 = R3.withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("join_cell").isin(hot),
+                        F.array(*[F.lit(i) for i in range(salt)]),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            join_keys = ["join_cell", "_salt"]
+        else:
+            salt = None
+            join_keys = ["join_cell"]
     else:
         join_keys = ["join_cell"]
 
