@@ -106,11 +106,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_spatial_pip_filter(spark, sf_dir):
     _init(spark)
-    from geomesa_spark.functions.library import UDFS
+    from geomesa_spark.plans.planner import spatial_filter
 
     d = _docs_pts(spark, sf_dir)
-    poly = UDFS["st_geomFromWKT"](F.lit(PENTAGON_WKT))
-    return d.filter(UDFS["st_contains"](poly, F.col("geom_wkb"))).select(
+    # planner path: cell pruning + envelope compare + vectorized ray-cast
+    return spatial_filter(d, PENTAGON_WKT, "contains").select(
         "doc_id",
         F.round("lon", 6).alias("lon_r6"),
         F.round("lat", 6).alias("lat_r6"),

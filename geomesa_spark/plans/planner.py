@@ -185,11 +185,37 @@ def apply_plan(df: DataFrame, qp: QueryPlan) -> DataFrame:
     return out
 
 
+def _pip_udf(geometry: Geometry, boundary_ok: bool):
+    """Vectorized ray-cast of (x, y) columns against ONE literal polygon —
+    the hot refine path for point rows: one numpy pass per Arrow batch, no
+    WKB decode (BASELINE.json: 'ray-casting over batched pandas UDFs')."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    from ..geom.vectorized import points_in_polygon
+    from ..geom.wkb import to_wkb as _to_wkb
+    from ..geom.wkb import from_wkb as _from_wkb
+
+    qbytes = _to_wkb(geometry)
+
+    def pip(xs, ys):  # no type hints: local-import annotations don't resolve
+        g = _from_wkb(qbytes)
+        mask = points_in_polygon(
+            xs.to_numpy(dtype=float), ys.to_numpy(dtype=float), g, boundary_ok
+        )
+        out = pd.Series(mask)
+        out[xs.isna() | ys.isna()] = None
+        return out.astype(object)
+
+    return F.pandas_udf(pip, BooleanType())
+
+
 def _refine(df: DataFrame, qp: QueryPlan) -> DataFrame:
     """Exact-geometry refine with a fully-contained-envelope short-circuit:
     rows whose envelope is strictly inside the query bbox are TRUE for
     intersects without touching the UDF (loose-bbox optimization,
-    Z3IndexKeySpace.useFullFilter:240-254)."""
+    Z3IndexKeySpace.useFullFilter:240-254). Point rows vs an areal query use
+    the vectorized ray-cast on x/y; only extent rows decode WKB."""
     from ..functions.library import UDFS
 
     qwkb = F.lit(bytearray(to_wkb(qp.geometry)))
@@ -206,6 +232,20 @@ def _refine(df: DataFrame, qp: QueryPlan) -> DataFrame:
         exact = UDFS["st_covers"](qwkb, geom)
     else:
         exact = UDFS[f"st_{pred}"](geom, qwkb)
+
+    # point-row ray-cast fast path: x/y only, no WKB decode. For a point,
+    # intersects/within/contains-by-query/covers against an areal query all
+    # reduce to point-in-polygon (boundary counts except for strict contains).
+    if (
+        pred in ("intersects", "bbox", "dwithin", "within", "contains", "covers")
+        and qp.geometry is not None
+        and qp.geometry.dimension() == 2
+        and {"x", "y", "minx", "maxx", "miny", "maxy"}.issubset(df.columns)
+    ):
+        boundary_ok = pred in ("intersects", "bbox", "dwithin", "covers")
+        pip = _pip_udf(qp.geometry, boundary_ok)
+        is_point = (F.col("minx") == F.col("maxx")) & (F.col("miny") == F.col("maxy"))
+        exact = F.when(is_point, pip(F.col("x"), F.col("y"))).otherwise(exact)
 
     if qp.predicate == "intersects" and qp.bboxes and _is_rectangle(qp.geometry):
         b = qp.bboxes[0]
