@@ -147,6 +147,7 @@ def st_makePoint(x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 UDFS["st_point"] = UDFS["st_makePoint"]
+UDFS["st_polygon"] = UDFS["st_geomFromWKT"]
 
 
 @_udf("st_makePointM", BinaryType())
