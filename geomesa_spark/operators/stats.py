@@ -149,6 +149,19 @@ def _eval_one(df: DataFrame, spec: str):
                 g: _eval_one(df.filter(F.col(a) == g), inner_spec) for g in groups
             },
         }
+    if name == "z3histogram":
+        # per-time-bin counts (reference Z3Histogram: histogram keyed by the
+        # z3 time bin) — expects the indexed table's week_bin column
+        col = args[0] if args else "week_bin"
+        rows = df.groupBy(col).count().collect()
+        return {"stat": "Z3Histogram", "bins": {r[col]: r["count"] for r in rows}}
+    if name == "z3frequency":
+        # count-min sketch over the z3 key (reference Z3Frequency)
+        col = args[0] if args else "z3"
+        r = df.agg(
+            F.count_min_sketch(F.col(col), F.lit(0.005), F.lit(0.99), F.lit(42)).alias("cms")
+        ).collect()[0]
+        return {"stat": "Z3Frequency", "attribute": col, "cms_bytes": bytes(r.cms)}
     if name == "iteratorstackcount":
         return {"stat": "IteratorStackCount", "count": df.rdd.getNumPartitions()}
     raise ValueError(f"unknown stat {name!r}")

@@ -147,3 +147,14 @@ def test_route_and_tube(spark):
     ts0 = e.agg(F.min("ts")).collect()[0][0].isoformat()
     tube = tube_select(e, [(-80.0, 38.0, ts0)], 500_000.0, time_window_s=86400 * 40)
     assert tube.count() >= 0
+
+
+def test_stat_z3_variants(spark):
+    from geomesa_spark.operators.stats import stat
+    from geomesa_spark.sources.docs import index_docs, synth_docs
+
+    docs = index_docs(synth_docs(spark, 200)).filter("week_bin >= 0")
+    z3h = stat(docs, "Z3Histogram(week_bin)")
+    assert sum(z3h["bins"].values()) == docs.count()
+    z3f = stat(docs, "Z3Frequency(z3)")
+    assert len(z3f["cms_bytes"]) > 0
