@@ -25,6 +25,8 @@ should be broadcast (`broadcast=True`) to skip the shuffle entirely.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -266,6 +268,15 @@ def spatial_join(
     else:
         join_keys = ["join_cell"]
 
+    if broadcast is None:
+        # automatic broadcast-vs-sort-merge selection (north rule): broadcast
+        # the exploded right side when it is small enough to ship to every
+        # executor; otherwise let Spark pick hash/sort-merge on the cell key.
+        try:
+            thresh = int(os.environ.get("GEOMESA_SPARK_BROADCAST_ROWS", "200000"))
+            broadcast = R.limit(thresh + 1).count() <= thresh
+        except Exception:
+            broadcast = False
     right_side = F.broadcast(R3) if broadcast else R3
 
     bbox_overlap = (

@@ -240,3 +240,50 @@ def test_partition_metrics_and_observe(spark):
     odf, obs = observe_rows(df, "reads")
     odf.write.format("noop").mode("overwrite").save()
     assert obs.get["rows"] == 1000
+
+
+def test_streaming_density_and_geofence(spark):
+    from geomesa_spark.streaming.stream import (
+        streaming_proximity_alerts,
+        windowed_density,
+    )
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "400").load()
+        .withColumn("x", (F.col("value") * 7919 % 2000) / 100.0 - 10.0)
+        .withColumn("y", (F.col("value") * 104729 % 2000) / 100.0 - 10.0)
+        .withColumnRenamed("timestamp", "ts")
+    )
+    dens = windowed_density(src, (-10, -10, 10, 10), 8, 8, window="5 seconds", watermark="5 seconds")
+    alerts = streaming_proximity_alerts(src, (0.0, 0.0), 300_000.0)
+    q1 = dens.writeStream.format("memory").queryName("dens_stream").outputMode("update").start()
+    q2 = alerts.writeStream.format("memory").queryName("alert_stream").outputMode("append").start()
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n1 = spark.sql("select count(*) from dens_stream").collect()[0][0]
+            n2 = spark.sql("select count(*) from alert_stream").collect()[0][0]
+            if n1 > 0 and n2 > 0:
+                break
+            time.sleep(1)
+        assert n1 > 0 and n2 > 0
+        bad = spark.sql("select count(*) from dens_stream where i < 0 or i > 7 or j < 0 or j > 7").collect()[0][0]
+        assert bad == 0
+        from geomesa_spark.geom.algorithms import haversine
+
+        for r in spark.sql("select x, y from alert_stream limit 10").collect():
+            assert float(haversine(r.x, r.y, 0.0, 0.0)) <= 300_000.0
+    finally:
+        q1.stop()
+        q2.stop()
+
+
+def test_media_resize(spark):
+    from geomesa_spark.multimodal.media import decode_image_meta, resize_image, synth_media
+
+    media = synth_media(spark, 10)
+    resized = resize_image(media, 64, 48)
+    rows = decode_image_meta(resized).select("decoded_w", "decoded_h").collect()
+    assert all(r.decoded_w == 64 and r.decoded_h == 48 for r in rows)
