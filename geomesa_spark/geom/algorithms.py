@@ -946,9 +946,8 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
                 if len(pieces) == 1:
                     return pieces[0]
                 return multipolygon([q for p in pieces for q in _polygons_of(p)])
-        raise NotImplementedError(
-            "general concave polygon intersection not supported (convex clip only)"
-        )
+        # concave x concave: triangulate-and-clip (area-exact; tessellated)
+        return intersection_areal(a, b)
     # line x line
     if a.dimension() == 1 and b.dimension() == 1:
         pts = []
@@ -1253,3 +1252,75 @@ def antimeridian_safe(g: Geometry) -> Geometry:
     if len(parts) == 1:
         return parts[0]
     return Geometry(GEOMETRYCOLLECTION, parts)
+
+
+# ------------------------------------------------ general polygon intersection
+
+
+def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (non-self-intersecting) ring
+    without holes. Returns closed triangle rings."""
+    pts = [tuple(p) for p in np.asarray(ring, dtype=np.float64)[:-1, :2]]
+    if len(pts) < 3:
+        return []
+    if _ring_area(np.vstack([pts, pts[:1]])) < 0:
+        pts = pts[::-1]
+    tris: list[np.ndarray] = []
+    idx = list(range(len(pts)))
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        ear_found = False
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if _orient(*a, *b, *c) <= _EPS:
+                continue  # reflex or collinear
+            # no other active vertex inside the candidate ear
+            tri = np.array([a, b, c, a])
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = pts[j]
+                if _point_in_ring(p[0], p[1], tri) != EXTERIOR:
+                    ok = False
+                    break
+            if ok:
+                tris.append(tri)
+                idx.pop(k)
+                ear_found = True
+                break
+        if not ear_found:
+            break  # degenerate input; emit what we have
+    if len(idx) == 3:
+        a, b, c = (pts[i] for i in idx)
+        if abs(_orient(*a, *b, *c)) > _EPS:
+            tris.append(np.array([a, b, c, a]))
+    return tris
+
+
+def intersection_areal(a: Geometry, b: Geometry) -> Geometry:
+    """Intersection of two areal geometries, CONCAVE shells supported:
+    triangulate b's shells (ear clipping), convex-clip a by each triangle,
+    collect the interior-disjoint pieces as a MultiPolygon. Area-exact;
+    piece boundaries are not dissolved (the reference returns the JTS
+    dissolved polygon — the REGION is identical, the tessellation differs).
+    Polygons with holes fall back to NotImplementedError."""
+    for g in (a, b):
+        for rings in _polygons_of(g):
+            if len(rings) > 1:
+                raise NotImplementedError("holes not supported in general intersection")
+    pieces: list[list[np.ndarray]] = []
+    for rings_b in _polygons_of(b):
+        for tri in triangulate_ring(np.asarray(rings_b[0])):
+            for rings_a in _polygons_of(a):
+                clipped = clip_polygon_convex(rings_a, tri)
+                if not clipped.is_empty():
+                    pieces.extend(_polygons_of(clipped))
+    if not pieces:
+        return empty(POLYGON)
+    if len(pieces) == 1:
+        return Geometry(POLYGON, pieces[0])
+    return Geometry(MULTIPOLYGON, pieces)

@@ -263,3 +263,33 @@ def test_vectorized_matches_scalar():
     mask = vec.points_in_polygon(xs, ys, BOX_REF, boundary_ok=True)
     for i in range(0, 500, 17):
         assert mask[i] == alg.intersects(point(xs[i], ys[i]), BOX_REF)
+
+
+def test_concave_intersection_area():
+    """General (concave x concave) polygon intersection via ear-clipping
+    triangulation + convex clips: area-exact."""
+    L1 = from_wkt("POLYGON((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")
+    L2 = from_wkt("POLYGON((0 0, 1 0, 1 3, 3 3, 3 4, 0 4, 0 0))")
+    inter = alg.intersection(L1, L2)
+    assert abs(alg.area(inter) - 4.0) < 1e-9
+    # sanity vs independent point sampling
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    xs = rng.uniform(0, 4, 4000)
+    ys = rng.uniform(0, 4, 4000)
+    inside_both = vec.points_in_polygon(xs, ys, L1, True) & vec.points_in_polygon(
+        xs, ys, L2, True
+    )
+    inside_inter = vec.points_in_polygon(xs, ys, inter, True)
+    assert (inside_both == inside_inter).mean() > 0.995
+
+
+def test_triangulation_covers_polygon():
+    from geomesa_spark.geom.algorithms import triangulate_ring
+    import numpy as np
+
+    ring = from_wkt("POLYGON((0 0, 6 0, 6 2, 2 2, 2 4, 6 4, 6 6, 0 6, 0 0))").coords[0]
+    tris = triangulate_ring(np.asarray(ring))
+    total = sum(abs(alg._ring_area(t)) for t in tris)
+    assert abs(total - 28.0) < 1e-9  # 36 - 8 notch
