@@ -1021,9 +1021,12 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         return Geometry(MULTIPOINT, np.asarray(pts))
     if a.dimension() == 1 and b.dimension() == 2:
         return _clip_line(a, b, keep_inside=False)
-    if a.dimension() == 2 and b.dimension() == 2 and covers(b, a):
-        return empty(POLYGON)
-    raise NotImplementedError("general areal difference not supported")
+    if a.dimension() == 2 and b.dimension() == 2:
+        if covers(b, a):
+            return empty(POLYGON)
+        # general case: triangulated convex subtraction (area-exact)
+        return difference_areal(a, b)
+    raise NotImplementedError("difference for this type combination")
 
 
 # ------------------------------------------------------------ transformations
@@ -1324,3 +1327,72 @@ def intersection_areal(a: Geometry, b: Geometry) -> Geometry:
     if len(pieces) == 1:
         return Geometry(POLYGON, pieces[0])
     return Geometry(MULTIPOLYGON, pieces)
+
+
+def _clip_halfplane(ring: np.ndarray, ax, ay, bx, by, keep_left: bool) -> np.ndarray | None:
+    """Sutherland–Hodgman against one edge's half-plane. Ring closed CCW."""
+    pts = [tuple(p) for p in np.asarray(ring)[:-1, :2]]
+    out = []
+    sgn = 1.0 if keep_left else -1.0
+    for j in range(len(pts)):
+        cx, cy = pts[j]
+        px, py = pts[j - 1]
+        c_in = sgn * _orient(ax, ay, bx, by, cx, cy) >= -_EPS
+        p_in = sgn * _orient(ax, ay, bx, by, px, py) >= -_EPS
+        if c_in:
+            if not p_in:
+                out.append(_line_inter(px, py, cx, cy, ax, ay, bx, by))
+            out.append((cx, cy))
+        elif p_in:
+            out.append(_line_inter(px, py, cx, cy, ax, ay, bx, by))
+    if len(out) < 3:
+        return None
+    r = np.array(out + [out[0]])
+    return r if abs(_ring_area(r)) > 1e-12 else None
+
+
+def _convex_subtract(piece: np.ndarray, tri: np.ndarray) -> list[np.ndarray]:
+    """piece \\ tri for convex CCW rings: fan of half-plane clips."""
+    if _ring_area(piece) < 0:
+        piece = piece[::-1]
+    if _ring_area(tri) < 0:
+        tri = tri[::-1]
+    pieces: list[np.ndarray] = []
+    current: np.ndarray | None = piece
+    for i in range(len(tri) - 1):
+        ax, ay = tri[i]
+        bx, by = tri[i + 1]
+        outside = _clip_halfplane(current, ax, ay, bx, by, keep_left=False)
+        if outside is not None:
+            pieces.append(outside)
+        current = _clip_halfplane(current, ax, ay, bx, by, keep_left=True)
+        if current is None:
+            break
+    return pieces
+
+
+def difference_areal(a: Geometry, b: Geometry) -> Geometry:
+    """A minus B for arbitrary simple shells (no holes): triangulate A, then
+    subtract each of B's triangles from every piece (convex half-plane fans).
+    Area-exact; tessellated like intersection_areal."""
+    for g in (a, b):
+        for rings in _polygons_of(g):
+            if len(rings) > 1:
+                raise NotImplementedError("holes not supported in general difference")
+    tris_b = [t for rings in _polygons_of(b) for t in triangulate_ring(np.asarray(rings[0]))]
+    out_pieces: list[np.ndarray] = []
+    for rings_a in _polygons_of(a):
+        pieces = triangulate_ring(np.asarray(rings_a[0]))
+        for tb in tris_b:
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                nxt.extend(_convex_subtract(p, tb))
+            pieces = nxt
+            if not pieces:
+                break
+        out_pieces.extend(pieces)
+    if not out_pieces:
+        return empty(POLYGON)
+    if len(out_pieces) == 1:
+        return Geometry(POLYGON, [out_pieces[0]])
+    return Geometry(MULTIPOLYGON, [[p] for p in out_pieces])

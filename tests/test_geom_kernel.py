@@ -293,3 +293,16 @@ def test_triangulation_covers_polygon():
     tris = triangulate_ring(np.asarray(ring))
     total = sum(abs(alg._ring_area(t)) for t in tris)
     assert abs(total - 28.0) < 1e-9  # 36 - 8 notch
+
+
+def test_general_difference_area():
+    L1 = from_wkt("POLYGON((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))")
+    L2 = from_wkt("POLYGON((0 0, 1 0, 1 3, 3 3, 3 4, 0 4, 0 0))")
+    d = alg.difference(L1, L2)
+    assert abs(alg.area(d) - 3.0) < 1e-9
+    b1 = from_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    b2 = from_wkt("POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))")
+    assert abs(alg.area(alg.difference(b1, b2)) - 75.0) < 1e-9
+    # disjoint -> identity; covered -> empty
+    assert alg.area(alg.difference(b1, from_wkt("POLYGON((20 20, 21 20, 21 21, 20 21, 20 20))"))) == 100.0
+    assert alg.difference(from_wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"), b1).is_empty()
