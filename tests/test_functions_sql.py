@@ -272,3 +272,24 @@ def test_antimeridian_safe_sql(spark):
         "select st_geometryType(st_antimeridianSafeGeom(st_geomFromWKT('POLYGON((-190 50, -190 60, -170 60, -170 50, -190 50))')))",
     )
     assert t == "MultiPolygon"
+
+
+def test_more_reference_goldens(spark):
+    """SpatialRelationFunctionsTest goldens: centroid, closestPoint,
+    distance/distanceSphere, length/perimeter, translate line."""
+    box = "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"
+    assert sql1(spark, f"select st_asText(st_centroid(st_geomFromWKT('{box}')))") == "POINT (5 5)"
+    assert (
+        sql1(spark, f"select st_asText(st_closestPoint(st_geomFromWKT('{box}'), st_geomFromWKT('POINT(15 5)')))")
+        == "POINT (10 5)"
+    )
+    assert sql1(spark, "select st_distance(st_geomFromWKT('POINT(0 0)'), st_geomFromWKT('POINT(10 0)'))") == 10.0
+    # reference: st_distanceSphere(POINT(0 0), POINT(10 0)) ~ 1,111,950 m (+-1)
+    d = sql1(spark, "select st_distanceSphere(st_geomFromWKT('POINT(0 0)'), st_geomFromWKT('POINT(10 0)'))")
+    assert abs(d - 1111950.0) < 1.0
+    assert sql1(spark, "select st_length(st_geomFromWKT('LINESTRING(0 0, 10 0)'))") == 10.0
+    assert sql1(spark, f"select st_length(st_geomFromWKT('{box}'))") == 40.0  # perimeter
+    assert (
+        sql1(spark, "select st_asText(st_translate(st_geomFromWKT('LINESTRING(0 0, 10 0)'), 1.0D, 2.0D))")
+        == "LINESTRING (1 2, 11 2)"
+    )
