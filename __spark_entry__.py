@@ -41,6 +41,9 @@ PROX_POINT = (-76.5, 38.5)
 def _init(spark: SparkSession) -> None:
     if id(spark) not in _INITIALIZED:
         geomesa_spark.init_sql(spark)
+        # unix_timestamp()/timestamp literals are session-tz-dependent; the
+        # DuckDB oracles use naive/UTC semantics — pin the session to UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _INITIALIZED.add(id(spark))
 
 
