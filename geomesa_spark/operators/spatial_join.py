@@ -72,6 +72,26 @@ def cover_cells_expr(bits: int):
     return F.pandas_udf(cover, ArrayType(LongType()))
 
 
+def _with_join_cells(df: DataFrame, p: str, bits: int) -> DataFrame:
+    """Attach the exploded join_cell column. Point rows (degenerate envelope)
+    cover exactly ONE cell, computed as pure Column arithmetic (whole-stage
+    codegen, no Python); only extent rows go through the cover UDF."""
+    n = 2**bits
+    sx, sy = _grid_scale(bits)
+    minx, miny = F.col(f"{p}minx"), F.col(f"{p}miny")
+    maxx, maxy = F.col(f"{p}maxx"), F.col(f"{p}maxy")
+    is_pt = (minx == maxx) & (miny == maxy)
+    ix = F.greatest(F.lit(0), F.least(F.floor((minx - WORLD[0]) * sx), F.lit(n - 1))).cast("long")
+    iy = F.greatest(F.lit(0), F.least(F.floor((miny - WORLD[1]) * sy), F.lit(n - 1))).cast("long")
+    cell = F.shiftleft(ix, 32).bitwiseOR(iy)
+    pts = df.filter(is_pt).withColumn("join_cell", cell)
+    cover = cover_cells_expr(bits)
+    ext = df.filter(~is_pt).withColumn(
+        "join_cell", F.explode(cover(f"{p}minx", f"{p}miny", f"{p}maxx", f"{p}maxy"))
+    )
+    return pts.unionByName(ext)
+
+
 def _ref_cell_cond(bits: int):
     """Reference-cell dedupe: pair emitted only where the join cell equals the
     grid cell of the envelope-intersection lower-left corner."""
@@ -223,13 +243,8 @@ def spatial_join(
             rsel.append(F.col(c))
     R2 = R.select(*rsel)
 
-    cover = cover_cells_expr(bits)
-    L3 = L2.withColumn(
-        "join_cell", F.explode(cover("l_minx", "l_miny", "l_maxx", "l_maxy"))
-    )
-    R3 = R2.withColumn(
-        "join_cell", F.explode(cover("r_minx", "r_miny", "r_maxx", "r_maxy"))
-    )
+    L3 = _with_join_cells(L2, "l_", bits)
+    R3 = _with_join_cells(R2, "r_", bits)
 
     if salt:
         # ADAPTIVE salting: a single hot cell is one join KEY, which AQE skew
