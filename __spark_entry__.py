@@ -209,6 +209,15 @@ def q_density_grid(spark, sf_dir):
     )
 
 
+def q_density_weighted(spark, sf_dir):
+    _init(spark)
+    d = _docs_pts(spark, sf_dir)  # keeps documents columns incl. n_chars
+    return density(
+        d, (-180.0, -90.0, 180.0, 90.0), 64, 32,
+        weight=F.col("n_chars").cast("double"),
+    ).select("i", "j", F.round(F.col("weight"), 6).alias("weight"))
+
+
 def q_cell_count_z6(spark, sf_dir):
     _init(spark)
     d = _docs_pts(spark, sf_dir)
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_proximity": q_dwithin_proximity,
         "tile_assignment_z8": q_tile_assignment_z8,
         "density_grid": q_density_grid,
+        "density_weighted": q_density_weighted,
         "cell_count_z6": q_cell_count_z6,
         "track_length": q_track_length,
         "point2point": q_point2point,
@@ -496,6 +506,14 @@ def oracle_sql() -> dict[str, str]:
             select {O.grid_i_sql(lon, -180.0, 180.0, 256)} as i,
                    {O.grid_i_sql(lat, -90.0, 90.0, 128)} as j,
                    cast(count(*) as double) as weight
+            from documents where {lon} between -180.0 and 180.0
+              and {lat} between -90.0 and 90.0
+            group by 1, 2
+        """,
+        "density_weighted": f"""
+            select {O.grid_i_sql(lon, -180.0, 180.0, 64)} as i,
+                   {O.grid_i_sql(lat, -90.0, 90.0, 32)} as j,
+                   round(sum(cast(n_chars as double)), 6) as weight
             from documents where {lon} between -180.0 and 180.0
               and {lat} between -90.0 and 90.0
             group by 1, 2
