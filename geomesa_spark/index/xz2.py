@@ -134,6 +134,12 @@ class XZ2SFC:
                             (x0 + dx, y0 + dy, level + 1, code + 1 + q * subtree)
                         )
             frontier = nxt
+        # budget exhausted with a live frontier: those nodes' parents emitted
+        # only singleton ranges, so cover every remaining subtree loosely —
+        # over-scan, never a false negative
+        for x0, y0, level, code in frontier:
+            size = (4 ** (self.g - level + 1) - 1) // 3
+            out.append(IndexRange(code, code + size, False))
         return merge_ranges(out)
 
 

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from ..geom.algorithms import EARTH_MEAN_RADIUS_M
 from ..plans.planner import _cover_cells
-from ..sources.docs import PARTITION_CELL_BITS
+from ..sources.docs import MULTI_CELL, PARTITION_CELL_BITS
 
 
 def haversine_col(lon1, lat1, lon2, lat2):
@@ -87,7 +87,9 @@ def knn(
             [(str(q), *w) for q, w in windows],
             "query_id string, w_minx double, w_miny double, w_maxx double, w_maxy double",
         ).join(qdf_all, "query_id")
-        cand = docs.filter(F.col("cell").isin(cells)).join(
+        # MULTI_CELL (-1) rows (multi-cell extents / null geom) are never
+        # pruned; their x/y centroid still passes the window+distance check
+        cand = docs.filter(F.col("cell").isin([*cells, MULTI_CELL])).join(
             F.broadcast(wdf),
             (F.col("x") >= F.col("w_minx"))
             & (F.col("x") <= F.col("w_maxx"))

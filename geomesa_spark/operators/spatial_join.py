@@ -31,8 +31,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
-
 from ..geom.vectorized import points_from_wkb, points_in_polygon
 from ..geom.wkb import from_wkb
 from ..geom import algorithms as alg
@@ -46,50 +44,46 @@ def _grid_scale(bits: int) -> tuple[float, float]:
 
 
 def cover_cells_expr(bits: int):
-    """Pandas UDF: envelope -> array of (cx << 32 | cy) covered grid keys."""
-    n_cells = 2**bits
+    """Envelope -> array of (cx << 32 | cy) covered grid keys as a PURE Column
+    expression (sequence x transform x flatten — whole-stage codegen, no
+    Python). A point envelope yields a 1-element array; a null envelope a null
+    array (dropped by explode)."""
+    n = 2**bits
+    sx, sy = _grid_scale(bits)
 
-    def cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        sx, sy = _grid_scale(bits)
-        ix0 = np.clip(np.floor((minx.to_numpy() - WORLD[0]) * sx), 0, n_cells - 1).astype(np.int64)
-        ix1 = np.clip(np.floor((maxx.to_numpy() - WORLD[0]) * sx), 0, n_cells - 1).astype(np.int64)
-        iy0 = np.clip(np.floor((miny.to_numpy() - WORLD[1]) * sy), 0, n_cells - 1).astype(np.int64)
-        iy1 = np.clip(np.floor((maxy.to_numpy() - WORLD[1]) * sy), 0, n_cells - 1).astype(np.int64)
-        out = []
-        for a, b, c, d in zip(ix0, ix1, iy0, iy1):
-            if a < 0:
-                out.append(None)
-            else:
-                out.append(
-                    [
-                        (int(ix) << 32) | int(iy)
-                        for ix in range(a, b + 1)
-                        for iy in range(c, d + 1)
-                    ]
-                )
-        return pd.Series(out, dtype=object)
+    def cover(minx, miny, maxx, maxy):
+        def idx(c, lo, s):
+            return F.greatest(
+                F.lit(0), F.least(F.floor((c - F.lit(lo)) * F.lit(s)), F.lit(n - 1))
+            ).cast("long")
 
-    return F.pandas_udf(cover, ArrayType(LongType()))
+        ix0, ix1 = idx(minx, WORLD[0], sx), idx(maxx, WORLD[0], sx)
+        iy0, iy1 = idx(miny, WORLD[1], sy), idx(maxy, WORLD[1], sy)
+        return F.flatten(
+            F.transform(
+                F.sequence(ix0, ix1),
+                lambda ix: F.transform(
+                    F.sequence(iy0, iy1), lambda iy: F.shiftleft(ix, 32).bitwiseOR(iy)
+                ),
+            )
+        )
+
+    return cover
 
 
 def _with_join_cells(df: DataFrame, p: str, bits: int) -> DataFrame:
-    """Attach the exploded join_cell column. Point rows (degenerate envelope)
-    cover exactly ONE cell, computed as pure Column arithmetic (whole-stage
-    codegen, no Python); only extent rows go through the cover UDF."""
-    n = 2**bits
-    sx, sy = _grid_scale(bits)
-    minx, miny = F.col(f"{p}minx"), F.col(f"{p}miny")
-    maxx, maxy = F.col(f"{p}maxx"), F.col(f"{p}maxy")
-    is_pt = (minx == maxx) & (miny == maxy)
-    ix = F.greatest(F.lit(0), F.least(F.floor((minx - WORLD[0]) * sx), F.lit(n - 1))).cast("long")
-    iy = F.greatest(F.lit(0), F.least(F.floor((miny - WORLD[1]) * sy), F.lit(n - 1))).cast("long")
-    cell = F.shiftleft(ix, 32).bitwiseOR(iy)
-    pts = df.filter(is_pt).withColumn("join_cell", cell)
+    """Attach the exploded join_cell column in ONE pass over the input — the
+    cover expression is pure Column math, so there is no point/extent split
+    (a filter+union here would execute the upstream scan twice)."""
     cover = cover_cells_expr(bits)
-    ext = df.filter(~is_pt).withColumn(
-        "join_cell", F.explode(cover(f"{p}minx", f"{p}miny", f"{p}maxx", f"{p}maxy"))
+    return df.withColumn(
+        "join_cell",
+        F.explode(
+            cover(
+                F.col(f"{p}minx"), F.col(f"{p}miny"), F.col(f"{p}maxx"), F.col(f"{p}maxy")
+            )
+        ),
     )
-    return pts.unionByName(ext)
 
 
 def _ref_cell_cond(bits: int):
@@ -99,11 +93,16 @@ def _ref_cell_cond(bits: int):
     n = 2**bits
     corner_x = F.greatest(F.col("l_minx"), F.col("r_minx"))
     corner_y = F.greatest(F.col("l_miny"), F.col("r_miny"))
-    ref_cx = F.least(
-        F.floor((corner_x - F.lit(WORLD[0])) * F.lit(sx)), F.lit(n - 1)
+    # clamp BOTH ends to mirror cover_cells_expr's [0, n-1] clip — without the
+    # lower clamp, a corner below the world bounds computes a negative cell
+    # that matches no join_cell and the pair is dropped instead of deduped
+    ref_cx = F.greatest(
+        F.lit(0),
+        F.least(F.floor((corner_x - F.lit(WORLD[0])) * F.lit(sx)), F.lit(n - 1)),
     ).cast("long")
-    ref_cy = F.least(
-        F.floor((corner_y - F.lit(WORLD[1])) * F.lit(sy)), F.lit(n - 1)
+    ref_cy = F.greatest(
+        F.lit(0),
+        F.least(F.floor((corner_y - F.lit(WORLD[1])) * F.lit(sy)), F.lit(n - 1)),
     ).cast("long")
     cell = F.col("join_cell")
     return (F.shiftright(cell, 32) == ref_cx) & (
@@ -139,7 +138,11 @@ def _pairwise_predicate_udf(predicate: str):
                     cache[b] = g
             return g
 
-        if predicate in ("intersects", "within", "covers") and left_is_pt.any():
+        # NOTE: 'covers' is deliberately NOT in the fast path — for a point
+        # left row, points_in_polygon answers "right covers left", but the
+        # predicate is "left covers right" (inverted). Like 'contains', covers
+        # takes the generic path.
+        if predicate in ("intersects", "within") and left_is_pt.any():
             # group point rows by right geometry -> one vectorized pass each
             rser = pd.Series(rbytes, dtype=object)
             idx_pt = np.nonzero(left_is_pt)[0]
@@ -156,7 +159,7 @@ def _pairwise_predicate_udf(predicate: str):
                 mask = points_in_polygon(
                     pts[ii, 0], pts[ii, 1],
                     g,
-                    boundary_ok=(predicate in ("intersects", "covers")),
+                    boundary_ok=(predicate == "intersects"),
                 ) if alg._polygons_of(g) else None
                 if mask is None:
                     for i in idxs:
@@ -289,7 +292,10 @@ def spatial_join(
         # executor; otherwise let Spark pick hash/sort-merge on the cell key.
         try:
             thresh = int(os.environ.get("GEOMESA_SPARK_BROADCAST_ROWS", "200000"))
-            broadcast = R.limit(thresh + 1).count() <= thresh
+            # probe the RAW right input (1:1 with R): limit+count early-stops
+            # and never executes the envelope UDF, so the probe job is a
+            # cheap scan rather than a full second execution of R's lineage
+            broadcast = right.limit(thresh + 1).count() <= thresh
         except Exception:
             broadcast = False
     right_side = F.broadcast(R3) if broadcast else R3

@@ -156,7 +156,12 @@ def apply_plan(df: DataFrame, qp: QueryPlan) -> DataFrame:
 
     if qp.bboxes:
         if qp.cells and "cell" in df.columns:
-            cond = AND(cond, F.col("cell").isin(qp.cells))
+            # MULTI_CELL (-1) marks envelopes spanning several coarse cells
+            # (and null geometry); that partition is never pruned — soundness
+            # for extent rows, see docs.MULTI_CELL
+            from ..sources.docs import MULTI_CELL
+
+            cond = AND(cond, F.col("cell").isin([*qp.cells, MULTI_CELL]))
         # envelope overlap (codegen'd; parquet row-group min/max prunable)
         box_cond = None
         for minx, miny, maxx, maxy in qp.bboxes:

@@ -71,6 +71,10 @@ DOCS_SCHEMA = StructType(
 # default coarse partition cell: 4 bits/dim -> 256 cells (Z2Scheme analog)
 PARTITION_CELL_BITS = 4
 
+# sentinel partition cell for envelopes spanning multiple coarse cells (also
+# used for null geometry); the planner never prunes this partition
+MULTI_CELL = -1
+
 
 # ----------------------------------------------------------------- synthesis
 
@@ -271,10 +275,21 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
         from ..index.xz2 import xz2_index_many
 
         xz2[ok] = xz2_index_many(minx[ok], miny[ok], maxx[ok], maxy[ok], g=xz2_g)
+    # Partition cell: single-cell geometries store that cell; an envelope
+    # spanning MULTIPLE coarse cells stores the MULTI_CELL sentinel (-1), which
+    # the planner always includes in its cell.isin() list. This keeps the
+    # pruning predicate partition-column-only (prunable) AND sound: if an
+    # envelope fits inside one cell the query didn't cover, it cannot overlap
+    # the query bbox. (A centroid-derived cell is NOT sound: a polygon
+    # straddling a cell boundary whose center lies outside the covered cells
+    # would be silently dropped.)
     cell = np.full(n, -1, dtype=np.int64)
-    cix = normalize(xs[ok], WORLD[0], WORLD[2], cell_bits)
-    ciy = normalize(ys[ok], WORLD[1], WORLD[3], cell_bits)
-    cell[ok] = interleave2(cix, ciy)
+    cix0 = normalize(minx[ok], WORLD[0], WORLD[2], cell_bits)
+    ciy0 = normalize(miny[ok], WORLD[1], WORLD[3], cell_bits)
+    cix1 = normalize(maxx[ok], WORLD[0], WORLD[2], cell_bits)
+    ciy1 = normalize(maxy[ok], WORLD[1], WORLD[3], cell_bits)
+    single = (cix0 == cix1) & (ciy0 == ciy1)
+    cell[ok] = np.where(single, interleave2(cix0, ciy0), MULTI_CELL)
     return {
         "geom_wkb": wkbs,
         "x": xs,

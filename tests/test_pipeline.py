@@ -131,7 +131,7 @@ def brute_force_join(spark, left, right, predicate):
     return out
 
 
-@pytest.mark.parametrize("predicate", ["intersects", "within"])
+@pytest.mark.parametrize("predicate", ["intersects", "within", "covers", "contains"])
 def test_spatial_join_row_parity(spark, join_sides, predicate):
     left, right = join_sides
     got_df = spatial_join(left, right, predicate=predicate)
