@@ -309,12 +309,12 @@ def q_stats_topk_users(spark, sf_dir):
 
     e = _read(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    # orderBy+limit -> TakeOrderedAndProject (distributed local top-k, driver
+    # merge); the rank window then runs over only the 10 surviving rows — a
+    # bare global window here would move EVERY group to one partition
+    top = counts.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
     w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("user_id", "n", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("user_id", "n", "rank")
 
 
 def q_unique_values_lang(spark, sf_dir):
@@ -358,46 +358,56 @@ def q_ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(emb, qvec, k=20)
 
 
+# LSH parameters shared by the Spark queries and their DuckDB oracle mirrors;
+# hyperplanes are LITERAL sign matrices so bucket math is engine-independent
+EMB_DIM = 64
+DEDUP_LSH_BITS, DEDUP_LSH_TABLES = 6, 8
+DEDUP_COS_THRESHOLD = 0.40  # testdata has no planted near-dups (max cos ~0.51):
+# 0.40 keeps the gate non-vacuous (~26 oracle rows at sf0.01)
+ANN_LSH_BITS, ANN_LSH_PROBES = 8, 4
+
+
 def q_embedding_dedup(spark, sf_dir):
-    """Exact cosine near-dup pairs, blocked on the label column (the
-    deterministic-blocking scale pattern; LSH variant is rows-only below)."""
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH bucket
+    join + exact cosine verify — ids-only shuffle, no label all-pairs block.
+    The literal hyperplanes make the whole pipeline SQL-mirrorable, so the
+    DuckDB oracle checks candidate generation AND verification exactly."""
     _init(spark)
+    from geomesa_spark.operators.dedup import embedding_cosine_pairs
+
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, on="label")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 6).alias("cosine_r6"),
-        )
-        .filter(F.col("cosine_r6") >= 0.9)
+    pairs = embedding_cosine_pairs(
+        emb,
+        threshold=DEDUP_COS_THRESHOLD,
+        lsh_bits=DEDUP_LSH_BITS,
+        tables=DEDUP_LSH_TABLES,
     )
-
-
-# ---- rows-only checks (non-SQL-expressible: LSH bucketing, simhash bits) ----
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r6"))
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH candidates + EXACT shingle-Jaccard verify at 0.8 (global,
+    no blocking — the oracle is the full all-pairs exact computation)."""
     _init(spark)
     d = _read(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.8).select("id_a", "id_b", "est_jaccard")
+    pairs = minhash_lsh_pairs(d, threshold=0.8, verify="exact")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """Pigeonhole multi-block simhash pairs (full Hamming<=6 recall); the
+    60-bit signatures are md5-derived so DuckDB computes them identically."""
     _init(spark)
     d = _read(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=6).select("id_a", "id_b", "hamming")
+    pairs = simhash_pairs(d, max_hamming=6)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     _init(spark)
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
-    return ann_topk_lsh(emb, qvec, k=20, bits=8, probes=4)
+    return ann_topk_lsh(emb, qvec, k=20, bits=ANN_LSH_BITS, probes=ANN_LSH_PROBES)
 
 
 def q_convexhull_by_type(spark, sf_dir):
@@ -629,28 +639,96 @@ def oracle_sql() -> dict[str, str]:
               from scored
             ) where rank <= 20
         """,
-        "embedding_dedup": """
-            select a.vec_id as id_a, b.vec_id as id_b,
-                   round(
-                     list_sum([cast(a.embedding[i] as double) * cast(b.embedding[i] as double)
-                               for i in range(1, len(a.embedding)+1)]) /
-                     (sqrt(list_sum([cast(a.embedding[i] as double) * cast(a.embedding[i] as double)
-                               for i in range(1, len(a.embedding)+1)])) *
-                      sqrt(list_sum([cast(b.embedding[i] as double) * cast(b.embedding[i] as double)
-                               for i in range(1, len(b.embedding)+1)])))
-                   , 6) as cosine_r6
-            from embeddings a join embeddings b
-              on a.label = b.label and a.vec_id < b.vec_id
-            where round(
-                     list_sum([cast(a.embedding[i] as double) * cast(b.embedding[i] as double)
-                               for i in range(1, len(a.embedding)+1)]) /
-                     (sqrt(list_sum([cast(a.embedding[i] as double) * cast(a.embedding[i] as double)
-                               for i in range(1, len(a.embedding)+1)])) *
-                      sqrt(list_sum([cast(b.embedding[i] as double) * cast(b.embedding[i] as double)
-                               for i in range(1, len(b.embedding)+1)])))
-                   , 6) >= 0.9
-        """,
-        # minhash_dedup / simhash_dedup / ann_lsh_topk / convexhull_by_type:
-        # LSH bucketing, hash signatures and hull geometry are not
-        # SQL-expressible -> rows-only checks.
+        "embedding_dedup": _embedding_dedup_oracle(),
+        "minhash_dedup": _minhash_dedup_oracle(),
+        "simhash_dedup": _simhash_dedup_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        # convexhull_by_type: hull construction is not tractably expressible
+        # in one SQL statement -> rows-only check (pytest covers it against
+        # a brute-force numpy hull).
     }
+
+
+def _dedup_signs():
+    from geomesa_spark.operators.similarity import hyperplane_signs
+
+    return hyperplane_signs(EMB_DIM, DEDUP_LSH_BITS, DEDUP_LSH_TABLES, seed=42)
+
+
+def _ann_signs():
+    from geomesa_spark.operators.similarity import hyperplane_signs
+
+    return hyperplane_signs(EMB_DIM, ANN_LSH_BITS, tables=1, seed=42)[0]
+
+
+def _embedding_dedup_oracle() -> str:
+    """Mirror of q_embedding_dedup: the SAME literal hyperplane buckets
+    (candidates = equal bucket in >= 1 table) + exact cosine verify."""
+    signs = _dedup_signs()
+    bucket_cols = ",\n                   ".join(
+        f"{O.rp_bucket_sql('embedding', signs[t])} as b{t}"
+        for t in range(DEDUP_LSH_TABLES)
+    )
+    same_bucket = " or ".join(f"a.b{t} = b.b{t}" for t in range(DEDUP_LSH_TABLES))
+    cos = O.cosine_sql("a.embedding", "b.embedding")
+    return f"""
+        with bk as (
+            select vec_id, embedding,
+                   {bucket_cols}
+            from embeddings
+        )
+        select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 6) as cosine_r6
+        from bk a join bk b on a.vec_id < b.vec_id and ({same_bucket})
+        where {cos} >= {DEDUP_COS_THRESHOLD}
+    """
+
+
+def _minhash_dedup_oracle() -> str:
+    """Exact GLOBAL all-pairs shingle Jaccard >= 0.8 — the full-recall truth
+    set the LSH candidates must reproduce (miss prob < 2e-18/pair at 0.8+)."""
+    jac = "len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s)))"
+    return f"""
+        with sh as ({O.jaccard_shingles_sql('documents')})
+        select a.doc_id as id_a, b.doc_id as id_b, round({jac}, 6) as jaccard_r6
+        from sh a join sh b on a.doc_id < b.doc_id
+        where {jac} >= 0.8
+    """
+
+
+def _simhash_dedup_oracle() -> str:
+    """Recomputes the md5-derived 60-bit simhash signatures in DuckDB and
+    takes exact all-pairs Hamming <= 6 — full truth set for the pigeonhole
+    multi-block candidates."""
+    return f"""
+        with th as (select doc_id, {O.token_hashes_sql('text')} as hs from documents),
+        sig as (select doc_id, {O.simhash_from_hashes_sql('hs')} as sg from th)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.sg, b.sg)) as bigint) as hamming
+        from sig a join sig b on a.doc_id < b.doc_id
+        where bit_count(xor(a.sg, b.sg)) <= 6
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """Mirror of q_ann_lsh_topk: same literal-hyperplane bucket, same
+    single-bit-flip probe set, exact cosine top-k within the probed buckets."""
+    signs = _ann_signs()
+    bkt = O.rp_bucket_sql("embedding", signs)
+    qbkt = O.rp_bucket_sql("qe", signs)
+    probe = " or ".join(
+        ["b.bkt = qb.qbkt"]
+        + [f"b.bkt = xor(qb.qbkt, {1 << i})" for i in range(ANN_LSH_PROBES)]
+    )
+    cos = O.cosine_sql("c.embedding", "q.qe")
+    return f"""
+        with q as (select embedding as qe from embeddings where vec_id = 0),
+        bk as (select vec_id, embedding, {bkt} as bkt from embeddings),
+        qb as (select {qbkt} as qbkt from q),
+        cand as (select b.vec_id, b.embedding from bk b, qb where {probe}),
+        scored as (select c.vec_id, round({cos}, 6) as score from cand c, q)
+        select vec_id, score, rank from (
+            select vec_id, score,
+                   row_number() over (order by score desc, vec_id asc) as rank
+            from scored
+        ) where rank <= 20
+    """

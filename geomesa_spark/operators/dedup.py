@@ -1,10 +1,25 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Exact (hash groupBy), n-gram Jaccard (blocked pair generation), MinHash+LSH
-(shingle -> minhash -> band -> bucket join), SimHash, and embedding-cosine
-near-dup. All shuffle-aware: candidate generation is always a blocked/bucketed
-equi-join — never a cross join — so the plan scales with duplicate density,
-not n^2."""
+Exact (hash groupBy), n-gram Jaccard (MinHash-LSH candidate generation +
+exact verify), MinHash+LSH (shingle -> minhash -> band -> bucket join),
+SimHash (pigeonhole multi-block tables, full Hamming-<=h recall), and
+embedding-cosine near-dup (multi-table random-hyperplane LSH). All
+shuffle-aware: candidate generation is always a blocked/bucketed equi-join —
+never a cross join or an all-pairs-within-block join — so the plan scales
+with duplicate density, not n^2.
+
+Scale notes (the three round-1 anti-patterns, fixed):
+- candidate pairs carry IDS ONLY through the bucket shuffle; signatures /
+  shingles / vectors are re-attached with plain (sort-merge or AQE-broadcast)
+  id joins — nothing document-sized is broadcast and nothing is persisted
+  (identical subtrees dedupe via Spark's ReusedExchange).
+- n-gram Jaccard generates candidates with MinHash banding (miss probability
+  (1-t^r)^b, ~1e-18 for t=0.9, r=4, b=16) and runs the exact Jaccard only on
+  candidates.
+- SimHash uses the pigeonhole construction: with (h+1) signature blocks, any
+  pair within Hamming distance h agrees on at least one whole block, so
+  bucketing each block separately gives FULL recall, not prefix-table luck.
+"""
 
 from __future__ import annotations
 
@@ -13,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+SIMHASH_BITS = 60  # md5-derived 60-bit signatures (15 hex chars -> ANSI-safe long)
 
 
 def _ensure_parallel(df: DataFrame) -> DataFrame:
@@ -50,40 +67,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.9,
-    k: int = 3,
-    block_col: str | None = "lang",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Near-duplicate pairs by character-k-gram Jaccard >= threshold.
-    Blocking: pairs are generated only within `block_col` groups (equi-join,
-    one shuffle) — the deterministic analog of LSH banding for moderate
-    cardinality blocks."""
-    sh = _ensure_parallel(df).select(
-        F.col(id_col), F.col(block_col) if block_col else F.lit(0).alias("_b"),
-        shingles_col(F.col(text_col), k).alias("_sh"),
-    )
-    b = block_col or "_b"
-    a = sh.alias("a")
-    c = sh.alias("c")
-    pairs = a.join(c, on=b).filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
-    jac = F.size(F.array_intersect("a._sh", "c._sh")) / F.size(
-        F.array_union("a._sh", "c._sh")
-    )
-    return pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"c.{id_col}").alias("id_b"),
-        jac.alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
-
-
 # ------------------------------------------------------------------ MinHash
 
 
-def _minhash_udf(num_hashes: int, k: int, seed: int = 42):
+def _minhash_udf(num_hashes: int, seed: int = 42):
     """shingle array -> minhash signature, fully vectorized numpy.
 
     Shingles (short strings) pack directly into uint64 words via a fixed-width
@@ -113,31 +100,13 @@ def _minhash_udf(num_hashes: int, k: int, seed: int = 42):
     return F.pandas_udf(mh, ArrayType(LongType()))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.8,
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _lsh_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """MinHash + LSH near-dup candidates, verified by estimated Jaccard.
-
-    shingle -> minhash signature -> band buckets -> bucket equi-join (the
-    scale path: shuffle keyed on (band, bucket-hash); a pair collides in some
-    band with prob 1-(1-s^r)^b). Returns (id_a, id_b, est_jaccard >= threshold).
-    """
+    """(id, _sig) -> candidate id pairs via LSH banding. Only (id, band,
+    bucket-hash) crosses the shuffle; the band self-join's two sides are the
+    identical subplan, so Spark computes the exchange once (ReusedExchange)."""
     rows_per_band = num_hashes // bands
-    mh = _minhash_udf(num_hashes, k)
-    df = _ensure_parallel(df)
-    sig = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
-    ).withColumn("_sig", mh(F.col("_sh"))).filter(F.col("_sig").isNotNull())
-    sig = sig.persist()
-    # candidate generation shuffles ONLY (id, band, bucket) — signatures are
-    # re-attached afterwards (high-collision corpora otherwise shuffle the
-    # full 64-long signature per candidate pair)
     bands_df = sig.select(
         id_col,
         F.explode(
@@ -156,7 +125,7 @@ def minhash_lsh_pairs(
     ).select(id_col, "_bb.band", "_bb.bucket")
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    cand = (
+    return (
         a.join(b, on=["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -165,43 +134,153 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sigs = sig.select(F.col(id_col), F.col("_sig"))
-    cand = cand.join(
-        F.broadcast(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sig", "_siga")),
-        on="id_a",
-    ).join(
-        F.broadcast(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sig", "_sigb")),
-        on="id_b",
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda v: v
+
+
+def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """Re-attach per-document columns to one side of a candidate pair with a
+    plain id equi-join (sort-merge / AQE-broadcast — NEVER an explicit
+    broadcast of a document-sized table)."""
+    renamed = side.withColumnRenamed(id_col, out_id)
+    for c in side.columns:
+        if c != id_col:
+            renamed = renamed.withColumnRenamed(c, f"{c}_{out_id}")
+    return cand.join(renamed, on=out_id)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: str = "est",
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates.
+
+    shingle -> minhash signature -> band buckets -> bucket equi-join (the
+    scale path: shuffle keyed on (band, bucket-hash); a pair collides in some
+    band with prob 1-(1-s^r)^b).
+
+    verify='est'   -> (id_a, id_b, est_jaccard) with signature-estimated
+                      Jaccard >= threshold (cheapest; estimator noise).
+    verify='exact' -> (id_a, id_b, jaccard) with EXACT shingle Jaccard >=
+                      threshold computed only on candidates (deterministic,
+                      oracle-checkable)."""
+    df = _ensure_parallel(df)
+    mh = _minhash_udf(num_hashes)
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh"))
+    sig = sh.withColumn("_sig", mh(F.col("_sh"))).filter(F.col("_sig").isNotNull())
+    cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
+
+    if verify == "exact":
+        cand = _attach(cand, sh, id_col, "id_a")
+        cand = _attach(cand, sh, id_col, "id_b")
+        jac = F.size(F.array_intersect("_sh_id_a", "_sh_id_b")) / F.size(
+            F.array_union("_sh_id_a", "_sh_id_b")
         )
+        return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    sigs = sig.select(id_col, "_sig")
+    cand = _attach(cand, sigs, id_col, "id_a")
+    cand = _attach(cand, sigs, id_col, "id_b")
+    est = F.size(
+        F.filter(F.zip_with("_sig_id_a", "_sig_id_b", lambda x, y: x == y), lambda v: v)
     ) / F.lit(float(num_hashes))
     return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    k: int = 3,
+    block_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs by character-k-gram Jaccard >= threshold.
+
+    Candidate generation is MinHash-LSH banding (NOT all-pairs within a
+    block: that is O(n^2/blocks) and dies at scale); the exact Jaccard runs
+    only on candidates. With r = num_hashes/bands rows per band, a true pair
+    at similarity s is missed with probability (1-s^r)^bands — for s >=
+    threshold = 0.9 and (r=4, b=16) that is < 2e-18 per pair. `block_col`
+    (if set) additionally restricts pairs to equal block values (e.g.
+    same-language dedup)."""
+    df = _ensure_parallel(df)
+    keep = [id_col] + ([block_col] if block_col else [])
+    sh = df.select(*keep, shingles_col(F.col(text_col), k).alias("_sh"))
+    mh = _minhash_udf(num_hashes)
+    sig = sh.select(id_col, "_sh").withColumn("_sig", mh(F.col("_sh"))).filter(
+        F.col("_sig").isNotNull()
+    )
+    cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
+    cand = _attach(cand, sh, id_col, "id_a")
+    cand = _attach(cand, sh, id_col, "id_b")
+    if block_col:
+        cand = cand.filter(F.col(f"{block_col}_id_a") == F.col(f"{block_col}_id_b"))
+    jac = F.size(F.array_intersect("_sh_id_a", "_sh_id_b")) / F.size(
+        F.array_union("_sh_id_a", "_sh_id_b")
+    )
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash over whitespace tokens as a Column expression:
-    bit b of the signature = sign of sum over tokens of (+-1 by token-hash
-    bit b). Pure built-ins (xxhash64 + aggregate)."""
+def token_hashes_col(text_col):
+    """Whitespace tokens -> 60-bit md5-derived hashes (array<long>). md5 is
+    engine-independent (identical hex in Spark and DuckDB), so signatures are
+    verifiable against an independent SQL engine — unlike xxhash64. 15 hex
+    chars = 60 bits keeps the ANSI long cast overflow-free."""
     tokens = F.split(F.lower(text_col), " ")
-    # for each bit, sum +-1 across tokens, then pack sign bits
+    return F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 3, 15), 16, 10).cast("long")
+    )
+
+
+def simhash_from_hashes(hash_arr, bits: int = SIMHASH_BITS):
+    """token-hash array -> simhash signature: bit b = sign of sum over tokens
+    of (+-1 by token-hash bit b). Pure built-ins (one aggregate per bit over
+    the PRE-COMPUTED hash array — tokens are hashed once, not once per bit)."""
     def bit(b):
         contrib = F.aggregate(
-            tokens,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            hash_arr,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1),
         )
-        return F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long")
+        return F.when(contrib > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << b).cast("long")
 
-    return sum([bit(b) for b in range(bits - 1)], F.lit(0).cast("long"))
+    return sum([bit(b) for b in range(bits)], F.lit(0).cast("long"))
+
+
+def simhash_col(text_col, bits: int = SIMHASH_BITS):
+    """Convenience: text -> simhash in one Column (hashes computed inline)."""
+    return simhash_from_hashes(token_hashes_col(text_col), bits)
+
+
+def _simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS):
+    """Pigeonhole split of the signature into (max_hamming+1) bit blocks:
+    a pair with <= max_hamming differing bits agrees on >= 1 whole block."""
+    n_blocks = max_hamming + 1
+    base, extra = divmod(bits, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        blocks.append((off, width))
+        off += width
+    return blocks
 
 
 def simhash_pairs(
@@ -209,19 +288,33 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix_bits: int = 16,
 ) -> DataFrame:
-    """Near-dup candidates with Hamming(simhash) <= max_hamming, bucketed by
-    signature prefix (standard simhash table trick; multiple rotations would
-    give full recall — one prefix table is the demonstration path)."""
-    sh = _ensure_parallel(df).select(F.col(id_col), simhash_col(F.col(text_col)).alias("_sh"))
-    bucket = F.shiftrightunsigned(F.col("_sh"), 64 - prefix_bits).alias("_bkt")
-    sb = sh.select(id_col, "_sh", bucket)
-    a = sb.alias("a")
-    b = sb.alias("b")
-    ham = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    """Near-dup pairs with Hamming(simhash) <= max_hamming — FULL recall via
+    the pigeonhole multi-block construction (Manku et al., WWW'07 shape):
+    each row emits (block_id, block_value) for max_hamming+1 signature
+    blocks; candidates are block equi-join matches; exact Hamming verifies.
+    A pair matching several blocks dedupes on (id_a, id_b)."""
+    sh = _ensure_parallel(df).select(
+        F.col(id_col), simhash_col(F.col(text_col)).alias("_sig")
+    )
+    blocks = _simhash_blocks(max_hamming)
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("block"),
+            F.shiftrightunsigned(F.col("_sig"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        for i, (off, width) in enumerate(blocks)
+    ]
+    tbl = sh.select(
+        id_col, "_sig", F.explode(F.array(*block_structs)).alias("_b")
+    ).select(id_col, "_sig", "_b.block", "_b.bval")
+    a = tbl.alias("a")
+    b = tbl.alias("b")
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
-        a.join(b, on="_bkt")
+        a.join(b, on=["block", "bval"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -229,7 +322,11 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# -------------------------------------------------------- embedding near-dup
 
 
 def embedding_cosine_pairs(
@@ -237,28 +334,45 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    lsh_bits: int = 8,
+    lsh_bits: int = 6,
+    tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicates: random-hyperplane LSH bucket join + exact
-    cosine verify. Bucket key = sign bits of `lsh_bits` random projections."""
-    from .similarity import cosine_col, rp_bucket_col
+    """Embedding near-duplicates: multi-table random-hyperplane LSH bucket
+    join + exact cosine verify. A pair at angular similarity p collides in
+    >= 1 of `tables` with prob 1-(1-p^bits)^tables. Hyperplanes are literal
+    sign vectors (similarity.hyperplane_signs) — deterministic and
+    SQL-expressible, so the full pipeline is oracle-checkable. Candidates
+    carry ids only; vectors re-attach via plain id joins."""
+    from .similarity import _vec_dim, cosine_col, hyperplane_signs, rp_bucket_lit_col
 
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        rp_bucket_col(F.col(vec_col), lsh_bits, seed, dim_hint=None).alias("_bkt"),
-    )
-    a = b.alias("a")
-    c = b.alias("c")
-    cos = cosine_col(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"))
-    return (
-        a.join(c, on="_bkt")
+    dim = _vec_dim(df, vec_col)
+    signs = hyperplane_signs(dim, lsh_bits, tables, seed)
+    bucket_structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            rp_bucket_lit_col(F.col(vec_col), signs[t]).alias("bkt"),
+        )
+        for t in range(tables)
+    ]
+    keyed = df.select(
+        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("_tb")
+    ).select(id_col, "_tb.tbl", "_tb.bkt")
+    a = keyed.alias("a")
+    c = keyed.alias("c")
+    cand = (
+        a.join(c, on=["tbl", "bkt"])
         .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"c.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(id_col, vec_col)
+    cand = _attach(cand, vecs, id_col, "id_a")
+    cand = _attach(cand, vecs, id_col, "id_b")
+    cos = cosine_col(F.col(f"{vec_col}_id_a"), F.col(f"{vec_col}_id_b"))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )

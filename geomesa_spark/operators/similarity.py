@@ -3,7 +3,17 @@
 Brute-force cosine top-k as the exactness baseline; random-hyperplane LSH
 bucketing as the 100TB scale path (bucket equi-join instead of cross join).
 Dot products are pure Column expressions (zip_with + aggregate -> codegen),
-no Python in the hot path."""
+no Python in the hot path.
+
+Top-k is orderBy + limit — Spark plans it as TakeOrderedAndProject (each
+partition keeps its local k, the driver merges), NOT a global window, which
+would move every row to a single partition.
+
+Hyperplanes are LITERAL +-1 sign vectors drawn from a seeded generator
+(`hyperplane_signs`), inlined into the Column expression — deterministic,
+engine-independent, and expressible in plain SQL (see oracle.rp_bucket_sql),
+so LSH results are verifiable against an independent engine bit-for-bit.
+"""
 
 from __future__ import annotations
 
@@ -33,6 +43,15 @@ def cosine_col(a, b):
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Distributed top-k: orderBy+limit -> TakeOrderedAndProject (per-partition
+    local k, merged on the driver); the rank window then runs over ONLY the k
+    surviving rows, never the full table."""
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(id_col, "score", "rank")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -46,40 +65,50 @@ def brute_force_topk(
     scored = df.select(
         F.col(id_col), F.round(cosine_col(F.col(vec_col), q), 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
-    )
+    return _topk(scored, k, id_col)
 
 
-def rp_bucket_col(vec, bits: int, seed: int = 42, dim_hint: int | None = None):
-    """Random-hyperplane LSH bucket id: sign bits of `bits` projections.
-    Hyperplane h_b component j = +-1 derived from a deterministic hash of
-    (seed, b, j) — computable as a Column without materializing matrices."""
-    def proj(b):
-        # sum_j vec[j] * sign(hash(seed, b, j))
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda v, j: v.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(b), j), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+# ------------------------------------------------------ literal RP hyperplanes
+
+
+def hyperplane_signs(
+    dim: int, bits: int, tables: int = 1, seed: int = 42
+) -> np.ndarray:
+    """Deterministic +-1 hyperplane signs, shape (tables, bits, dim). These are
+    plan-time LITERALS: the same matrix is inlined into Column expressions and
+    into the DuckDB oracle SQL, so bucket assignment is engine-independent."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(tables, bits, dim))
+
+
+def rp_bucket_lit_col(vec, signs_2d: np.ndarray):
+    """LSH bucket id from literal sign rows (shape (bits, dim)): bit b is the
+    sign of dot(vec, signs[b]). Pure Column arithmetic (codegen)."""
+    bucket = F.lit(0).cast("long")
+    for b, row in enumerate(signs_2d):
+        lits = F.array(*[F.lit(float(s)) for s in row])
+        proj = F.aggregate(
+            F.zip_with(vec, lits, lambda v, s: v.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-
-    bucket = F.lit(0).cast("long")
-    for b in range(bits):
-        bucket = bucket + F.when(proj(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def rp_bucket_np(vecs: np.ndarray, signs_2d: np.ndarray) -> np.ndarray:
+    """Same bucket function over numpy rows (driver-side query bucketing)."""
+    proj = vecs @ signs_2d.T  # (n, bits)
+    return ((proj > 0).astype(np.int64) << np.arange(signs_2d.shape[0])).sum(axis=1)
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dimension from {vec_col}")
+    return int(row["d"])
 
 
 def ann_topk_lsh(
@@ -93,31 +122,18 @@ def ann_topk_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's bucket and its
-    `probes` nearest buckets (by Hamming distance). At scale the table is
-    bucketed/partitioned on the LSH key so this prunes partitions."""
+    `probes` nearest buckets (single-bit flips). At scale the table is
+    bucketed/partitioned on the LSH key so this prunes partitions. The query
+    bucket is computed driver-side in numpy (zero extra Spark jobs)."""
     qv = np.asarray(query_vec, dtype=np.float64)
-
-    # compute the query's bucket with the same deterministic hyperplanes
-    # (must match rp_bucket_col: sign of hash-derived +-1 dot product)
-    import pandas as pd
-    from pyspark.sql import SparkSession
-
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col} array<double>")
-    qbucket = qdf.select(rp_bucket_col(F.col(vec_col), bits, seed).alias("b")).collect()[0]["b"]
-
-    # probe buckets: qbucket plus single-bit flips ordered by bit index
+    signs = hyperplane_signs(len(query_vec), bits, tables=1, seed=seed)[0]
+    qbucket = int(rp_bucket_np(qv[None, :], signs)[0])
     buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(min(probes, bits))]
 
-    bdf = df.withColumn("_bkt", rp_bucket_col(F.col(vec_col), bits, seed))
+    bdf = df.withColumn("_bkt", rp_bucket_lit_col(F.col(vec_col), signs))
     cand = bdf.filter(F.col("_bkt").isin(buckets))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cand.select(
         F.col(id_col), F.round(cosine_col(F.col(vec_col), q), 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
-    )
+    return _topk(scored, k, id_col)

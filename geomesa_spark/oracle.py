@@ -85,6 +85,69 @@ def cell_sql(lon: str, lat: str, bits: int) -> str:
     return interleave_sql(f"({ix})", f"({iy})", bits)
 
 
+# ---------------------------------------------------- LSH / dedup SQL mirrors
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Exact cosine of two list columns (DuckDB list comprehension form)."""
+    def dot(x, y):
+        return (
+            f"list_sum([cast({x}[__ci] as double) * cast({y}[__ci] as double) "
+            f"for __ci in range(1, len({x})+1)])"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def rp_proj_sql(vec: str, signs_row) -> str:
+    """Dot product of a list column with a LITERAL +-1 sign row — mirrors
+    similarity.rp_bucket_lit_col bit projections exactly."""
+    lits = "[" + ", ".join(f"{float(s):.1f}" for s in signs_row) + "]"
+    return (
+        f"list_sum([cast({vec}[__pj] as double) * ({lits})[__pj] "
+        f"for __pj in range(1, {len(signs_row) + 1})])"
+    )
+
+
+def rp_bucket_sql(vec: str, signs_2d) -> str:
+    """LSH bucket id from literal hyperplane signs (shape (bits, dim))."""
+    terms = [
+        f"(case when ({rp_proj_sql(vec, row)}) > 0 then {1 << b} else 0 end)"
+        for b, row in enumerate(signs_2d)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def token_hashes_sql(text: str) -> str:
+    """Whitespace tokens -> 60-bit md5-derived hashes; mirrors
+    dedup.token_hashes_col (Spark conv(substring(md5(t),3,15),16,10))."""
+    th = (
+        "list_sum([(strpos('0123456789abcdef', substr(md5(__tk), 2+__hj, 1)) - 1)::BIGINT"
+        " << (4*(15-__hj)) for __hj in range(1, 16)])"
+    )
+    return f"[{th} for __tk in string_split(lower({text}), ' ')]"
+
+
+def simhash_from_hashes_sql(hashes: str, bits: int = 60) -> str:
+    """token-hash list -> simhash signature; mirrors dedup.simhash_from_hashes.
+    `hashes` should be a (CTE) column so tokens are hashed once, not per bit."""
+    return (
+        f"cast(list_sum([case when "
+        f"list_sum([((__h >> __b) & 1)*2 - 1 for __h in {hashes}]) > 0 "
+        f"then 1::BIGINT << __b else 0::BIGINT end "
+        f"for __b in range(0, {bits})]) as bigint)"
+    )
+
+
+def jaccard_shingles_sql(table: str, text_col: str = "text", k: int = 3) -> str:
+    """CTE body producing (doc_id, <cols>, s = distinct k-shingle list)."""
+    return (
+        f"select *, list_distinct([substr(lower({text_col}), __si, {k}) "
+        f"for __si in range(1, greatest(length({text_col})-{k - 2}, 2))]) as s "
+        f"from {table}"
+    )
+
+
 # Deterministic derived geometry: the documents/events tables carry no
 # coordinates, so both engines derive them with IDENTICAL integer-modulo
 # arithmetic (BASELINE.json input_hint: synthesize deterministically).

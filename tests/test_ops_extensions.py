@@ -84,9 +84,98 @@ def test_simhash_finds_near_dups(spark, documents):
 
     got = {(r.id_a, r.id_b) for r in simhash_pairs(documents, max_hamming=8).collect()}
     want = exact_jaccard_pairs(documents, 0.95)
-    # simhash prefix-bucketing is approximate: it must at least find most of
-    # the truly-identical-ish pairs that share the 16-bit prefix
-    assert len(got & want) >= len(want) // 2 or len(want) == 0
+    # shingle-Jaccard >= 0.95 pairs are near-identical texts; their token
+    # multisets agree, so their simhash Hamming distance must be small
+    assert want <= got or len(want) == 0
+
+
+def test_simhash_pigeonhole_full_recall(spark, documents):
+    """The multi-block construction must return EXACTLY the brute-force
+    Hamming <= h pair set (pigeonhole guarantees no false negatives; the
+    exact verify removes false positives)."""
+    from geomesa_spark.operators.dedup import simhash_col, simhash_pairs
+
+    h = 6
+    sigs = {
+        r.doc_id: r.sig
+        for r in documents.select("doc_id", simhash_col(F.col("text")).alias("sig")).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= h
+    }
+    got = {(r.id_a, r.id_b) for r in simhash_pairs(documents, max_hamming=h).collect()}
+    assert got == want
+    assert len(want) > 0  # non-vacuous on this fixture
+
+
+def test_minhash_exact_verify_full_recall(spark, documents):
+    """LSH candidates + exact verify must reproduce the global exact pair set
+    at threshold 0.8 (banding miss probability < 2e-18 per pair)."""
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = documents.select("doc_id", "text").collect()
+    sh = {r.doc_id: {r.text.lower()[i : i + 3] for i in range(len(r.text) - 2)} for r in rows}
+    ids = sorted(sh)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.8
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(documents, threshold=0.8, verify="exact").collect()
+    }
+    assert got == want
+
+
+def test_embedding_pairs_verified_subset(spark, embeddings):
+    """Multi-table RP-LSH + exact verify: every returned pair must truly be
+    >= threshold (perfect precision), and the candidate sweep must catch a
+    reasonable share of the exact pair set on this fixture."""
+    import numpy as np
+
+    from geomesa_spark.operators.dedup import embedding_cosine_pairs
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    nv = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = nv @ nv.T
+    thr = 0.40
+    exact = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= thr:
+                a, b = int(ids[i]), int(ids[j])
+                exact.add((min(a, b), max(a, b)))
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            embeddings, threshold=thr, lsh_bits=6, tables=8
+        ).collect()
+    }
+    assert got <= exact  # exact verify -> no false positives
+    if exact:
+        assert len(got) / len(exact) >= 0.25  # documented approximate recall
+
+
+def test_topk_plan_is_take_ordered(spark, embeddings):
+    """top-k must plan as TakeOrderedAndProject (distributed per-partition
+    local k), never a global single-partition window."""
+    from geomesa_spark.operators.similarity import ann_topk_lsh, brute_force_topk
+
+    q = [float(v) for v in embeddings.filter("vec_id = 0").first().embedding]
+    for df in (
+        brute_force_topk(embeddings, q, k=10),
+        ann_topk_lsh(embeddings, q, k=10, bits=4, probes=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
 
 
 # --------------------------------------------------------------- similarity
@@ -112,7 +201,9 @@ def test_ann_lsh_contains_top1(spark, embeddings):
     rows = embeddings.filter("vec_id = 0").collect()
     q = [float(v) for v in rows[0].embedding]
     exact = [r.vec_id for r in brute_force_topk(embeddings, q, k=5).orderBy("rank").collect()]
-    approx = [r.vec_id for r in ann_topk_lsh(embeddings, q, k=20, bits=8, probes=6).collect()]
+    # the sf0.001 embeddings are unclustered (max pairwise cos ~0.5), so wide
+    # buckets (bits=4) are needed for a stable overlap on 500 rows
+    approx = [r.vec_id for r in ann_topk_lsh(embeddings, q, k=20, bits=4, probes=4).collect()]
     # the query vector itself (top-1) must be found; decent overlap expected
     assert exact[0] in approx
     assert len(set(exact) & set(approx)) >= 2
