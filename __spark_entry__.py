@@ -410,6 +410,33 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(emb, qvec, k=20, bits=ANN_LSH_BITS, probes=ANN_LSH_PROBES)
 
 
+_ATTR_IDX_CACHE: dict[str, str] = {}
+
+
+def q_attr_bbox_filter(spark, sf_dir):
+    """Tiered attribute index: user_id equality + bbox through the
+    attr-bucket partition pruning + (attr, z2) row-group sort layout
+    (AttributeIndexKeySpace analog)."""
+    _init(spark)
+    import hashlib
+
+    from geomesa_spark.sources.attr_index import (
+        attr_equality_scan,
+        with_z2,
+        write_attr_indexed,
+    )
+
+    path = _ATTR_IDX_CACHE.get(sf_dir)
+    if path is None:
+        h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        path = f"/tmp/geomesa_attr_idx_{h}"
+        e = with_z2(_events_pts(spark, sf_dir))
+        write_attr_indexed(e, path, "user_id")
+        _ATTR_IDX_CACHE[sf_dir] = path
+    bbox = (-90.0, -45.0, 90.0, 45.0)
+    return attr_equality_scan(spark, path, "user_id", 7, bbox).select("event_id")
+
+
 def q_convexhull_by_type(spark, sf_dir):
     _init(spark)
     from geomesa_spark.functions.library import UDFS, st_convexhull_agg
@@ -453,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
     }
 
@@ -638,6 +666,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (order by score desc, vec_id asc) as rank
               from scored
             ) where rank <= 20
+        """,
+        "attr_bbox_filter": f"""
+            select event_id from events
+            where user_id = 7
+              and {elon} between -9e1 and 9e1
+              and {elat} between -4.5e1 and 4.5e1
         """,
         "embedding_dedup": _embedding_dedup_oracle(),
         "minhash_dedup": _minhash_dedup_oracle(),

@@ -935,7 +935,15 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     if a.dimension() == 2 and b.dimension() == 2:
         for clip_g, subj in ((b, a), (a, b)):
             cps = _polygons_of(clip_g)
-            if len(cps) == 1 and len(cps[0]) == 1 and _is_convex(cps[0][0]):
+            # convex fast path ONLY for hole-free subjects: Sutherland-Hodgman
+            # clips each ring independently and would emit a clipped HOLE ring
+            # as a positive polygon
+            if (
+                len(cps) == 1
+                and len(cps[0]) == 1
+                and _is_convex(cps[0][0])
+                and all(len(r) == 1 for r in _polygons_of(subj))
+            ):
                 pieces = [
                     clip_polygon_convex(rings, cps[0][0])
                     for rings in _polygons_of(subj)
@@ -1304,24 +1312,51 @@ def triangulate_ring(ring: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
+def _tessellate_polygon(rings) -> list[np.ndarray]:
+    """Convex pieces exactly covering shell MINUS holes: ear-clip the shell,
+    then subtract each hole triangle with convex half-plane fans. Every
+    intermediate piece is convex (convex ∖ half-plane stays convex), so the
+    result is a convex decomposition of the polygon-with-holes region."""
+    pieces = triangulate_ring(np.asarray(rings[0]))
+    for hole in rings[1:]:
+        for ht in triangulate_ring(np.asarray(hole)):
+            nxt: list[np.ndarray] = []
+            for p in pieces:
+                nxt.extend(_convex_subtract(p, ht))
+            pieces = nxt
+            if not pieces:
+                break
+    return pieces
+
+
 def intersection_areal(a: Geometry, b: Geometry) -> Geometry:
-    """Intersection of two areal geometries, CONCAVE shells supported:
-    triangulate b's shells (ear clipping), convex-clip a by each triangle,
-    collect the interior-disjoint pieces as a MultiPolygon. Area-exact;
-    piece boundaries are not dissolved (the reference returns the JTS
-    dissolved polygon — the REGION is identical, the tessellation differs).
-    Polygons with holes fall back to NotImplementedError."""
-    for g in (a, b):
-        for rings in _polygons_of(g):
-            if len(rings) > 1:
-                raise NotImplementedError("holes not supported in general intersection")
+    """Intersection of two areal geometries, CONCAVE shells and HOLES
+    supported: tessellate both regions into convex pieces (shell triangles
+    minus hole triangles), convex-clip each pair, collect the
+    interior-disjoint pieces as a MultiPolygon. Area-exact; piece boundaries
+    are not dissolved (the reference returns the JTS dissolved polygon —
+    SpatialRelationFunctions.scala:24-59 — the REGION is identical, the
+    tessellation differs)."""
+    apolys = _polygons_of(a)
+    bpolys = _polygons_of(b)
     pieces: list[list[np.ndarray]] = []
-    for rings_b in _polygons_of(b):
-        for tri in triangulate_ring(np.asarray(rings_b[0])):
-            for rings_a in _polygons_of(a):
-                clipped = clip_polygon_convex(rings_a, tri)
-                if not clipped.is_empty():
-                    pieces.extend(_polygons_of(clipped))
+    if not any(len(r) > 1 for r in apolys):
+        # hole-free subject: clip the (possibly concave) polygon directly by
+        # each convex piece of b — fewer output pieces than the full product
+        for rings_b in bpolys:
+            for tri in _tessellate_polygon(rings_b):
+                for rings_a in apolys:
+                    clipped = clip_polygon_convex(rings_a, tri)
+                    if not clipped.is_empty():
+                        pieces.extend(_polygons_of(clipped))
+    else:
+        tess_a = [p for rings in apolys for p in _tessellate_polygon(rings)]
+        for rings_b in bpolys:
+            for tri in _tessellate_polygon(rings_b):
+                for pa in tess_a:
+                    clipped = clip_polygon_convex([pa], tri)
+                    if not clipped.is_empty():
+                        pieces.extend(_polygons_of(clipped))
     if not pieces:
         return empty(POLYGON)
     if len(pieces) == 1:
@@ -1345,6 +1380,14 @@ def _clip_halfplane(ring: np.ndarray, ax, ay, bx, by, keep_left: bool) -> np.nda
             out.append((cx, cy))
         elif p_in:
             out.append(_line_inter(px, py, cx, cy, ax, ay, bx, by))
+    # drop duplicate consecutive vertices (an intersection point coinciding
+    # with a kept vertex): a zero-length ring edge later poisons the
+    # subtraction fan (orient == 0 classifies everything as both sides)
+    dedup = [p for i, p in enumerate(out) if i == 0 or
+             abs(p[0] - out[i - 1][0]) > 1e-12 or abs(p[1] - out[i - 1][1]) > 1e-12]
+    while len(dedup) > 1 and abs(dedup[0][0] - dedup[-1][0]) <= 1e-12 and abs(dedup[0][1] - dedup[-1][1]) <= 1e-12:
+        dedup.pop()
+    out = dedup
     if len(out) < 3:
         return None
     r = np.array(out + [out[0]])
@@ -1362,6 +1405,8 @@ def _convex_subtract(piece: np.ndarray, tri: np.ndarray) -> list[np.ndarray]:
     for i in range(len(tri) - 1):
         ax, ay = tri[i]
         bx, by = tri[i + 1]
+        if abs(bx - ax) <= 1e-12 and abs(by - ay) <= 1e-12:
+            continue  # zero-length edge defines no half-plane
         outside = _clip_halfplane(current, ax, ay, bx, by, keep_left=False)
         if outside is not None:
             pieces.append(outside)
@@ -1372,17 +1417,15 @@ def _convex_subtract(piece: np.ndarray, tri: np.ndarray) -> list[np.ndarray]:
 
 
 def difference_areal(a: Geometry, b: Geometry) -> Geometry:
-    """A minus B for arbitrary simple shells (no holes): triangulate A, then
-    subtract each of B's triangles from every piece (convex half-plane fans).
-    Area-exact; tessellated like intersection_areal."""
-    for g in (a, b):
-        for rings in _polygons_of(g):
-            if len(rings) > 1:
-                raise NotImplementedError("holes not supported in general difference")
-    tris_b = [t for rings in _polygons_of(b) for t in triangulate_ring(np.asarray(rings[0]))]
+    """A minus B for arbitrary simple shells INCLUDING holes: tessellate A's
+    region into convex pieces, then subtract each convex piece of B's region
+    (convex half-plane fans). Subtracting B's region == subtracting each
+    piece of its convex decomposition sequentially. Area-exact; tessellated
+    like intersection_areal."""
+    tris_b = [t for rings in _polygons_of(b) for t in _tessellate_polygon(rings)]
     out_pieces: list[np.ndarray] = []
     for rings_a in _polygons_of(a):
-        pieces = triangulate_ring(np.asarray(rings_a[0]))
+        pieces = _tessellate_polygon(rings_a)
         for tb in tris_b:
             nxt: list[np.ndarray] = []
             for p in pieces:

@@ -14,8 +14,10 @@ Scale notes (the three round-1 anti-patterns, fixed):
   id joins — nothing document-sized is broadcast and nothing is persisted
   (identical subtrees dedupe via Spark's ReusedExchange).
 - n-gram Jaccard generates candidates with MinHash banding (miss probability
-  (1-t^r)^b, ~1e-18 for t=0.9, r=4, b=16) and runs the exact Jaccard only on
-  candidates.
+  (1-t^r)^b) and runs the exact Jaccard only on candidates. Default (r=8,
+  b=16): selective enough that a self-similar corpus (mass of pairs at
+  s~0.5-0.7) does not flood the candidate set, while s>=0.9 pairs are missed
+  with prob <~1e-4 (verified 100% recall on the test corpora at both SFs).
 - SimHash uses the pigeonhole construction: with (h+1) signature blocks, any
   pair within Hamming distance h agrees on at least one whole block, so
   bucketing each block separately gives FULL recall, not prefix-table luck.
@@ -150,7 +152,7 @@ def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataF
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
-    num_hashes: int = 64,
+    num_hashes: int = 128,
     bands: int = 16,
     k: int = 3,
     text_col: str = "text",
@@ -201,7 +203,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
+    num_hashes: int = 128,
     bands: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by character-k-gram Jaccard >= threshold.

@@ -332,3 +332,52 @@ def z3_predicate(
             if rc is not None:
                 all_conds.append((F.col("week_bin") == b) & rc)
     return _or_tree(all_conds) if all_conds else None
+
+
+def xz3_predicate(
+    bboxes: list[tuple[float, float, float, float]],
+    interval: tuple,
+    max_ranges: int = 200,
+) -> Column | None:
+    """(week_bin, xz3) range predicate for spatio-temporal EXTENT queries —
+    the true XZ3IndexKeySpace analog (xz3/XZ3IndexKeySpace.scala + ref
+    XZ3SFC.scala:139-273 per-bin range decomposition). Unlike the composed
+    (week_bin, xz2) pair, the 3-D code prunes on the TIME axis within a bin,
+    so long-duration windows over long-lived extents do not over-scan.
+    Over-selects, never misses; combine with the envelope + ts compare."""
+    import pandas as pd
+
+    from ..index.xz3 import XZ3SFC
+    from ..index.zorder import SECONDS_PER
+
+    if not bboxes or interval is None:
+        return None
+
+    def _or_tree(conds):
+        while len(conds) > 1:
+            conds = [
+                conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+                for i in range(0, len(conds), 2)
+            ]
+        return conds[0] if conds else None
+
+    sfc = XZ3SFC()
+    lo = pd.Timestamp(interval[0]).timestamp()
+    hi = pd.Timestamp(interval[1]).timestamp()
+    per = SECONDS_PER["week"]
+    bin_lo, bin_hi = int(lo // per), int(hi // per)
+    n_bins = bin_hi - bin_lo + 1
+    per_bin_budget = max(4, max_ranges // max(1, n_bins))
+    all_conds = []
+    for b in range(bin_lo, bin_hi + 1):
+        t0 = max(lo, b * per) - b * per
+        t1 = min(hi, (b + 1) * per) - b * per
+        windows = [
+            (minx, miny, t0, maxx, maxy, max(t0, t1 - 1e-9))
+            for minx, miny, maxx, maxy in bboxes
+        ]
+        ranges = sfc.ranges(windows, max_ranges=per_bin_budget)
+        rc = _or_tree([F.col("xz3").between(r.lower, r.upper) for r in ranges])
+        if rc is not None:
+            all_conds.append((F.col("week_bin") == b) & rc)
+    return _or_tree(all_conds) if all_conds else None

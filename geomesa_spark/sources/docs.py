@@ -22,7 +22,9 @@ The index job is the analog of the reference write path toIndexKey
     z2            31-bit/dim Z2 of the centroid
     week_bin, z3  Z3 time-binned key pair
     xz2           XZ2 extent code (one cell per geometry, no duplication)
-    cell          coarse Z2 cell (partition column, Z2Scheme analog)
+    xz3           true 3-D XZ code within the week bin (extents + time)
+    cell          coarse Z2 cell (partition column, Z2Scheme analog;
+                  MULTI_CELL=-1 for multi-cell envelopes, never pruned)
 Everything is computed in two vectorized passes: Spark built-ins extract the
 span fields; one mapInPandas computes geometry + curve columns per Arrow batch.
 """
@@ -181,6 +183,7 @@ _INDEX_FIELDS = [
     ("week_bin", LongType()),
     ("z3", LongType()),
     ("xz2", LongType()),
+    ("xz3", LongType()),
     ("cell", LongType()),
 ]
 
@@ -271,10 +274,14 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
     week_bin[ok] = wb
     z3full[ok] = z3
     xz2 = np.full(n, -1, dtype=np.int64)
+    xz3 = np.full(n, -1, dtype=np.int64)
     if ok.any():
         from ..index.xz2 import xz2_index_many
+        from ..index.xz3 import xz3_index_many
 
         xz2[ok] = xz2_index_many(minx[ok], miny[ok], maxx[ok], maxy[ok], g=xz2_g)
+        # true 3-D XZ code (week-binned time axis) — extents + time pushdown
+        _, xz3[ok] = xz3_index_many(minx[ok], miny[ok], maxx[ok], maxy[ok], tsec[ok])
     # Partition cell: single-cell geometries store that cell; an envelope
     # spanning MULTIPLE coarse cells stores the MULTI_CELL sentinel (-1), which
     # the planner always includes in its cell.isin() list. This keeps the
@@ -302,6 +309,7 @@ def _index_batch(wkts: pd.Series, ts_seconds: np.ndarray, xz2_g: int, cell_bits:
         "week_bin": week_bin,
         "z3": z3full,
         "xz2": xz2,
+        "xz3": xz3,
         "cell": cell,
     }
 

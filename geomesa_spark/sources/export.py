@@ -106,6 +106,36 @@ def to_geojson_feature_collection(
     return json.dumps({"type": "FeatureCollection", "features": feats})
 
 
+def write_geojson_seq(
+    df: DataFrame, path: str, geom_col: str = "geom_wkb", mode: str = "overwrite"
+) -> None:
+    """Newline-delimited GeoJSON features (RFC 8142 text-sequence style)
+    written DISTRIBUTED through the text sink — the scale path for
+    full-table exports (the FeatureCollection string above is driver-side
+    and capped for small result sets). One Arrow batch -> one block of JSON
+    lines; no collect."""
+    import pandas as pd
+
+    props = [c for c in df.columns if c != geom_col]
+
+    def to_lines(batches):
+        for pdf in batches:
+            lines = []
+            for _, r in pdf.iterrows():
+                g = r[geom_col]
+                feat = {
+                    "type": "Feature",
+                    "geometry": json.loads(to_geojson(from_wkb(bytes(g))))
+                    if g is not None
+                    else None,
+                    "properties": {c: _json_safe(r[c]) for c in props},
+                }
+                lines.append(json.dumps(feat))
+            yield pd.DataFrame({"value": lines})
+
+    df.mapInPandas(to_lines, schema="value string").write.mode(mode).text(path)
+
+
 def _json_safe(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
@@ -113,8 +143,10 @@ def _json_safe(v):
         return v.isoformat()
     if hasattr(v, "asDict"):
         return v.asDict()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return [_json_safe(x) for x in v]
+    if hasattr(v, "item"):  # numpy scalar from the Arrow batch path
+        return v.item()
     return v
 
 

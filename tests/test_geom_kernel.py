@@ -265,6 +265,41 @@ def test_vectorized_matches_scalar():
         assert mask[i] == alg.intersects(point(xs[i], ys[i]), BOX_REF)
 
 
+def test_holed_intersection_area():
+    """Polygons WITH HOLES (GeometricUdfTest.scala intersection shape):
+    tessellated intersection must be exactly area-correct."""
+    holed = from_wkt(
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    # convex clip side: [5,15]x[0,10] -> 50 - hole part [5,6]x[4,6]=2 -> 48
+    g = alg.intersection(holed, box(5, 0, 15, 10))
+    assert abs(alg.area(g) - 48.0) < 1e-9
+    # both sides holed: frame x frame
+    a = from_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2))")
+    b = from_wkt(
+        "POLYGON((5 5, 15 5, 15 15, 5 15, 5 5), (9 9, 11 9, 11 11, 9 11, 9 9))"
+    )
+    g2 = alg.intersection(a, b)
+    # A-frame within [5,10]^2: 25 - [5,8]^2 = 16; minus B-hole part [9,10]^2 = 1
+    assert abs(alg.area(g2) - 15.0) < 1e-9
+
+
+def test_holed_difference_area():
+    holed = from_wkt(
+        "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    # A(96) minus box(3..7)^2: overlap = 16 - hole 4 = 12 -> 84
+    d = alg.difference(holed, box(3, 3, 7, 7))
+    assert abs(alg.area(d) - 84.0) < 1e-9
+    # hole-free A minus holed B: 100 - (36 - 4) = 68
+    b = from_wkt("POLYGON((2 2, 8 2, 8 8, 2 8, 2 2), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    d2 = alg.difference(box(0, 0, 10, 10), b)
+    assert abs(alg.area(d2) - 68.0) < 1e-9
+    # difference of a holed polygon with itself is empty
+    d3 = alg.difference(holed, holed)
+    assert abs(alg.area(d3)) < 1e-9
+
+
 def test_concave_intersection_area():
     """General (concave x concave) polygon intersection via ear-clipping
     triangulation + convex clips: area-exact."""

@@ -62,6 +62,27 @@ def test_stat_groupby_descriptive(spark, events):
     assert "value_skewness" in d and "value_kurtosis" in d
 
 
+def test_stat_enum_and_groupby_are_bounded(spark, events):
+    """Unbounded domains must stay distributed: dicts are capped, the full
+    result is a DataFrame, and GroupBy compiles to ONE aggregation (no
+    per-group driver loop)."""
+    from geomesa_spark.operators.stats import stat
+
+    e = stat(events, "Enumeration(user_id)", max_enum=3)
+    assert len(e["values"]) == 3 and e["truncated"] is True
+    assert e["df"].count() == events.select("user_id").distinct().count()
+
+    g = stat(events, "GroupBy(event_type, TopK(user_id, 2))")
+    assert g["truncated"] is False
+    some = next(iter(g["groups"].values()))
+    assert some["stat"] == "TopK" and len(some["topk"]) == 2
+    # GroupBy result is ONE grouped DataFrame over all groups
+    assert g["df"].count() == events.select("event_type").distinct().count()
+
+    g2 = stat(events, "GroupBy(event_type, Enumeration(user_id))", max_enum=2)
+    assert g2["truncated"] is True and len(g2["groups"]) == 2
+
+
 def test_stat_frequency_hll(spark, events):
     from geomesa_spark.operators.stats import approx_count_distinct, stat
 
@@ -109,6 +130,21 @@ def test_geojson_export(spark):
     f0 = fc["features"][0]
     assert f0["geometry"]["type"] in ("Point", "Polygon")
     assert "doc_id" in f0["properties"]
+
+
+def test_geojson_seq_distributed_export(spark, tmp_path):
+    from geomesa_spark.sources.docs import index_docs, synth_docs
+    from geomesa_spark.sources.export import write_geojson_seq
+
+    docs = index_docs(synth_docs(spark, 50)).select("doc_id", "geom_wkb", "x", "y")
+    out = str(tmp_path / "geojson_seq")
+    write_geojson_seq(docs, out)
+    lines = [json.loads(l) for l in spark.read.text(out).toPandas()["value"]]
+    assert len(lines) == 50
+    assert all(f["type"] == "Feature" for f in lines)
+    assert {f["properties"]["doc_id"] for f in lines} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
 
 
 def test_arrow_export(spark, events):
