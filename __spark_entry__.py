@@ -677,10 +677,57 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_oracle(),
         "simhash_dedup": _simhash_dedup_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
-        # convexhull_by_type: hull construction is not tractably expressible
-        # in one SQL statement -> rows-only check (pytest covers it against
-        # a brute-force numpy hull).
+        "convexhull_by_type": _convexhull_oracle(),
     }
+
+
+def _convexhull_oracle() -> str:
+    """Quickhull as a recursive CTE: start from the two extreme-point directed
+    edges, split each edge at its farthest strictly-left point, stop when no
+    point is left of any edge; hull area is the shoelace sum over the final
+    (clockwise) edge cycle. Independent of the engine's monotone-chain hull —
+    collinear/tie choices differ, the area cannot."""
+    elon, elat = O.EVENT_LON, O.EVENT_LAT
+    cross = "(h.x2-h.x1)*(p.y-h.y1)-(h.y2-h.y1)*(p.x-h.x1)"
+    return f"""
+        with recursive pts as (
+          select event_type, {elon} as x, {elat} as y from events
+        ),
+        mn as (select event_type, x, y from (
+          select event_type, x, y, row_number() over (partition by event_type order by x, y) rn from pts) where rn = 1),
+        mx as (select event_type, x, y from (
+          select event_type, x, y, row_number() over (partition by event_type order by x desc, y desc) rn from pts) where rn = 1),
+        hull(event_type, x1, y1, x2, y2) as (
+          (
+            select mn.event_type, mn.x, mn.y, mx.x, mx.y from mn join mx using (event_type)
+            union all
+            select mn.event_type, mx.x, mx.y, mn.x, mn.y from mn join mx using (event_type)
+          )
+          union all
+          select s.event_type,
+                 case when w.i = 0 then s.x1 else s.f.fx end,
+                 case when w.i = 0 then s.y1 else s.f.fy end,
+                 case when w.i = 0 then s.f.fx else s.x2 end,
+                 case when w.i = 0 then s.f.fy else s.y2 end
+          from (
+            select h.event_type, h.x1, h.y1, h.x2, h.y2,
+                   arg_max(struct_pack(fx := p.x, fy := p.y), {cross}) as f
+            from hull h join pts p on p.event_type = h.event_type
+             and {cross} > 1e-12
+            group by h.event_type, h.x1, h.y1, h.x2, h.y2
+          ) s cross join (values (0), (1)) w(i)
+        )
+        select event_type, round(abs(sum(x1*y2 - x2*y1)) / 2, 6) as hull_area_r6
+        from (
+          select distinct h.event_type, h.x1, h.y1, h.x2, h.y2
+          from hull h
+          where not exists (
+            select 1 from pts p
+            where p.event_type = h.event_type
+              and {cross} > 1e-12
+          )
+        ) group by event_type
+    """
 
 
 def _dedup_signs():

@@ -111,6 +111,8 @@ def run_queries(spark) -> dict[str, float]:
         "minhash_dedup",
         "simhash_dedup",
         "embedding_dedup",
+        "ann_lsh_topk",
+        "attr_bbox_filter",
         "convexhull_by_type",
     ]
     # warm the session (python workers, package zip import, codegen) so the

