@@ -358,20 +358,17 @@ def embedding_cosine_pairs(
     sign vectors (similarity.hyperplane_signs) — deterministic and
     SQL-expressible, so the full pipeline is oracle-checkable. Candidates
     carry ids only; vectors re-attach via plain id joins."""
-    from .similarity import _vec_dim, cosine_col, hyperplane_signs, rp_bucket_lit_col
+    from .similarity import _vec_dim, cosine_pairs_udf, hyperplane_signs, rp_buckets_udf
 
+    df = _ensure_parallel(df)
     dim = _vec_dim(df, vec_col)
     signs = hyperplane_signs(dim, lsh_bits, tables, seed)
-    bucket_structs = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            rp_bucket_lit_col(F.col(vec_col), signs[t]).alias("bkt"),
-        )
-        for t in range(tables)
-    ]
+    # all table buckets in one Arrow-batched matmul; posexplode to
+    # (table, bucket) join keys — ids only through the shuffle
     keyed = df.select(
-        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("_tb")
-    ).select(id_col, "_tb.tbl", "_tb.bkt")
+        F.col(id_col),
+        F.posexplode(rp_buckets_udf(signs)(F.col(vec_col))).alias("tbl", "bkt"),
+    ).localCheckpoint(eager=False)
     a = keyed.alias("a")
     c = keyed.alias("c")
     cand = (
@@ -386,7 +383,7 @@ def embedding_cosine_pairs(
     vecs = df.select(id_col, vec_col)
     cand = _attach(cand, vecs, id_col, "id_a")
     cand = _attach(cand, vecs, id_col, "id_b")
-    cos = cosine_col(F.col(f"{vec_col}_id_a"), F.col(f"{vec_col}_id_b"))
+    cos = cosine_pairs_udf()(F.col(f"{vec_col}_id_a"), F.col(f"{vec_col}_id_b"))
     return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

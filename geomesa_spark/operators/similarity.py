@@ -98,6 +98,64 @@ def rp_bucket_lit_col(vec, signs_2d: np.ndarray):
     return bucket
 
 
+def rp_buckets_udf(signs: np.ndarray):
+    """All `tables` LSH buckets of an embedding in ONE Arrow-batched matmul:
+    (batch x dim) @ (dim x tables*bits) -> sign bits -> bucket ids. Spark's
+    higher-order-function lambdas (aggregate/zip_with) are interpreted
+    per-row, so for tables x bits projections the batched numpy path is the
+    fast one; results are bit-identical to rp_bucket_lit_col except for
+    degenerate |proj| < ~1e-12 ties (summation order)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    T, B, D = signs.shape
+    W = signs.reshape(T * B, D).T.copy()  # (dim, tables*bits)
+    weights = (np.int64(1) << np.arange(B, dtype=np.int64))
+
+    def f(vecs):  # no hints (local-import annotations trap)
+        mask = vecs.map(lambda v: v is not None and len(v) == D)
+        out = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )  # (n, dim)
+            proj = M @ W  # (n, tables*bits)
+            bits = (proj > 0).astype(np.int64).reshape(len(M), T, B)
+            buckets = (bits * weights).sum(axis=2)  # (n, tables)
+            vals = iter(buckets)
+            for i in np.nonzero(mask.to_numpy())[0]:
+                out[i] = next(vals).tolist()
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(f, ArrayType(LongType()))
+
+
+def cosine_pairs_udf():
+    """Exact cosine of two embedding columns, one numpy pass per Arrow batch
+    (the verify hot path for candidate pairs)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def f(a, b):
+        out = np.full(len(a), np.nan)
+        ok = [
+            i
+            for i in range(len(a))
+            if a.iloc[i] is not None and b.iloc[i] is not None
+        ]
+        if ok:
+            A = np.stack([np.asarray(a.iloc[i], dtype=np.float64) for i in ok])
+            Bm = np.stack([np.asarray(b.iloc[i], dtype=np.float64) for i in ok])
+            cos = (A * Bm).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(Bm, axis=1)
+            )
+            out[ok] = cos
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None).astype(object)
+
+    return F.pandas_udf(f, DoubleType())
+
+
 def rp_bucket_np(vecs: np.ndarray, signs_2d: np.ndarray) -> np.ndarray:
     """Same bucket function over numpy rows (driver-side query bucketing)."""
     proj = vecs @ signs_2d.T  # (n, bits)

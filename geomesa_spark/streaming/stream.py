@@ -82,6 +82,109 @@ def windowed_density(
     )
 
 
+def sessionize_tracks(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 seconds",
+    watermark: str = "2 minutes",
+    lon_col: str = "x",
+    lat_col: str = "y",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-key track sessionization with
+    an inactivity gap, via applyInPandasWithState (the pattern the engine
+    uses when windowed aggs can't express the semantics — a session closes
+    `gap` after its last point, emitting (user, session bounds, n_points,
+    track_meters)). Geodesic distance accumulates incrementally in state, so
+    a session's points never buffer unboundedly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..geom.algorithms import haversine
+
+    out_schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_points", LongType()),
+            StructField("track_meters", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_s", DoubleType()),
+            StructField("end_s", DoubleType()),
+            StructField("n", LongType()),
+            StructField("meters", DoubleType()),
+            StructField("last_lon", DoubleType()),
+            StructField("last_lat", DoubleType()),
+        ]
+    )
+    gap_ms = {"seconds": 1000, "second": 1000, "minutes": 60000, "minute": 60000}
+    num, unit = gap.split()
+    gap_millis = int(num) * gap_ms[unit]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            s0, s1, n, meters, _, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    # micro-second rounding: Arrow's timestamp[us] cast is
+                    # lossy (errors) on arbitrary-ns values from float math
+                    "session_start": [pd.Timestamp(round(s0 * 1e6), unit="us")],
+                    "session_end": [pd.Timestamp(round(s1 * 1e6), unit="us")],
+                    "n_points": [n],
+                    "track_meters": [meters],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts = rows["ts"].map(pd.Timestamp.timestamp).to_numpy()
+        xs = rows["x"].to_numpy()
+        ys = rows["y"].to_numpy()
+        if state.exists:
+            s0, s1, n, meters, llon, llat = state.get
+        else:
+            s0, s1, n, meters, llon, llat = ts[0], ts[0], 0, 0.0, None, None
+        for i in range(len(ts)):
+            if llon is not None:
+                meters += haversine(llon, llat, xs[i], ys[i])
+            llon, llat = xs[i], ys[i]
+            s1 = max(s1, ts[i])
+            n += 1
+        state.update((s0, s1, int(n), float(meters), float(llon), float(llat)))
+        state.setTimeoutDuration(gap_millis)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=object),
+                "session_start": pd.Series([], dtype="datetime64[ns]"),
+                "session_end": pd.Series([], dtype="datetime64[ns]"),
+                "n_points": pd.Series([], dtype="int64"),
+                "track_meters": pd.Series([], dtype="float64"),
+            }
+        )
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(F.col(key_col).cast("string").alias("user_id"), time_col, lon_col, lat_col)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
 def streaming_proximity_alerts(
     stream: DataFrame,
     center: tuple[float, float],

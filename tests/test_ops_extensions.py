@@ -248,6 +248,65 @@ def test_streaming_tile_counts(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_sessionize_tracks(spark):
+    """Custom stateful operator (applyInPandasWithState): sessions close
+    after the inactivity gap and report per-session point counts + geodesic
+    track length accumulated incrementally in state."""
+    import time
+
+    from geomesa_spark.streaming.stream import sessionize_tracks
+
+    import tempfile
+
+    # FINITE file source: after the one file is consumed the feed goes idle,
+    # so the 3-second inactivity gap elapses and every session times out and
+    # EMITS — deterministic, unlike a continuous rate source
+    srcdir = tempfile.mkdtemp(prefix="sess_src_")
+    pdf_rows = []
+    import datetime as _dt
+
+    t0 = _dt.datetime.now()
+    for i in range(60):
+        pdf_rows.append(
+            {
+                "user_id": i % 3,
+                "ts": t0 + _dt.timedelta(seconds=i * 0.01),
+                "x": (i * 7919 % 36000) / 100.0 - 180.0,
+                "y": (i * 104729 % 18000) / 100.0 - 90.0,
+            }
+        )
+    import pandas as pd
+
+    static = spark.createDataFrame(pd.DataFrame(pdf_rows))
+    static.coalesce(1).write.mode("overwrite").parquet(srcdir)
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    sess = sessionize_tracks(src, gap="3 seconds", watermark="10 seconds")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select * from sessions_stream where n_points > 0"
+            ).collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(2)
+        assert q.exception() is None
+        assert len(rows) == 3, rows  # one closed session per user key
+        assert {r.user_id for r in rows} == {"0", "1", "2"}
+        assert all(r.n_points == 20 for r in rows)
+        assert all(r.track_meters > 0 for r in rows)
+    finally:
+        q.stop()
+
+
 # --------------------------------------------------------------- multimodal
 
 
