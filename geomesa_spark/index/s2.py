@@ -195,6 +195,20 @@ def cell_center_lonlat(cell) -> tuple[np.ndarray, np.ndarray]:
     return np.degrees(np.arctan2(y, x)), np.degrees(np.arcsin(np.clip(z, -1, 1)))
 
 
+def s3_index(lon, lat, tsec, level: int = MAX_LEVEL):
+    """S3 = (week_bin, S2 cell) — the reference's spatio-temporal point key
+    (s3/S3IndexKeySpace.scala:79-97: time bin prefix + S2 cell id). For
+    POINT data the (bin, cell) composition is exact — unlike extents, a
+    point belongs to exactly one bin and one cell, so pruning on both
+    columns is sound (the extent case needs XZ3, see index/xz3.py)."""
+    from .zorder import SECONDS_PER
+
+    per = SECONDS_PER["week"]
+    ts = np.asarray(tsec, dtype=np.float64)
+    week_bin = np.floor_divide(ts, per).astype(np.int64)
+    return week_bin, s2_cell_id(lon, lat, level)
+
+
 def s2_covering(
     bbox: tuple[float, float, float, float], level: int
 ) -> list[int]:

@@ -110,12 +110,58 @@ def _ref_cell_cond(bits: int):
     )
 
 
+def _rect_info(g) -> tuple[bool, tuple[float, float, float, float] | None]:
+    """(is a NON-degenerate axis-aligned rectangle, bounds). Degenerate
+    rects (zero width/height) are excluded — their DE-9IM boundary semantics
+    differ from solid boxes and they take the generic path."""
+    polys = alg._polygons_of(g)
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False, None
+    r = np.asarray(polys[0][0])
+    if len(r) != 5:
+        return False, None
+    b = g.bounds()
+    if not (b[0] < b[2] and b[1] < b[3]):
+        return False, None
+    xs = {b[0], b[2]}
+    ys = {b[1], b[3]}
+    ok = all(float(p[0]) in xs and float(p[1]) in ys for p in r[:, :2])
+    return (True, b) if ok else (False, None)
+
+
+def _rect_pair_predicate(predicate: str, A, B) -> bool | None:
+    """Exact DE-9IM predicate for two SOLID axis-aligned rectangles from
+    bounds arithmetic alone (closed-set semantics). None = not supported."""
+    closed = A[0] <= B[2] and B[0] <= A[2] and A[1] <= B[3] and B[1] <= A[3]
+    open_ = A[0] < B[2] and B[0] < A[2] and A[1] < B[3] and B[1] < A[3]
+    a_in_b = A[0] >= B[0] and A[2] <= B[2] and A[1] >= B[1] and A[3] <= B[3]
+    b_in_a = B[0] >= A[0] and B[2] <= A[2] and B[1] >= A[1] and B[3] <= A[3]
+    if predicate == "intersects":
+        return closed
+    if predicate == "within":
+        return a_in_b
+    if predicate in ("contains", "covers"):
+        # for SOLID rects B inside A, interiors necessarily overlap, so
+        # contains == covers == containment of bounds
+        return b_in_a
+    if predicate == "overlaps":
+        return open_ and not a_in_b and not b_in_a
+    if predicate == "touches":
+        return closed and not open_
+    if predicate == "crosses":
+        return False  # areal x areal can never cross (dim rule)
+    return None
+
+
 def _pairwise_predicate_udf(predicate: str):
     """Vectorized exact predicate over (left_wkb, right_wkb) pairs.
 
-    Fast path: when the batch's left side is all points and the right side has
-    few distinct geometries (the polygon side of a typical point-in-polygon
-    join), runs one numpy ray-cast per distinct polygon over all its points."""
+    Fast paths:
+    - point left rows vs few distinct right polygons: one numpy ray-cast per
+      distinct polygon over all its points;
+    - solid-rectangle x solid-rectangle pairs (parcel/bbox/tile workloads):
+      pure bounds arithmetic, no per-pair geometry calls — rect-ness and
+      bounds are computed ONCE per distinct geometry and cached."""
     from pyspark.sql.types import BooleanType
 
     boundary_ok = predicate in ("intersects", "covers", "dwithin")
@@ -129,6 +175,7 @@ def _pairwise_predicate_udf(predicate: str):
         left_is_pt = ~np.isnan(pts[:, 0])
         out = np.empty(n, dtype=object)
         cache: dict[bytes, object] = {}
+        rect_cache: dict[bytes, tuple] = {}
 
         def geo(b):
             g = cache.get(b)
@@ -137,6 +184,14 @@ def _pairwise_predicate_udf(predicate: str):
                 if len(cache) < 8192:
                     cache[b] = g
             return g
+
+        def rect(b):
+            r = rect_cache.get(b)
+            if r is None:
+                r = _rect_info(geo(b))
+                if len(rect_cache) < 8192:
+                    rect_cache[b] = r
+            return r
 
         # NOTE: 'covers' is deliberately NOT in the fast path — for a point
         # left row, points_in_polygon answers "right covers left", but the
@@ -173,8 +228,16 @@ def _pairwise_predicate_udf(predicate: str):
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
-            else:
-                out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+                continue
+            lr, lb = rect(lbytes[i])
+            if lr:
+                rr, rb = rect(rbytes[i])
+                if rr:
+                    v = _rect_pair_predicate(predicate, lb, rb)
+                    if v is not None:
+                        out[i] = v
+                        continue
+            out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
         return pd.Series(out, dtype=object)
 
     return F.pandas_udf(pred, BooleanType())

@@ -84,6 +84,34 @@ def test_covering_recall(level):
     assert all(int(c) in cover for c in cells)
 
 
+def test_s3_point_key_recall():
+    """S3 (week_bin, s2) point keys: a bbox+interval query over the composed
+    key keeps every matching point (cell covering + bin range)."""
+    from geomesa_spark.index.s2 import s3_index
+    from geomesa_spark.index.zorder import SECONDS_PER
+
+    rng = np.random.default_rng(5)
+    n = 300
+    lons = rng.uniform(-60, 20, n)
+    lats = rng.uniform(-30, 40, n)
+    ts = rng.uniform(1.45e9, 1.46e9, n)
+    level = 6
+    wb, cells = s3_index(lons, lats, ts, level)
+    bbox = (-40.0, -20.0, 10.0, 25.0)
+    t0, t1 = 1.452e9, 1.455e9
+    cover = set(s2_covering(bbox, level))
+    b0, b1 = int(t0 // SECONDS_PER["week"]), int(t1 // SECONDS_PER["week"])
+    match = (
+        (lons >= bbox[0]) & (lons <= bbox[2])
+        & (lats >= bbox[1]) & (lats <= bbox[3])
+        & (ts >= t0) & (ts < t1)
+    )
+    kept = np.array([int(c) in cover for c in cells]) & (wb >= b0) & (wb <= b1)
+    assert match.sum() > 0
+    assert np.all(kept[match])  # recall: no matching point pruned
+    assert kept.sum() < n  # selectivity: something pruned
+
+
 def test_covering_selective():
     cover = s2_covering((-40.0, -20.0, 10.0, 25.0), 6)
     assert 0 < len(cover) < 6 * 4**6 / 4  # covers far less than the sphere
