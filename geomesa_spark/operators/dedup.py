@@ -152,6 +152,30 @@ def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataF
     return cand.join(renamed, on=out_id)
 
 
+def _est_prefilter(
+    cand: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    margin: float = 0.15,
+) -> DataFrame:
+    """Signature-estimated-Jaccard prefilter before the exact verify: the
+    candidate set on self-similar corpora is dominated by mid-similarity
+    pairs that can never reach `threshold`; dropping everything with
+    est < threshold - margin shrinks the expensive shingle-array attach +
+    exact intersect to the near-duplicates. With 128 hashes the estimator
+    std at s=threshold is ~0.03, so a 0.15 margin is a ~5-sigma guard —
+    recall of true >=threshold pairs is preserved (tested at both SFs)."""
+    sigs = sig.select(id_col, "_sig")
+    pre = _attach(cand, sigs, id_col, "id_a")
+    pre = _attach(pre, sigs, id_col, "id_b")
+    est = F.size(
+        F.filter(F.zip_with("_sig_id_a", "_sig_id_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(num_hashes))
+    return pre.filter(est >= threshold - margin).select("id_a", "id_b")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -187,6 +211,7 @@ def minhash_lsh_pairs(
     cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
 
     if verify == "exact":
+        cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
         cand = _attach(cand, sh, id_col, "id_a")
         cand = _attach(cand, sh, id_col, "id_b")
         jac = F.size(F.array_intersect("_sh_id_a", "_sh_id_b")) / F.size(
@@ -235,6 +260,7 @@ def ngram_jaccard_pairs(
         F.col("_sig").isNotNull()
     ).localCheckpoint(eager=False)
     cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
+    cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
     cand = _attach(cand, sh, id_col, "id_a")
     cand = _attach(cand, sh, id_col, "id_b")
     if block_col:
