@@ -8,9 +8,11 @@ deterministically synthesized interleaved-docs table (BASELINE.json metric) —
 index job + cell-keyed spatial join against a polygon side.
 
 `python bench.py --scaling` additionally runs the same job at two parallelism
-levels (local[N] vs local[4N] worth of cores, default 8 vs 32) and reports the
-scaling efficiency (BASELINE.md: >= 0.8 target), evidencing the north rule's
-two-cluster-size criterion in this single-node sandbox.
+levels (local[N] vs local[4N], default 1 vs 4 over 8M docs) interleaved
+best-of-k and reports the scaling efficiency (BASELINE.md: >= 0.8 target),
+evidencing the north rule's two-cluster-size criterion in this single-node
+sandbox. See BENCH.md for the level/size methodology (the job must dwarf
+fixed session costs; hi must sit under the host's effective-core ceiling).
 """
 
 from __future__ import annotations
@@ -151,20 +153,25 @@ def main():
         # taken per level: this sandbox is a shared VM with bursty CPU steal,
         # and best-of across interleaved repeats removes transient slowdowns
         # that would otherwise dominate the ratio.
-        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", max(2, CPUS // 4)))
-        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", CPUS))
+        # defaults: 1 vs 4 cpus over 8M docs — the job must be big enough
+        # that ~10s of fixed session/python-worker cost doesn't dominate,
+        # and hi must sit under this host's ~8-16 effective-core steal
+        # ceiling (BENCH.md runs G1-G3 show the failure modes)
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+        hi_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_HI", 4 * lo_cpus))
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "8000000"))
         times: dict[int, list[float]] = {lo_cpus: [], hi_cpus: []}
         for _ in range(repeats):
             for cpus in (lo_cpus, hi_cpus):
                 s = make_spark(cpus)
                 # warm-up pass (JIT/codegen) then measured pass
-                synth_join_job(s, max(10000, N_DOCS // 10), max(200, N_POLYS // 10))
-                _, t = synth_join_job(s, N_DOCS, N_POLYS)
+                synth_join_job(s, max(10000, scale_docs // 20), max(200, N_POLYS // 10))
+                _, t = synth_join_job(s, scale_docs, N_POLYS * 3)
                 times[cpus].append(t)
                 s.stop()
-        tp_lo = n_docs / min(times[lo_cpus])
-        tp_hi = n_docs / min(times[hi_cpus])
+        tp_lo = scale_docs / min(times[lo_cpus])
+        tp_hi = scale_docs / min(times[hi_cpus])
         CPUS_EFF = hi_cpus / lo_cpus
         result["scaling"] = {
             "cpus_lo": lo_cpus,

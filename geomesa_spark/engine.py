@@ -124,3 +124,38 @@ class GeoEngine:
 
     def tiles(self, df: DataFrame, zoom: int) -> DataFrame:
         return density_mod.tile_counts(df, zoom)
+
+    # ------------------------------------------- training-data pipeline ops
+
+    def dedup_exact(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators import dedup
+
+        return dedup.exact_dedup(df, **kw)
+
+    def dedup_near(self, df: DataFrame, method: str = "minhash", **kw) -> DataFrame:
+        """Near-duplicate pairs: method = minhash | ngram | simhash | embedding."""
+        from .operators import dedup
+
+        fns = {
+            "minhash": dedup.minhash_lsh_pairs,
+            "ngram": dedup.ngram_jaccard_pairs,
+            "simhash": dedup.simhash_pairs,
+            "embedding": dedup.embedding_cosine_pairs,
+        }
+        return fns[method](df, **kw)
+
+    def ann(self, df: DataFrame, query_vec, k: int = 10, approx: bool = True, **kw) -> DataFrame:
+        from .operators import similarity
+
+        fn = similarity.ann_topk_lsh if approx else similarity.brute_force_topk
+        return fn(df, query_vec, k=k, **kw)
+
+    def write_attr_indexed(self, df: DataFrame, path: str, attr: str, **kw) -> None:
+        from .sources import attr_index
+
+        attr_index.write_attr_indexed(attr_index.with_z2(df), path, attr, **kw)
+
+    def attr_scan(self, path: str, attr: str, value, bbox=None, **kw) -> DataFrame:
+        from .sources import attr_index
+
+        return attr_index.attr_equality_scan(self.spark, path, attr, value, bbox, **kw)

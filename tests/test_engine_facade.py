@@ -66,3 +66,28 @@ def test_engine_join_and_tiles(eng, spark, docs):
     assert j.count() >= 0
     t = eng.tiles(docs, 3)
     assert t.agg({"n_docs": "sum"}).collect()[0][0] == docs.filter("x is not null").count()
+
+
+def test_engine_pipeline_ops(eng, spark, tmp_path):
+    """Facade surface for the training-data ops + tiered attribute index."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert eng.dedup_near(docs, "minhash", threshold=0.8, verify="exact").count() > 0
+    assert eng.dedup_near(emb, "embedding", threshold=0.40).count() >= 0
+    q = [float(v) for v in emb.filter("vec_id = 0").first().embedding]
+    assert eng.ann(emb, q, k=5, approx=False).count() == 5
+
+    from pyspark.sql import functions as F
+    from geomesa_spark import oracle as O
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("x", F.expr(O.EVENT_LON)).withColumn("y", F.expr(O.EVENT_LAT))
+        .withColumn("minx", F.col("x")).withColumn("maxx", F.col("x"))
+        .withColumn("miny", F.col("y")).withColumn("maxy", F.col("y"))
+    )
+    path = str(tmp_path / "by_user")
+    eng.write_attr_indexed(ev, path, "user_id")
+    got = eng.attr_scan(path, "user_id", 7).count()
+    want = ev.filter("user_id = 7").count()
+    assert got == want > 0
