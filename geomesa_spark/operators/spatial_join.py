@@ -320,10 +320,19 @@ def spatial_join(
         # nothing. Reference analog: shard-byte key prefixes (ShardStrategy)
         # + RTREE/WEIGHTED partitioning; this is strictly more targeted.
         n_shuffle = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        counts = L3.groupBy("join_cell").count()
         total = left.count()
         thresh = max(10000, 2 * total // max(1, n_shuffle))
-        hot = [r.join_cell for r in counts.filter(F.col("count") > thresh).collect()]
+        # hot-cell detection needs only approximate counts: probe a SAMPLE of
+        # the left side (>=200k rows) instead of a full extra pass — a cell
+        # misclassified near the threshold is harmless (salting never changes
+        # results, only partitioning)
+        frac = min(1.0, max(0.02, 200_000 / max(total, 1)))
+        probe_src = L2.sample(fraction=frac, seed=42) if frac < 1.0 else L2
+        counts = _with_join_cells(probe_src, "l_", bits).groupBy("join_cell").count()
+        hot = [
+            r.join_cell
+            for r in counts.filter(F.col("count") > thresh * frac).collect()
+        ]
         if hot:
             is_hot_l = F.col("join_cell").isin(hot)
             L3 = L3.withColumn(
