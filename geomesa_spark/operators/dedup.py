@@ -310,6 +310,29 @@ def simhash_col(text_col, bits: int = SIMHASH_BITS):
     return simhash_from_hashes(token_hashes_col(text_col), bits)
 
 
+def _simhash_udf(bits: int = SIMHASH_BITS):
+    """token-hash array -> signature via numpy (per-doc tiles). Pure integer
+    math — BIT-IDENTICAL to simhash_from_hashes, but one Arrow pass instead
+    of `bits` interpreted aggregate-lambdas per row (the hot path for
+    simhash_pairs; the Column form remains the SQL-mirrorable definition)."""
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def f(harrs):  # no hints (local-import annotations trap)
+        out = np.full(len(harrs), 0, dtype=np.int64)
+        for i, h in enumerate(harrs):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            bitm = (hv[:, None] >> shifts) & 1  # (tokens, bits)
+            contrib = bitm.sum(axis=0) * 2 - len(hv)  # sum of +-1 per bit
+            out[i] = int(((contrib > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return F.pandas_udf(f, LongType())
+
+
 def _simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS):
     """Pigeonhole split of the signature into (max_hamming+1) bit blocks:
     a pair with <= max_hamming differing bits agrees on >= 1 whole block."""
@@ -335,7 +358,7 @@ def simhash_pairs(
     blocks; candidates are block equi-join matches; exact Hamming verifies.
     A pair matching several blocks dedupes on (id_a, id_b)."""
     sh = _ensure_parallel(df).select(
-        F.col(id_col), simhash_col(F.col(text_col)).alias("_sig")
+        F.col(id_col), _simhash_udf()(token_hashes_col(F.col(text_col))).alias("_sig")
     ).localCheckpoint(eager=False)  # signatures computed once, both join sides
     blocks = _simhash_blocks(max_hamming)
     block_structs = [
