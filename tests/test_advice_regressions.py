@@ -116,3 +116,36 @@ def test_ref_cell_clamp_below_world_bounds(spark):
     )
     rows = spatial_join(left, right, predicate="intersects", broadcast=True).count()
     assert rows == 1
+
+
+def test_rect_pair_predicate_matches_kernel():
+    """The join's solid-rect bounds fast path must agree with the geometry
+    kernel on every supported predicate over random rect pairs (including
+    touching, nested, disjoint and identical cases)."""
+    import numpy as np
+
+    from geomesa_spark.geom import algorithms as alg
+    from geomesa_spark.geom.wkt import from_wkt
+    from geomesa_spark.operators.spatial_join import _rect_pair_predicate
+
+    def box(x0, y0, x1, y1):
+        return from_wkt(
+            f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    rng = np.random.default_rng(13)
+    rects = []
+    for _ in range(40):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        rects.append((x0, y0, x0 + rng.uniform(0.5, 4), y0 + rng.uniform(0.5, 4)))
+    # deliberate exact-touch / nested / equal cases
+    rects += [(0, 0, 2, 2), (2, 0, 4, 2), (0, 2, 2, 4), (0.5, 0.5, 1.5, 1.5), (0, 0, 2, 2)]
+    preds = ["intersects", "within", "contains", "covers", "overlaps", "touches", "crosses"]
+    for i in range(0, len(rects), 3):
+        for j in range(len(rects)):
+            A, B = rects[i], rects[j]
+            ga, gb = box(*A), box(*B)
+            for p in preds:
+                got = _rect_pair_predicate(p, A, B)
+                want = bool(getattr(alg, p)(ga, gb))
+                assert got == want, (p, A, B, got, want)
