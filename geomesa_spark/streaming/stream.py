@@ -82,6 +82,62 @@ def windowed_density(
     )
 
 
+def streaming_spatial_join(
+    stream: DataFrame,
+    polygons: DataFrame,
+    bits: int = 6,
+    lon_col: str = "x",
+    lat_col: str = "y",
+    geom_col: str = "geom_wkb",
+) -> DataFrame:
+    """Stream-static spatial join: a point stream against a static polygon
+    table, keyed on the SAME grid cells as the batch join (cell equi-join is
+    streaming-legal; the exact point-in-polygon refine is the same vectorized
+    predicate). The static side is prepared once: envelope + exploded cover
+    cells; Spark broadcasts it into every micro-batch."""
+    from ..operators.spatial_join import (
+        _pairwise_predicate_udf,
+        _with_envelope,
+        _with_join_cells,
+        cover_cells_expr,
+    )
+
+    # static side: envelope + exploded cover cells (renamed to avoid clashes)
+    P = _with_envelope(polygons, geom_col, "r")
+    psel = []
+    for c in P.columns:
+        if c in ("minx", "miny", "maxx", "maxy"):
+            psel.append(F.col(c).alias(f"r_{c}"))
+        elif c in set(stream.columns):
+            psel.append(F.col(c).alias(f"{c}_r"))
+        else:
+            psel.append(F.col(c))
+    P2 = _with_join_cells(P.select(*psel), "r_", bits)
+
+    # stream side: one cell per point, pure Column math (streaming-safe)
+    cover = cover_cells_expr(bits)
+    s = stream.withColumn(
+        "join_cell",
+        F.explode(
+            cover(F.col(lon_col), F.col(lat_col), F.col(lon_col), F.col(lat_col))
+        ),
+    )
+    joined = s.join(F.broadcast(P2), on="join_cell").filter(
+        (F.col(lon_col) >= F.col("r_minx"))
+        & (F.col(lon_col) <= F.col("r_maxx"))
+        & (F.col(lat_col) >= F.col("r_miny"))
+        & (F.col(lat_col) <= F.col("r_maxy"))
+    )
+    rgeom = geom_col if geom_col not in stream.columns else f"{geom_col}_r"
+    pred = _pairwise_predicate_udf("intersects")
+    from ..functions.library import UDFS
+
+    pt = UDFS["st_makePoint"](F.col(lon_col), F.col(lat_col))
+    return joined.filter(pred(pt, F.col(rgeom))).drop(
+        "join_cell", "r_minx", "r_miny", "r_maxx", "r_maxy"
+    )
+
+
 def sessionize_tracks(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -248,6 +248,60 @@ def test_streaming_tile_counts(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_spatial_join(spark):
+    """Stream-static spatial join: streamed points land only in the polygons
+    that truly contain them (cell equi-join + exact refine per micro-batch)."""
+    import time
+
+    from geomesa_spark.streaming.stream import streaming_spatial_join
+    from geomesa_spark.sources.docs import index_docs, synth_docs
+
+    polys = (
+        index_docs(synth_docs(spark, 200, seed=7, bbox=(-10.0, -10.0, 10.0, 10.0)))
+        .filter(F.col("minx") < F.col("maxx"))
+        .select(F.col("doc_id").alias("poly_id"), "geom_wkb")
+    ).cache()
+    n_polys = polys.count()
+    assert n_polys > 0
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "2000").load()
+        .withColumn("x", (F.col("value") * 7919 % 2000) / 100.0 - 10.0)
+        .withColumn("y", (F.col("value") * 104729 % 2000) / 100.0 - 10.0)
+    )
+    out = streaming_spatial_join(src, polys)
+    q = (
+        out.select("value", "x", "y", "poly_id")
+        .writeStream.format("memory")
+        .queryName("sjoin_stream")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("select * from sjoin_stream").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(2)
+        assert q.exception() is None
+        assert len(rows) >= 5, "stream-static join produced too few matches"
+        # verify every emitted pair against the kernel
+        from geomesa_spark.geom import algorithms as alg
+        from geomesa_spark.geom.wkb import from_wkb
+        from geomesa_spark.geom.core import Geometry
+
+        geoms = {r.poly_id: bytes(r.geom_wkb) for r in polys.collect()}
+        for r in rows[:50]:
+            g = from_wkb(geoms[r.poly_id])
+            from geomesa_spark.geom.algorithms import point
+
+            assert alg.intersects(point(r.x, r.y), g), (r.x, r.y, r.poly_id)
+    finally:
+        q.stop()
+
+
 def test_streaming_sessionize_tracks(spark):
     """Custom stateful operator (applyInPandasWithState): sessions close
     after the inactivity gap and report per-session point counts + geodesic
