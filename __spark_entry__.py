@@ -171,6 +171,54 @@ def q_xz2_extent_query(spark, sf_dir):
     return exact.select("poly_id")
 
 
+# derived per-polygon timestamp for the XZ3 query (epoch 2024-01-01 + up to
+# 30 days, deterministic in p_partkey; identical arithmetic in the oracle)
+XZ3_T0 = 1704067200
+XZ3_TS = f"({XZ3_T0} + (p_partkey * 40009) % 2592000)"
+XZ3_BBOX = (-60.0, -30.0, 40.0, 35.0)
+XZ3_INTERVAL = ("2024-01-05", "2024-01-20")
+
+
+def q_xz3_extent_temporal(spark, sf_dir):
+    """Spatio-temporal EXTENT query through the TRUE XZ3 curve: one
+    (week_bin, xz3) code per extent, planner range prefilter (prunes the
+    time axis within a bin — the property the composed (week_bin, xz2)
+    pair loses), then the exact envelope+interval compare."""
+    _init(spark)
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from geomesa_spark.index.xz3 import xz3_index_many
+    from geomesa_spark.plans.planner import xz3_predicate
+
+    polys = _part_polys(spark, sf_dir).withColumn(
+        "ts_epoch",
+        (F.lit(XZ3_T0) + (F.col("poly_id") * 40009) % 2592000).cast("long"),
+    )
+    st = StructType([StructField("week_bin", LongType()), StructField("xz3", LongType())])
+
+    def keys(minx, miny, maxx, maxy, ts):  # no hints (annotations trap)
+        wb, code = xz3_index_many(
+            minx.to_numpy(float), miny.to_numpy(float),
+            maxx.to_numpy(float), maxy.to_numpy(float),
+            ts.to_numpy(np.float64),
+        )
+        return pd.DataFrame({"week_bin": wb, "xz3": code})
+
+    keyed = polys.withColumn(
+        "_k", F.pandas_udf(keys, st)("minx", "miny", "maxx", "maxy", "ts_epoch")
+    ).select("*", "_k.*")
+    pred = xz3_predicate([XZ3_BBOX], XZ3_INTERVAL, max_ranges=120)
+    t0 = int(pd.Timestamp(XZ3_INTERVAL[0]).timestamp())
+    t1 = int(pd.Timestamp(XZ3_INTERVAL[1]).timestamp())
+    exact = (
+        (F.col("minx") <= XZ3_BBOX[2]) & (F.col("maxx") >= XZ3_BBOX[0])
+        & (F.col("miny") <= XZ3_BBOX[3]) & (F.col("maxy") >= XZ3_BBOX[1])
+        & (F.col("ts_epoch") >= t0) & (F.col("ts_epoch") < t1)
+    )
+    return keyed.filter(pred & exact).select("poly_id")
+
+
 def q_knn_geodesic(spark, sf_dir):
     _init(spark)
     e = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "doc_id")
@@ -456,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bbox_temporal": q_spatial_bbox_temporal,
         "spatial_join_pip": q_spatial_join_pip,
         "xz2_extent_query": q_xz2_extent_query,
+        "xz3_extent_temporal": q_xz3_extent_temporal,
         "knn_geodesic": q_knn_geodesic,
         "dwithin_proximity": q_dwithin_proximity,
         "tile_assignment_z8": q_tile_assignment_z8,
@@ -529,6 +578,14 @@ def oracle_sql() -> dict[str, str]:
             where p_partkey < 200
               and ({O.PART_CX}) - ({O.PART_HW}) <= 10.0 and ({O.PART_CX}) + ({O.PART_HW}) >= -40.0
               and ({O.PART_CY}) - ({O.PART_HH}) <= 25.0 and ({O.PART_CY}) + ({O.PART_HH}) >= -20.0
+        """,
+        "xz3_extent_temporal": f"""
+            select p_partkey as poly_id from part
+            where p_partkey < 200
+              and ({O.PART_CX}) - ({O.PART_HW}) <= {XZ3_BBOX[2]!r} and ({O.PART_CX}) + ({O.PART_HW}) >= {XZ3_BBOX[0]!r}
+              and ({O.PART_CY}) - ({O.PART_HH}) <= {XZ3_BBOX[3]!r} and ({O.PART_CY}) + ({O.PART_HH}) >= {XZ3_BBOX[1]!r}
+              and {XZ3_TS} >= {int(pd.Timestamp(XZ3_INTERVAL[0]).timestamp())}
+              and {XZ3_TS} < {int(pd.Timestamp(XZ3_INTERVAL[1]).timestamp())}
         """,
         "knn_geodesic": knn_sql,
         "dwithin_proximity": f"""

@@ -98,6 +98,7 @@ def run_queries(spark) -> dict[str, float]:
         "spatial_bbox_temporal",
         "spatial_join_pip",
         "xz2_extent_query",
+        "xz3_extent_temporal",
         "knn_geodesic",
         "dwithin_proximity",
         "tile_assignment_z8",
