@@ -246,8 +246,12 @@ def ngram_jaccard_pairs(
     Candidate generation is MinHash-LSH banding (NOT all-pairs within a
     block: that is O(n^2/blocks) and dies at scale); the exact Jaccard runs
     only on candidates. With r = num_hashes/bands rows per band, a true pair
-    at similarity s is missed with probability (1-s^r)^bands — for s >=
-    threshold = 0.9 and (r=4, b=16) that is < 2e-18 per pair. `block_col`
+    at similarity s is missed with probability (1-s^r)^bands. The defaults
+    (num_hashes=128, bands=16 → r=8) give ~1.2e-4 miss at s=0.9 and ~5.3%
+    at s=0.8 — a deliberate precision/recall trade: r=4 floods the candidate
+    set on self-similar (boilerplate-heavy) corpora. Pass bands=32 (r=4,
+    miss < 2e-18 at s=0.9) when near-threshold recall matters more than
+    candidate volume. `block_col`
     (if set) additionally restricts pairs to equal block values (e.g.
     same-language dedup)."""
     df = _ensure_parallel(df)

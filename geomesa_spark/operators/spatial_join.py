@@ -123,9 +123,18 @@ def _rect_info(g) -> tuple[bool, tuple[float, float, float, float] | None]:
     b = g.bounds()
     if not (b[0] < b[2] and b[1] < b[3]):
         return False, None
-    xs = {b[0], b[2]}
-    ys = {b[1], b[3]}
-    ok = all(float(p[0]) in xs and float(p[1]) in ys for p in r[:, :2])
+    # The 4 non-closing vertices must be the 4 DISTINCT corners in
+    # rectangular (adjacent-corner) order: vertices-on-corners alone admits
+    # degenerate rings (triangle with a doubled corner, corner bowtie) that
+    # are NOT solid rectangles but would take the bounds-only fast path.
+    corners = {(b[0], b[1]), (b[2], b[1]), (b[2], b[3]), (b[0], b[3])}
+    verts = [(float(p[0]), float(p[1])) for p in r[:4, :2]]
+    if set(verts) != corners:
+        return False, None
+    ok = all(
+        (verts[i][0] == verts[(i + 1) % 4][0]) != (verts[i][1] == verts[(i + 1) % 4][1])
+        for i in range(4)
+    )
     return (True, b) if ok else (False, None)
 
 

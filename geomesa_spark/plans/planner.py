@@ -372,8 +372,12 @@ def xz3_predicate(
     for b in range(bin_lo, bin_hi + 1):
         t0 = max(lo, b * per) - b * per
         t1 = min(hi, (b + 1) * per) - b * per
+        # No epsilon shrink on t1: a doc whose timestamp sits exactly on the
+        # interval upper bound AND on an octree time-cell boundary must stay
+        # inside the pushdown ranges (over-select, never miss). _normalize
+        # already clamps t1 to the bin, so the closed upper bound is safe.
         windows = [
-            (minx, miny, t0, maxx, maxy, max(t0, t1 - 1e-9))
+            (minx, miny, t0, maxx, maxy, max(t0, t1))
             for minx, miny, maxx, maxy in bboxes
         ]
         ranges = sfc.ranges(windows, max_ranges=per_bin_budget)

@@ -73,13 +73,23 @@ def attr_equality_scan(
     bbox: tuple[float, float, float, float] | None = None,
     buckets: int = DEFAULT_BUCKETS,
     max_ranges: int = 60,
+    geom_kind: str = "points",
 ) -> DataFrame:
     """Read path for `attr = value [AND bbox]`:
       1. attr_bucket == hash-bucket(value)   (partition pruning)
       2. attr == value                       (row-group stats: sorted runs)
       3. z2 range ORs                        (row-group stats: z-sorted tier)
       4. envelope compare                    (exact for the bbox predicate)
-    All predicates are plain Columns — parquet pushdown end to end."""
+    All predicates are plain Columns — parquet pushdown end to end.
+
+    CONTRACT: the z2 tier conjunct (step 3) is sound only for POINT tables —
+    z2 keys the centroid, and an extent whose envelope overlaps the bbox can
+    have its centroid (hence z2) outside it. For extent tables pass
+    geom_kind="extents": the z2 conjunct is skipped and the envelope compare
+    alone filters (the reference tiers extents on XZ2 for the same reason —
+    AttributeIndexKeySpace.scala:34-71 tier selection)."""
+    if geom_kind not in ("points", "extents"):
+        raise ValueError(f"geom_kind must be 'points' or 'extents', got {geom_kind!r}")
     df = spark.read.parquet(path)
     lit_val = F.lit(value)
     cond = (F.col("attr_bucket") == attr_bucket_col(lit_val, buckets)) & (
@@ -87,13 +97,14 @@ def attr_equality_scan(
     )
     if bbox is not None:
         minx, miny, maxx, maxy = bbox
-        ranges = zranges_lonlat([bbox], Z2_BITS, max_ranges=max_ranges)
-        zcond = None
-        for r in ranges:
-            c = F.col("z2").between(r.lower, r.upper)
-            zcond = c if zcond is None else (zcond | c)
-        if zcond is not None:
-            cond = cond & zcond
+        if geom_kind == "points":
+            ranges = zranges_lonlat([bbox], Z2_BITS, max_ranges=max_ranges)
+            zcond = None
+            for r in ranges:
+                c = F.col("z2").between(r.lower, r.upper)
+                zcond = c if zcond is None else (zcond | c)
+            if zcond is not None:
+                cond = cond & zcond
         cond = cond & (
             (F.col("minx") <= F.lit(maxx))
             & (F.col("maxx") >= F.lit(minx))

@@ -233,7 +233,14 @@ def sessionize_tracks(
 
     return (
         stream.withWatermark(time_col, watermark)
-        .select(F.col(key_col).cast("string").alias("user_id"), time_col, lon_col, lat_col)
+        # alias to the ts/x/y names the stateful fn expects — callers may
+        # pass any time/lon/lat column names
+        .select(
+            F.col(key_col).cast("string").alias("user_id"),
+            F.col(time_col).alias("ts"),
+            F.col(lon_col).alias("x"),
+            F.col(lat_col).alias("y"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
