@@ -395,7 +395,9 @@ def q_text_quality(spark, sf_dir):
 def q_ngram_dedup(spark, sf_dir):
     _init(spark)
     d = _read(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, threshold=0.9, k=3, block_col="lang")
+    pairs = ngram_jaccard_pairs(
+        d, threshold=0.9, k=3, block_col="lang", canonicalize=True
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
 
@@ -435,20 +437,40 @@ def q_embedding_dedup(spark, sf_dir):
 
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH candidates + EXACT shingle-Jaccard verify at 0.8 (global,
-    no blocking — the oracle is the full all-pairs exact computation)."""
+    no blocking). canonicalize=True: exact duplicates collapse to a min-id
+    representative BEFORE candidate generation (duplicate-cluster safety —
+    a 10^6-identical cluster contributes one doc per bucket, not 10^6); the
+    oracle mirrors with a group-by-text canonical CTE."""
     _init(spark)
     d = _read(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.8, verify="exact")
+    pairs = minhash_lsh_pairs(d, threshold=0.8, verify="exact", canonicalize=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
 
 def q_simhash_dedup(spark, sf_dir):
     """Pigeonhole multi-block simhash pairs (full Hamming<=6 recall); the
-    60-bit signatures are md5-derived so DuckDB computes them identically."""
+    60-bit signatures are md5-derived so DuckDB computes them identically.
+    Canonicalized (exact dups pre-collapsed), mirrored in the oracle."""
     _init(spark)
     d = _read(spark, sf_dir, "documents")
-    pairs = simhash_pairs(d, max_hamming=6)
+    pairs = simhash_pairs(d, max_hamming=6, canonicalize=True)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate clusters as CONNECTED COMPONENTS (id -> min-member-id) over
+    the simhash Hamming<=3 near-dup graph — the scale-safe output shape for
+    large duplicate clusters (O(cluster) rows instead of O(cluster^2) raw
+    pairs). Spark side: iterative min-label propagation (dedup_components);
+    oracle: recursive-CTE transitive closure + group-min in DuckDB."""
+    _init(spark)
+    from geomesa_spark.operators.dedup import dedup_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, max_hamming=3, canonicalize=True)
+    return dedup_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -528,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
+        "dedup_components": q_dedup_components,
         "ann_lsh_topk": q_ann_lsh_topk,
         "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
@@ -691,11 +714,15 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "ngram_dedup": """
-            with sh as (
+            with canon as (
+              select min(doc_id) as doc_id, arg_min(lang, doc_id) as lang, text
+              from documents group by text
+            ),
+            sh as (
               select doc_id, lang,
                      list_distinct([substr(lower(text), i, 3)
                                     for i in range(1, greatest(length(text)-1, 2))]) as s
-              from documents
+              from canon
             )
             select a.doc_id as id_a, b.doc_id as id_b,
                    round(len(list_intersect(a.s, b.s)) * 1.0 /
@@ -733,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _embedding_dedup_oracle(),
         "minhash_dedup": _minhash_dedup_oracle(),
         "simhash_dedup": _simhash_dedup_oracle(),
+        "dedup_components": _dedup_components_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "convexhull_by_type": _convexhull_oracle(),
     }
@@ -821,29 +849,67 @@ def _embedding_dedup_oracle() -> str:
     """
 
 
+CANON_CTE = "select min(doc_id) as doc_id, text from documents group by text"
+
+
 def _minhash_dedup_oracle() -> str:
-    """Exact GLOBAL all-pairs shingle Jaccard >= 0.8 — the full-recall truth
-    set the LSH candidates must reproduce (miss prob < 2e-18/pair at 0.8+)."""
+    """Exact GLOBAL all-pairs shingle Jaccard >= 0.8 over CANONICAL docs
+    (exact duplicates pre-collapsed to the min-id representative, mirroring
+    canonicalize=True) — the full-recall truth set the LSH candidates must
+    reproduce (miss prob < 2e-18/pair at 0.8+)."""
     jac = "len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s)))"
     return f"""
-        with sh as ({O.jaccard_shingles_sql('documents')})
+        with canon as ({CANON_CTE}),
+        sh as ({O.jaccard_shingles_sql('canon')})
         select a.doc_id as id_a, b.doc_id as id_b, round({jac}, 6) as jaccard_r6
         from sh a join sh b on a.doc_id < b.doc_id
         where {jac} >= 0.8
     """
 
 
-def _simhash_dedup_oracle() -> str:
-    """Recomputes the md5-derived 60-bit simhash signatures in DuckDB and
-    takes exact all-pairs Hamming <= 6 — full truth set for the pigeonhole
-    multi-block candidates."""
+def _simhash_sig_ctes(max_hamming: int) -> str:
+    """Shared canonical-docs + signature CTE prefix for the simhash oracles."""
     return f"""
-        with th as (select doc_id, {O.token_hashes_sql('text')} as hs from documents),
-        sig as (select doc_id, {O.simhash_from_hashes_sql('hs')} as sg from th)
-        select a.doc_id as id_a, b.doc_id as id_b,
-               cast(bit_count(xor(a.sg, b.sg)) as bigint) as hamming
-        from sig a join sig b on a.doc_id < b.doc_id
-        where bit_count(xor(a.sg, b.sg)) <= 6
+        canon as ({CANON_CTE}),
+        th as (select doc_id, {O.token_hashes_sql('text')} as hs from canon),
+        sig as (select doc_id, {O.simhash_from_hashes_sql('hs')} as sg from th),
+        pairs as (
+          select a.doc_id as id_a, b.doc_id as id_b,
+                 cast(bit_count(xor(a.sg, b.sg)) as bigint) as hamming
+          from sig a join sig b on a.doc_id < b.doc_id
+          where bit_count(xor(a.sg, b.sg)) <= {max_hamming}
+        )"""
+
+
+def _simhash_dedup_oracle() -> str:
+    """Recomputes the md5-derived 60-bit simhash signatures in DuckDB over
+    canonical docs and takes exact all-pairs Hamming <= 6 — full truth set
+    for the pigeonhole multi-block candidates."""
+    return f"""
+        with {_simhash_sig_ctes(6)}
+        select id_a, id_b, hamming from pairs
+    """
+
+
+def _dedup_components_oracle() -> str:
+    """Connected components of the Hamming<=3 simhash graph: recursive-CTE
+    transitive closure (edges both directions + identity) then min reachable
+    id per node — engine-independent truth for the Spark min-label
+    propagation loop."""
+    return f"""
+        with recursive {_simhash_sig_ctes(3)},
+        edges as (
+          select id_a as src, id_b as dst from pairs
+          union all
+          select id_b as src, id_a as dst from pairs
+        ),
+        nodes as (select distinct src as id from edges),
+        reach (id, lab) as (
+          select id, id from nodes
+          union
+          select e.src, r.lab from edges e join reach r on r.id = e.dst
+        )
+        select id as doc_id, min(lab) as component from reach group by id
     """
 
 

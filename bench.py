@@ -113,6 +113,7 @@ def run_queries(spark) -> dict[str, float]:
         "ann_cosine_topk",
         "minhash_dedup",
         "simhash_dedup",
+        "dedup_components",
         "embedding_dedup",
         "ann_lsh_topk",
         "attr_bbox_filter",

@@ -69,6 +69,126 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# ------------------------------------------------- exact canonicalization
+
+
+def canonicalize_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """One representative row per DISTINCT text: (min-id as id_col, text,
+    *carry-from-the-min-id-row). The canonicalization pre-pass that keeps
+    LSH candidate generation O(distinct-texts): a web corpus routinely has
+    duplicate clusters of 10^6 identical docs (boilerplate), and every LSH
+    band puts the whole cluster in one bucket — m^2/2 candidate pairs unless
+    collapsed to one rep first. One sha2 shuffle with map-side partial agg.
+    Expansion back to members is exact_dedup's O(cluster) group output."""
+    aggs = [
+        F.min(id_col).alias(id_col),
+        F.first(text_col).alias(text_col),  # identical within a group
+    ]
+    aggs += [F.min_by(F.col(c), F.col(id_col)).alias(c) for c in carry]
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("_th"), id_col, text_col, *carry)
+        .groupBy("_th")
+        .agg(*aggs)
+        .drop("_th")
+    )
+
+
+def exact_canonical_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, canonical_id) for EVERY row — the join key for expanding
+    canonical-pair results back to members. Window-min over the text hash:
+    one shuffle, no self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256))
+    return df.select(
+        F.col(id_col), F.min(id_col).over(w).alias("canonical_id")
+    )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of a near-duplicate pair graph -> (id, component)
+    with component = min member id. Iterative min-label propagation: each
+    round every node takes the min of its own label and its neighbors'
+    labels; converges in O(graph diameter) rounds. Near-dup clusters are
+    near-cliques (diameter ~1-2), so this terminates in a few rounds — for
+    long-path graphs use the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14); this implementation
+    favors the shape dedup graphs actually have. Each round is one shuffle
+    on id; labels are localCheckpoint'd so lineage stays flat."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("_nc")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nc").alias("_mn"))
+            .withColumnRenamed("src", "id")
+        )
+        new = labels.join(nbr_min, on="id", how="left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("_mn", "component")).alias(
+                "component"
+            ),
+        ).localCheckpoint(eager=False)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def _bucket_guard(keyed: DataFrame, key_cols: list[str], max_bucket: int | None):
+    """Drop LSH buckets larger than max_bucket (None = keep all). An
+    oversized bucket is degenerate blocking — m docs sharing a band value
+    emit m^2/2 candidate pairs, so one hot bucket (boilerplate cluster that
+    survived canonicalization, e.g. near-identical-but-not-equal templates)
+    can dominate the whole job. The window count shuffles on the SAME key as
+    the candidate self-join, so AQE reuses the exchange. Reference analog:
+    full-table-scan blocking, QueryProperties.scala:40-42 — refuse the
+    degenerate plan rather than run it."""
+    if max_bucket is None:
+        return keyed
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    return (
+        keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 # ------------------------------------------------------------------ MinHash
 
 
@@ -106,11 +226,17 @@ def _minhash_udf(num_hashes: int, seed: int = 42):
 
 
 def _lsh_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id, _sig) -> candidate id pairs via LSH banding. Only (id, band,
     bucket-hash) crosses the shuffle; the band self-join's two sides are the
-    identical subplan, so Spark computes the exchange once (ReusedExchange)."""
+    identical subplan, so Spark computes the exchange once (ReusedExchange).
+    max_bucket (if set) drops degenerate buckets before the self-join —
+    see _bucket_guard."""
     rows_per_band = num_hashes // bands
     bands_df = sig.select(
         id_col,
@@ -128,6 +254,7 @@ def _lsh_candidates(
             )
         ).alias("_bb"),
     ).select(id_col, "_bb.band", "_bb.bucket")
+    bands_df = _bucket_guard(bands_df, ["band", "bucket"], max_bucket)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     return (
@@ -185,6 +312,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: str = "est",
+    canonicalize: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates.
 
@@ -196,7 +325,16 @@ def minhash_lsh_pairs(
                       Jaccard >= threshold (cheapest; estimator noise).
     verify='exact' -> (id_a, id_b, jaccard) with EXACT shingle Jaccard >=
                       threshold computed only on candidates (deterministic,
-                      oracle-checkable)."""
+                      oracle-checkable).
+
+    canonicalize=True collapses exact duplicates (identical text) to one
+    min-id representative BEFORE candidate generation, so a 10^6-identical
+    boilerplate cluster contributes ONE doc to every band bucket instead of
+    10^6 (pairs among identical docs are exact_dedup's O(cluster) output,
+    not emitted here). max_bucket drops residual degenerate buckets — see
+    _bucket_guard."""
+    if canonicalize:
+        df = canonicalize_exact(df, text_col, id_col)
     df = _ensure_parallel(df)
     mh = _minhash_udf(num_hashes)
     # localCheckpoint cuts the lineage so the shingle/minhash work runs ONCE,
@@ -208,7 +346,9 @@ def minhash_lsh_pairs(
     sig = sh.withColumn("_sig", mh(F.col("_sh"))).filter(
         F.col("_sig").isNotNull()
     ).localCheckpoint(eager=False)
-    cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
+    cand = _lsh_candidates(
+        sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
+    )
 
     if verify == "exact":
         cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
@@ -240,6 +380,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 128,
     bands: int = 16,
+    canonicalize: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by character-k-gram Jaccard >= threshold.
 
@@ -253,7 +395,12 @@ def ngram_jaccard_pairs(
     miss < 2e-18 at s=0.9) when near-threshold recall matters more than
     candidate volume. `block_col`
     (if set) additionally restricts pairs to equal block values (e.g.
-    same-language dedup)."""
+    same-language dedup). canonicalize/max_bucket: duplicate-cluster safety,
+    see minhash_lsh_pairs."""
+    if canonicalize:
+        df = canonicalize_exact(
+            df, text_col, id_col, carry=(block_col,) if block_col else ()
+        )
     df = _ensure_parallel(df)
     keep = [id_col] + ([block_col] if block_col else [])
     sh = df.select(
@@ -263,7 +410,9 @@ def ngram_jaccard_pairs(
     sig = sh.select(id_col, "_sh").withColumn("_sig", mh(F.col("_sh"))).filter(
         F.col("_sig").isNotNull()
     ).localCheckpoint(eager=False)
-    cand = _lsh_candidates(sig.select(id_col, "_sig"), id_col, num_hashes, bands)
+    cand = _lsh_candidates(
+        sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
+    )
     cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
     cand = _attach(cand, sh, id_col, "id_a")
     cand = _attach(cand, sh, id_col, "id_b")
@@ -355,12 +504,18 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    canonicalize: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming — FULL recall via
     the pigeonhole multi-block construction (Manku et al., WWW'07 shape):
     each row emits (block_id, block_value) for max_hamming+1 signature
     blocks; candidates are block equi-join matches; exact Hamming verifies.
-    A pair matching several blocks dedupes on (id_a, id_b)."""
+    A pair matching several blocks dedupes on (id_a, id_b).
+    canonicalize/max_bucket: duplicate-cluster safety, see
+    minhash_lsh_pairs."""
+    if canonicalize:
+        df = canonicalize_exact(df, text_col, id_col)
     sh = _ensure_parallel(df).select(
         F.col(id_col), _simhash_udf()(token_hashes_col(F.col(text_col))).alias("_sig")
     ).localCheckpoint(eager=False)  # signatures computed once, both join sides
@@ -377,6 +532,7 @@ def simhash_pairs(
     tbl = sh.select(
         id_col, "_sig", F.explode(F.array(*block_structs)).alias("_b")
     ).select(id_col, "_sig", "_b.block", "_b.bval")
+    tbl = _bucket_guard(tbl, ["block", "bval"], max_bucket)
     a = tbl.alias("a")
     b = tbl.alias("b")
     ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
@@ -404,13 +560,15 @@ def embedding_cosine_pairs(
     lsh_bits: int = 6,
     tables: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: multi-table random-hyperplane LSH bucket
     join + exact cosine verify. A pair at angular similarity p collides in
     >= 1 of `tables` with prob 1-(1-p^bits)^tables. Hyperplanes are literal
     sign vectors (similarity.hyperplane_signs) — deterministic and
     SQL-expressible, so the full pipeline is oracle-checkable. Candidates
-    carry ids only; vectors re-attach via plain id joins."""
+    carry ids only; vectors re-attach via plain id joins. max_bucket drops
+    degenerate buckets (e.g. a zero-vector cluster) — see _bucket_guard."""
     from .similarity import _vec_dim, cosine_pairs_udf, hyperplane_signs, rp_buckets_udf
 
     df = _ensure_parallel(df)
@@ -422,6 +580,7 @@ def embedding_cosine_pairs(
         F.col(id_col),
         F.posexplode(rp_buckets_udf(signs)(F.col(vec_col))).alias("tbl", "bkt"),
     ).localCheckpoint(eager=False)
+    keyed = _bucket_guard(keyed, ["tbl", "bkt"], max_bucket)
     a = keyed.alias("a")
     c = keyed.alias("c")
     cand = (

@@ -1,0 +1,143 @@
+"""Duplicate-cluster safety for the LSH dedup family (round-3 item #1).
+
+A web corpus has duplicate clusters of 10^4..10^6 IDENTICAL docs
+(boilerplate); every LSH band puts the whole cluster into one bucket, so
+without mitigation the candidate self-join emits m^2/2 pairs per cluster.
+Two layers of protection, both tested with a planted 10k-identical cluster:
+
+1. canonicalize=True — exact-dup collapse to one min-id representative
+   before candidate generation (candidate pairs are O(distinct texts)).
+2. max_bucket — degenerate buckets that survive canonicalization (equal
+   but-not-identical templates) are dropped before the self-join.
+
+Plus dedup_components: cluster output as connected components (id ->
+min-member-id) instead of raw pairs.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.dedup import (
+    _lsh_candidates,
+    _minhash_udf,
+    canonicalize_exact,
+    dedup_components,
+    exact_canonical_map,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_col,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 6
+NEAR = BASE + "tail variation"
+CLUSTER = 10_000
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """10k identical docs + one near-dup pair + unrelated distinct docs."""
+    rows = [{"doc_id": f"c{i:05d}", "text": BASE, "lang": "en"} for i in range(CLUSTER)]
+    rows.append({"doc_id": "near-1", "text": NEAR, "lang": "en"})
+    for i in range(20):
+        # genuinely distinct texts (disjoint word sets, not digit variants —
+        # digit variants of one template are true near-dups at 3-gram level)
+        words = " ".join(f"tok{i}q{j}z{(i * 31 + j) % 97}" for j in range(30))
+        rows.append({"doc_id": f"u{i:03d}", "text": words, "lang": "en"})
+    return spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+
+def test_canonicalize_exact_collapses_cluster(spark, planted):
+    canon = canonicalize_exact(planted, carry=("lang",))
+    rows = canon.collect()
+    # 1 rep for the 10k cluster + near-1 + 20 unrelated = 22 distinct texts
+    assert len(rows) == 22
+    by_text = {r.text: r for r in rows}
+    assert by_text[BASE].doc_id == "c00000"  # min id is the representative
+    assert by_text[BASE].lang == "en"
+
+
+def test_candidate_pairs_o_of_cluster_post_canonicalization(spark, planted):
+    """THE scale assertion: after canonicalization the LSH candidate set is
+    O(distinct texts), not O(cluster^2) — 10k identical docs would otherwise
+    emit ~50M candidate pairs."""
+    canon = canonicalize_exact(planted)
+    mh = _minhash_udf(128)
+    sig = canon.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("_sh")
+    ).withColumn("_sig", mh(F.col("_sh")))
+    n_cand = _lsh_candidates(sig.select("doc_id", "_sig"), "doc_id", 128, 16).count()
+    # 22 distinct texts -> at most 22*21/2 = 231 pairs even if every band
+    # collided; in practice only the near-dup pair collides
+    assert n_cand <= 231
+    pairs = minhash_lsh_pairs(
+        planted, threshold=0.8, verify="exact", canonicalize=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("c00000", "near-1")}
+
+
+def test_ngram_canonicalize_with_block(spark, planted):
+    pairs = ngram_jaccard_pairs(
+        planted, threshold=0.8, block_col="lang", canonicalize=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("c00000", "near-1")}
+
+
+def test_simhash_bucket_guard_drops_degenerate_bucket(spark, planted):
+    """Without canonicalization the 10k cluster floods every simhash block
+    bucket; max_bucket excises those buckets while small buckets (the
+    near-dup pair via its block match with cluster members is ALSO in the
+    oversized bucket, so with the raw guard only non-cluster pairs
+    survive)."""
+    got = simhash_pairs(planted, max_hamming=6, max_bucket=100)
+    rows = got.collect()
+    # no pair may touch two cluster members (those buckets were dropped)
+    assert not any(r.id_a.startswith("c") and r.id_b.startswith("c") for r in rows)
+    # canonicalize + guard together keep the near-dup pair AND stay O(n)
+    got2 = simhash_pairs(
+        planted, max_hamming=6, canonicalize=True, max_bucket=100
+    ).collect()
+    assert ("c00000", "near-1") in {(r.id_a, r.id_b) for r in got2}
+
+
+def test_minhash_bucket_guard_bounds_output(spark, planted):
+    """Guard alone (no canonicalization): candidate generation completes
+    without emitting the 50M cluster pairs."""
+    pairs = minhash_lsh_pairs(planted, threshold=0.8, max_bucket=100)
+    assert pairs.count() < 1000
+
+
+def test_exact_canonical_map_covers_all_rows(spark, planted):
+    m = exact_canonical_map(planted)
+    assert m.count() == CLUSTER + 21
+    cluster_map = m.filter(F.col("doc_id").startswith("c")).select(
+        "canonical_id"
+    ).distinct().collect()
+    assert [r.canonical_id for r in cluster_map] == ["c00000"]
+
+
+def test_dedup_components_min_label(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": ["a", "b", "d", "x"], "id_b": ["b", "c", "e", "a"]}
+        )
+    )
+    comp = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "a", "d": "d", "e": "d"}
+
+
+def test_dedup_components_path_graph_converges(spark):
+    """Worst case for min-propagation (diameter = n): a path graph still
+    converges within max_iter for moderate n."""
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [f"p{i:02d}" for i in range(n - 1)],
+                "id_b": [f"p{i + 1:02d}" for i in range(n - 1)],
+            }
+        )
+    )
+    comp = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert set(comp.values()) == {"p00"} and len(comp) == n
