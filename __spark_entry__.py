@@ -508,13 +508,13 @@ def q_attr_bbox_filter(spark, sf_dir):
 
 
 def q_convexhull_by_type(spark, sf_dir):
+    """Two-phase distributed hull (map-side partial hulls, then hull of
+    hull-vertices) — no single-worker concentration on hot groups."""
     _init(spark)
-    from geomesa_spark.functions.library import UDFS, st_convexhull_agg
+    from geomesa_spark.functions.library import UDFS, convex_hull_by
 
     e = _events_pts(spark, sf_dir)
-    hulls = e.groupBy("event_type").agg(
-        st_convexhull_agg(F.col("geom_wkb")).alias("hull")
-    )
+    hulls = convex_hull_by(e, "event_type", geom_col="geom_wkb")
     return hulls.select(
         "event_type", F.round(UDFS["st_area"](F.col("hull")), 6).alias("hull_area_r6")
     )

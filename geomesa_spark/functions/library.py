@@ -658,6 +658,56 @@ def st_convexHull(s: pd.Series) -> pd.Series:
     return _gmap1(s, lambda g: to_wkb(alg.convex_hull(g._all_coords())))
 
 
+def convex_hull_by(df, group_cols, geom_col: str = "geom"):
+    """TWO-PHASE distributed convex hull by group — the scale-safe form of
+    `groupBy(...).agg(st_convexhull_agg(...))`.
+
+    Phase 1 (map-side, NO shuffle): mapInPandas folds each Arrow batch's
+    rows into one partial hull per group — hull(points) == hull(hull-vertex
+    union), so only O(hull-vertices) rows leave each partition. Phase 2:
+    the grouped-agg hull over partial-hull vertices. This is the
+    reference's incremental update/merge fold (ConvexHull.scala:18-52);
+    a single-phase grouped-agg UDAF instead concatenates ALL coordinates of
+    a group on one worker and OOMs on a hot group (10^9 points in one
+    event_type)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    proj = df.select(*group_cols, geom_col)
+    # single-file reads arrive as one partition — spread the map-side fold
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < par:
+        proj = proj.repartition(par)
+    schema = proj.schema
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            groups, wkbs = [], []
+            for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                coords = [
+                    from_wkb(bytes(b))._all_coords()
+                    for b in sub[geom_col]
+                    if b is not None
+                ]
+                if not coords:
+                    continue
+                groups.append(key if isinstance(key, tuple) else (key,))
+                wkbs.append(to_wkb(alg.convex_hull(np.concatenate(coords))))
+            if not groups:
+                continue
+            out = pd.DataFrame(groups, columns=group_cols)
+            out[geom_col] = pd.Series(wkbs, dtype=object)
+            yield out
+
+    partials = proj.mapInPandas(partial, schema=schema)
+    return partials.groupBy(*group_cols).agg(
+        st_convexhull_agg(F.col(geom_col)).alias("hull")
+    )
+
+
 def register(spark) -> None:
     """Register every st_* function for SQL use — the analog of
     SparkSession.withJTS / geomesa_pyspark.init_sql
