@@ -254,27 +254,35 @@ def representative_point(g: Geometry) -> tuple[float, float]:
         )
     polys = _polygons_of(g)
     if polys:
-        rings = polys[0]
-        shell = np.asarray(rings[0])
-        ys = np.unique(shell[:, 1])
-        if len(ys) >= 2:
-            yscan = (ys[0] + ys[1]) / 2.0
-        else:
-            yscan = ys[0]
-        xs = []
-        for i in range(len(shell) - 1):
-            ay, by = shell[i, 1], shell[i + 1, 1]
-            if (ay > yscan) != (by > yscan):
-                xs.append(
-                    shell[i, 0]
-                    + (yscan - ay) * (shell[i + 1, 0] - shell[i, 0]) / (by - ay)
-                )
-        xs.sort()
-        for j in range(0, len(xs) - 1, 2):
-            mx = (xs[j] + xs[j + 1]) / 2.0
-            if _locate_in_polygon(mx, yscan, rings) == INTERIOR:
-                return float(mx), float(yscan)
-        c = shell[:-1].mean(axis=0)
+        # scanline between consecutive y-levels of ALL rings (shell + holes):
+        # a single shell-midline scan can land entirely inside a hole (e.g. a
+        # centered hole spanning the shell's y-midline) and previously fell
+        # back to the centroid — which sits in that same hole
+        for rings in polys:
+            allv = np.concatenate([np.asarray(r) for r in rings])
+            ys = np.unique(allv[:, 1])
+            scan_ys = (
+                [(ys[i] + ys[i + 1]) / 2.0 for i in range(len(ys) - 1)]
+                if len(ys) >= 2
+                else [float(ys[0])]
+            )
+            for yscan in scan_ys:
+                xs = []
+                for r in rings:
+                    r = np.asarray(r)
+                    for i in range(len(r) - 1):
+                        ay, by = r[i, 1], r[i + 1, 1]
+                        if (ay > yscan) != (by > yscan):
+                            xs.append(
+                                r[i, 0]
+                                + (yscan - ay) * (r[i + 1, 0] - r[i, 0]) / (by - ay)
+                            )
+                xs.sort()
+                for j in range(0, len(xs) - 1, 2):
+                    mx = (xs[j] + xs[j + 1]) / 2.0
+                    if _locate_in_polygon(mx, yscan, rings) == INTERIOR:
+                        return float(mx), float(yscan)
+        c = np.asarray(polys[0][0])[:-1].mean(axis=0)
         return float(c[0]), float(c[1])
     if t == GEOMETRYCOLLECTION and g.coords:
         return representative_point(g.coords[0])

@@ -99,6 +99,98 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry, boundary_o
     return result & ~any_boundary
 
 
+def _areal_edges(g: Geometry) -> np.ndarray:
+    """All boundary edges (shell + holes, every polygon) as an (n, 4) array
+    of (ax, ay, bx, by)."""
+    parts = []
+    for rings in alg._polygons_of(g):
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            parts.append(
+                np.column_stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]])
+            )
+    return np.concatenate(parts) if parts else np.empty((0, 4))
+
+
+def _areal_vertices(g: Geometry) -> np.ndarray:
+    """All ring vertices (without the closing duplicate) as (n, 2)."""
+    parts = []
+    for rings in alg._polygons_of(g):
+        for r in rings:
+            r = np.asarray(r, dtype=np.float64)
+            parts.append(r[:-1, :2])
+    return np.concatenate(parts) if parts else np.empty((0, 2))
+
+
+def areal_intersects_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """Vectorized closed-set intersects(A_i, right) for a batch of AREAL
+    geometries against ONE areal geometry — the extent x extent join-refine
+    path (one batch per distinct right geometry, mirroring the point path).
+
+    Exact decision procedure for two closed polygonal regions:
+      A intersects B  <=>  (some vertex of A in closed B)
+                        or (some vertex of B in closed A)
+                        or (some edge of A properly crosses some edge of B).
+    Touching/collinear-overlap cases always place a vertex of one geometry on
+    the other's boundary, which the boundary-inclusive ray cast detects, so
+    the edge test only needs PROPER crossings (strict sign changes). Each
+    step is numpy over the whole undecided set; no per-coordinate Python."""
+    n = len(lefts)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    # 1. any A vertex in closed B — ONE ray cast over all batch vertices
+    verts = [_areal_vertices(g) for g in lefts]
+    counts = np.array([len(v) for v in verts])
+    allv = np.concatenate([v for v in verts if len(v)]) if counts.sum() else None
+    if allv is not None:
+        hit = points_in_polygon(allv[:, 0], allv[:, 1], right, boundary_ok=True)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # segment-OR back to per-geometry verdicts (slices are numpy-cheap)
+        out |= np.array(
+            [c > 0 and bool(hit[o : o + c].any()) for o, c in zip(offs, counts)]
+        )
+    # 2. any B vertex in closed A_i (catches A-contains-B) — one vectorized
+    #    ray cast of B's vertices per undecided A
+    bv = _areal_vertices(right)
+    undecided = np.nonzero(~out)[0]
+    for i in undecided:
+        if len(bv) and points_in_polygon(bv[:, 0], bv[:, 1], lefts[i], True).any():
+            out[i] = True
+    # 3. proper edge crossings (cross-overlaps with all vertices mutually
+    #    outside) — broadcast orientation tests, chunked to bound memory
+    be = _areal_edges(right)
+    undecided = np.nonzero(~out)[0]
+    if len(be) == 0 or len(undecided) == 0:
+        return out
+    ae_list = [_areal_edges(lefts[i]) for i in undecided]
+    owners = np.concatenate(
+        [np.full(len(e), k) for k, e in enumerate(ae_list)]
+    ) if ae_list else np.empty(0, dtype=int)
+    ae = np.concatenate(ae_list) if ae_list else np.empty((0, 4))
+    if len(ae) == 0:
+        return out
+    b1x, b1y, b2x, b2y = be[:, 0], be[:, 1], be[:, 2], be[:, 3]
+    hit_owner = np.zeros(len(undecided), dtype=bool)
+    chunk = max(1, int(2_000_000 // max(1, len(be))))
+    for s in range(0, len(ae), chunk):
+        a = ae[s : s + chunk]
+        a1x, a1y = a[:, 0:1], a[:, 1:2]
+        a2x, a2y = a[:, 2:3], a[:, 3:4]
+        # o(b1,b2,a) for both A endpoints; o(a1,a2,b) for both B endpoints
+        d1 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+        d2 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+        d3 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+        d4 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+        cross = ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+        cross &= ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+        rows = cross.any(axis=1)
+        if rows.any():
+            np.logical_or.at(hit_owner, owners[s : s + chunk][rows], True)
+    out[undecided] |= hit_owner
+    return out
+
+
 def predicate_many(wkbs_a, wkbs_b, pred_name: str) -> np.ndarray:
     """Row-wise DE-9IM predicate over two WKB sequences; object array with
     None for null inputs (reference nullableUDF semantics)."""

@@ -31,9 +31,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..geom.vectorized import points_from_wkb, points_in_polygon
+from ..geom.vectorized import areal_intersects_batch, points_from_wkb, points_in_polygon
 from ..geom.wkb import from_wkb
 from ..geom import algorithms as alg
+from ..geom import core as gcore
 from ..index.zorder import WORLD, normalize
 
 DEFAULT_JOIN_BITS = 6  # 64x64 world grid (~5.6 deg cells); override per join
@@ -234,6 +235,13 @@ def _pairwise_predicate_udf(predicate: str):
             rest = np.nonzero(~left_is_pt)[0]
         else:
             rest = np.arange(n)
+        # non-rect areal x areal 'intersects' pairs: batch by distinct right
+        # geometry and decide with vectorized ray casts + proper-crossing
+        # tests (geom.vectorized.areal_intersects_batch) — the extent path
+        # mirror of the point fast path; per-pair Python only for the long
+        # tail (mixed-dimension / exotic predicates)
+        areal_groups: dict[bytes, list[int]] = {}
+        areal_types = (gcore.POLYGON, gcore.MULTIPOLYGON)
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
@@ -246,7 +254,18 @@ def _pairwise_predicate_udf(predicate: str):
                     if v is not None:
                         out[i] = v
                         continue
+            if (
+                predicate == "intersects"
+                and geo(lbytes[i]).gtype in areal_types
+                and geo(rbytes[i]).gtype in areal_types
+            ):
+                areal_groups.setdefault(rbytes[i], []).append(i)
+                continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+        for rb_key, idxs in areal_groups.items():
+            verdict = areal_intersects_batch([geo(lbytes[i]) for i in idxs], geo(rb_key))
+            for k, i in enumerate(idxs):
+                out[i] = bool(verdict[k])
         return pd.Series(out, dtype=object)
 
     return F.pandas_udf(pred, BooleanType())
