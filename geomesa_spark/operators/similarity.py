@@ -24,6 +24,10 @@ from pyspark.sql.window import Window
 
 
 def dot_col(a, b):
+    """Column-expression dot product. NOTE: higher-order-function lambdas are
+    INTERPRETED per row by Spark (not codegen'd) — this form exists as the
+    SQL-mirrorable definition (oracle parity); the scan hot paths score with
+    cosine_query_udf (batched numpy matmul) instead."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -52,6 +56,28 @@ def _topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(id_col, "score", "rank")
 
 
+def cosine_query_udf(query_vec):
+    """Exact cosine vs a FIXED query vector: one numpy matmul per Arrow batch
+    — the scan-scoring hot path (the Column form interprets ~2*dim lambda
+    calls per row; the matmul is one BLAS call per batch)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def f(vecs):  # no hints (local-import annotations trap)
+        out = np.full(len(vecs), np.nan)
+        ok = [i for i in range(len(vecs)) if vecs.iloc[i] is not None]
+        if ok:
+            M = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            out[ok] = (M @ q) / (np.linalg.norm(M, axis=1) * qn)
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None).astype(object)
+
+    return F.pandas_udf(f, DoubleType())
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -60,10 +86,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k vs one query vector: one scan, one top-k reduce
-    (no shuffle of the vectors themselves)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    (no shuffle of the vectors themselves). Scoring is a batched numpy
+    matmul (cosine_query_udf); cosine_col remains the SQL-mirror
+    definition."""
     scored = df.select(
-        F.col(id_col), F.round(cosine_col(F.col(vec_col), q), 6).alias("score")
+        F.col(id_col),
+        F.round(cosine_query_udf(query_vec)(F.col(vec_col)), 6).alias("score"),
     )
     return _topk(scored, k, id_col)
 
@@ -184,14 +212,16 @@ def ann_topk_lsh(
     bucketed/partitioned on the LSH key so this prunes partitions. The query
     bucket is computed driver-side in numpy (zero extra Spark jobs)."""
     qv = np.asarray(query_vec, dtype=np.float64)
-    signs = hyperplane_signs(len(query_vec), bits, tables=1, seed=seed)[0]
-    qbucket = int(rp_bucket_np(qv[None, :], signs)[0])
+    signs3 = hyperplane_signs(len(query_vec), bits, tables=1, seed=seed)
+    qbucket = int(rp_bucket_np(qv[None, :], signs3[0])[0])
     buckets = [qbucket] + [qbucket ^ (1 << i) for i in range(min(probes, bits))]
 
-    bdf = df.withColumn("_bkt", rp_bucket_lit_col(F.col(vec_col), signs))
+    # bucket assignment + scoring are both single Arrow-batched matmuls
+    # (rp_bucket_lit_col / cosine_col stay as the SQL-mirror definitions)
+    bdf = df.withColumn("_bkt", F.get(rp_buckets_udf(signs3)(F.col(vec_col)), 0))
     cand = bdf.filter(F.col("_bkt").isin(buckets))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = cand.select(
-        F.col(id_col), F.round(cosine_col(F.col(vec_col), q), 6).alias("score")
+        F.col(id_col),
+        F.round(cosine_query_udf(query_vec)(F.col(vec_col)), 6).alias("score"),
     )
     return _topk(scored, k, id_col)
