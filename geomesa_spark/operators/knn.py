@@ -62,6 +62,160 @@ def _query_windows(queries: list[tuple], radius_m: float):
     return out
 
 
+def knn_join(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    start_radius_m: float = 1_000.0,
+    max_radius_m: float = 1_000_000.0,
+    query_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    cell_bits: int = PARTITION_CELL_BITS,
+) -> DataFrame:
+    """DataFrame-native kNN for LARGE query tables — the cell-ring join
+    formulation. Use this when queries is a TABLE (10^4..10^8 points); the
+    process-style knn() below holds the query list in driver memory and is
+    meant for the reference's process semantics (hundreds of points).
+
+    Each round r (radius = start * 4^r, ceil(log4(max/start)) rounds total,
+    independent of query count):
+      1. every pending query row derives its lon/lat window as Columns
+         (antimeridian-split via explode),
+      2. explodes to the coarse grid cells covering the window and
+         EQUI-JOINS docs on cell (+ a MULTI_CELL row per window so
+         multi-cell extents are never pruned) — a plain shuffle join, no
+         broadcast of the query side needed,
+      3. bbox + geodesic-distance filter, per-query top-k window,
+      4. queries whose k-th best is within the round radius are done; the
+         rest carry to the next round via DataFrame anti-join.
+    All per-query state lives in DataFrames — nothing scales with the query
+    count on the driver."""
+    from ..index.zorder import WORLD
+    from ..sources.docs import interleave2_col
+
+    spark: SparkSession = docs.sparkSession
+    pending = queries.select(
+        F.col(query_id).cast("string").alias("query_id"),
+        F.col(q_lon).cast("double").alias("q_lon"),
+        F.col(q_lat).cast("double").alias("q_lat"),
+    ).localCheckpoint(eager=False)
+
+    n = 2**cell_bits
+    sx = n / (WORLD[2] - WORLD[0])
+    sy = n / (WORLD[3] - WORLD[1])
+
+    def _win_struct(x0, y0, x1, y1):
+        return F.struct(
+            x0.alias("w_minx"), y0.alias("w_miny"),
+            x1.alias("w_maxx"), y1.alias("w_maxy"),
+        )
+
+    def _windows_col(radius: float):
+        """1-2 antimeridian-split windows per query as an array Column."""
+        dlat = F.lit(math.degrees(radius / EARTH_MEAN_RADIUS_M))
+        coslat = F.greatest(F.lit(0.01), F.cos(F.radians(F.col("q_lat"))))
+        dlon = F.least(F.lit(180.0), dlat / coslat)
+        y0 = F.greatest(F.lit(-90.0), F.col("q_lat") - dlat)
+        y1 = F.least(F.lit(90.0), F.col("q_lat") + dlat)
+        x0 = F.col("q_lon") - dlon
+        x1 = F.col("q_lon") + dlon
+        return (
+            F.when(
+                x0 < -180.0,
+                F.array(
+                    _win_struct(F.lit(-180.0), y0, x1, y1),
+                    _win_struct(x0 + 360.0, y0, F.lit(180.0), y1),
+                ),
+            )
+            .when(
+                x1 > 180.0,
+                F.array(
+                    _win_struct(x0, y0, F.lit(180.0), y1),
+                    _win_struct(F.lit(-180.0), y0, x1 - 360.0, y1),
+                ),
+            )
+            .otherwise(F.array(_win_struct(x0, y0, x1, y1)))
+        )
+
+    def _cells_col():
+        """Interleaved coarse cells covering the window (Column math)."""
+        def idx(c, lo, s):
+            return F.greatest(
+                F.lit(0), F.least(F.floor((c - F.lit(lo)) * F.lit(s)), F.lit(n - 1))
+            ).cast("long")
+
+        ix0, ix1 = idx(F.col("w_minx"), WORLD[0], sx), idx(F.col("w_maxx"), WORLD[0], sx)
+        iy0, iy1 = idx(F.col("w_miny"), WORLD[1], sy), idx(F.col("w_maxy"), WORLD[1], sy)
+        return F.flatten(
+            F.transform(
+                F.sequence(ix0, ix1),
+                lambda ix: F.transform(
+                    F.sequence(iy0, iy1),
+                    lambda iy: interleave2_col(ix, iy, cell_bits),
+                ),
+            )
+        )
+
+    results = None
+    radius = start_radius_m
+    rounds = 0
+    while True:
+        rounds += 1
+        win = pending.withColumn("_w", F.explode(_windows_col(radius))).select(
+            "query_id", "q_lon", "q_lat", "_w.*"
+        )
+        qcells = win.withColumn("qcell", F.explode(_cells_col())).unionByName(
+            win.withColumn("qcell", F.lit(MULTI_CELL))
+        )
+        cand = docs.join(qcells, docs["cell"] == qcells["qcell"]).filter(
+            (F.col("x") >= F.col("w_minx"))
+            & (F.col("x") <= F.col("w_maxx"))
+            & (F.col("y") >= F.col("w_miny"))
+            & (F.col("y") <= F.col("w_maxy"))
+        )
+        cand = (
+            cand.withColumn(
+                "dist_m",
+                haversine_col(F.col("x"), F.col("y"), F.col("q_lon"), F.col("q_lat")),
+            )
+            .filter(F.col("dist_m") <= F.lit(min(radius, max_radius_m)))
+            # a doc can reach one query through both split windows of a huge
+            # radius (or via MULTI_CELL + a covered cell after a retry round)
+            .dropDuplicates(["query_id", "doc_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist_m").asc(), F.col("doc_id").asc()
+        )
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("w_minx", "w_miny", "w_maxx", "w_maxy", "q_lon", "q_lat", "qcell")
+            .localCheckpoint(eager=False)
+        )
+        if radius >= max_radius_m:
+            done_q = pending.select("query_id")
+        else:
+            done_q = (
+                topk.groupBy("query_id")
+                .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+                .filter((F.col("cnt") >= k) & (F.col("kth") <= F.lit(radius)))
+                .select("query_id")
+            )
+        done_rows = topk.join(done_q, "query_id", "left_semi").drop("_rn")
+        results = done_rows if results is None else results.unionByName(done_rows)
+        if radius >= max_radius_m:
+            break
+        pending = pending.join(done_q, "query_id", "left_anti").localCheckpoint(
+            eager=False
+        )
+        radius = min(radius * 4, max_radius_m)
+        results = results.localCheckpoint(eager=False)
+        if pending.isEmpty():
+            break
+    return results
+
+
 def knn(
     docs: DataFrame,
     queries: list[tuple],
@@ -70,7 +224,14 @@ def knn(
     max_radius_m: float = 1_000_000.0,
 ) -> DataFrame:
     """queries: [(query_id, lon, lat), ...]. Returns docs columns +
-    query_id + dist_m, k rows per query (fewer if max radius exhausts)."""
+    query_id + dist_m, k rows per query (fewer if max radius exhausts).
+
+    QUERY-COUNT ENVELOPE: the query list, per-round stats, and the broadcast
+    window table are O(len(queries)) DRIVER state — correct for the
+    reference's process semantics (hundreds to a few thousand points,
+    KNearestNeighborSearchProcess.scala:39-260). For query TABLES beyond
+    ~10^4 points use knn_join above: same expanding-radius semantics, all
+    state in DataFrames."""
     spark: SparkSession = docs.sparkSession
     qdf_all = spark.createDataFrame(
         [(str(q), float(lon), float(lat)) for q, lon, lat in queries],

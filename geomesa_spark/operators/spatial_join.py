@@ -348,19 +348,37 @@ def spatial_join(
         # nothing. Reference analog: shard-byte key prefixes (ShardStrategy)
         # + RTREE/WEIGHTED partitioning; this is strictly more targeted.
         n_shuffle = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        total = left.count()
-        thresh = max(10000, 2 * total // max(1, n_shuffle))
-        # hot-cell detection needs only approximate counts: probe a SAMPLE of
-        # the left side (>=200k rows) instead of a full extra pass — a cell
-        # misclassified near the threshold is harmless (salting never changes
-        # results, only partitioning)
-        frac = min(1.0, max(0.02, 200_000 / max(total, 1)))
-        probe_src = L2.sample(fraction=frac, seed=42) if frac < 1.0 else L2
-        counts = _with_join_cells(probe_src, "l_", bits).groupBy("join_cell").count()
-        hot = [
-            r.join_cell
-            for r in counts.filter(F.col("count") > thresh * frac).collect()
-        ]
+        # hot-cell detection needs only approximate counts: probe a 2% SAMPLE
+        # of the left side — the total-row estimate comes from the SAME
+        # sample (sum of cell counts / fraction), so salting costs ONE probe
+        # job and no full count pass. A cell misclassified near the threshold
+        # is harmless (salting never changes results, only partitioning).
+        frac = 0.02
+        probe_src = L2.sample(fraction=frac, seed=42)
+        # ONE probe job returns both the sample total and the candidate hot
+        # cells: only cells that could clear the 10k-row floor are collected
+        # (bounds the driver list even at fine grids), and no cell that could
+        # be hot is dropped since thresh >= 10000 always
+        floor_cnt = int(10000 * frac)
+        agg = (
+            _with_join_cells(probe_src, "l_", bits)
+            .groupBy("join_cell")
+            .count()
+            .agg(
+                F.sum("count").alias("_tot"),
+                F.collect_list(
+                    F.when(
+                        F.col("count") > floor_cnt,
+                        F.struct("join_cell", "count"),
+                    )
+                ).alias("_cands"),
+            )
+            .first()
+        )
+        sample_total = int(agg["_tot"] or 0)
+        est_total = sample_total / frac
+        thresh = max(10000, int(2 * est_total) // max(1, n_shuffle))
+        hot = [c["join_cell"] for c in agg["_cands"] if c["count"] > thresh * frac]
         if hot:
             is_hot_l = F.col("join_cell").isin(hot)
             L3 = L3.withColumn(

@@ -1,0 +1,97 @@
+"""DataFrame-native cell-ring kNN for large query tables (round-3 item #8).
+
+knn_join keeps all per-query state in DataFrames: a 10k-point query table
+completes in bounded rounds (ceil(log4(max/start)) Spark jobs), and results
+match the driver-loop knn() / brute force on sampled queries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom.algorithms import haversine
+from geomesa_spark.operators.knn import knn, knn_join
+from geomesa_spark.sources.docs import index_docs, synth_docs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = index_docs(synth_docs(spark, 4000, seed=11, bbox=(-60.0, -30.0, 60.0, 30.0)))
+    d = d.filter(F.col("x").isNotNull()).cache()
+    d.count()
+    return d
+
+
+def _brute_knn(doc_rows, qlon, qlat, k, max_radius_m):
+    ds = sorted(
+        (haversine(r["x"], r["y"], qlon, qlat), r["doc_id"]) for r in doc_rows
+    )
+    return [(i, d) for d, i in ds[:k] if d <= max_radius_m]
+
+
+def test_knn_join_ten_thousand_queries(spark, docs):
+    """10k query points complete in bounded rounds; sampled parity vs brute
+    force and vs the process-style knn()."""
+    rng = np.random.default_rng(5)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"q{i:05d}" for i in range(10_000)],
+            "q_lon": rng.uniform(-55, 55, size=10_000),
+            "q_lat": rng.uniform(-25, 25, size=10_000),
+        }
+    )
+    queries = spark.createDataFrame(qpdf).repartition(8)
+    out = knn_join(
+        docs, queries, k=3, start_radius_m=50_000.0, max_radius_m=5_000_000.0
+    )
+    got = out.select("query_id", "doc_id", "dist_m").toPandas()
+    # every query found its k (space is densely covered at this radius)
+    per_q = got.groupby("query_id").size()
+    assert len(per_q) == 10_000
+    assert (per_q == 3).all()
+    # sampled brute-force parity (row sets, not just counts)
+    doc_rows = [r.asDict() for r in docs.select("doc_id", "x", "y").collect()]
+    for qi in [0, 1234, 9999, 4242, 7777]:
+        row = qpdf.iloc[qi]
+        want = {d for d, _ in _brute_knn(doc_rows, row.q_lon, row.q_lat, 3, 5e6)}
+        have = set(got[got.query_id == row.query_id].doc_id)
+        assert have == want, row.query_id
+
+
+def test_knn_join_matches_process_knn(spark, docs):
+    """Same fixtures through both formulations -> identical (query, doc)
+    row sets, including a pole-adjacent and an antimeridian query."""
+    qs = [
+        ("qa", 10.0, 5.0),
+        ("qb", -179.9, 0.0),
+        ("qc", 59.0, 29.5),
+        ("qd", 0.0, -29.9),
+    ]
+    # max radius 2e7 m so the antimeridian query reaches the doc region
+    # (docs live in lon [-60, 60]; qb's window must wrap +-180)
+    proc = {
+        (r.query_id, r.doc_id)
+        for r in knn(
+            docs, qs, k=4, start_radius_m=100_000.0, max_radius_m=2.0e7
+        ).select("query_id", "doc_id").collect()
+    }
+    qdf = spark.createDataFrame(qs, "query_id string, q_lon double, q_lat double")
+    join = {
+        (r.query_id, r.doc_id)
+        for r in knn_join(
+            docs, qdf, k=4, start_radius_m=100_000.0, max_radius_m=2.0e7
+        ).select("query_id", "doc_id").collect()
+    }
+    assert proc == join and len(proc) == 16
+
+
+def test_knn_join_max_radius_truncates(spark, docs):
+    """A query in an empty region with a tiny max radius returns < k rows
+    instead of looping."""
+    qdf = spark.createDataFrame(
+        [("far", 179.0, 89.0)], "query_id string, q_lon double, q_lat double"
+    )
+    out = knn_join(
+        docs, qdf, k=5, start_radius_m=1_000.0, max_radius_m=2_000.0
+    ).collect()
+    assert len(out) < 5
