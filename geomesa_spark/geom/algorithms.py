@@ -919,12 +919,79 @@ def _is_convex(ring: np.ndarray) -> bool:
     return True
 
 
+def _flatten_singles(g: Geometry) -> list[Geometry]:
+    """Explode a geometry into single-part components."""
+    t = g.gtype
+    if t == MULTIPOINT:
+        return [point(p[0], p[1]) for p in np.asarray(g.coords)]
+    if t == MULTILINESTRING:
+        return [Geometry(LINESTRING, np.asarray(r)) for r in g.coords]
+    if t == MULTIPOLYGON:
+        return [Geometry(POLYGON, rings) for rings in g.coords]
+    if t == GEOMETRYCOLLECTION:
+        return [s for sub in g.coords for s in _flatten_singles(sub)]
+    return [g]
+
+
+def _combine(geoms: list[Geometry]) -> Geometry:
+    """Non-empty components -> the simplest combined geometry (JTS overlay
+    result typing): one part as-is, homogeneous dims as a multi, mixed dims
+    as a GeometryCollection."""
+    singles = [s for g in geoms if g is not None and not g.is_empty() for s in _flatten_singles(g)]
+    if not singles:
+        return empty(GEOMETRYCOLLECTION)
+    if len(singles) == 1:
+        return singles[0]
+    dims = {s.dimension() for s in singles}
+    if dims == {0}:
+        return Geometry(MULTIPOINT, np.asarray([s.coords[:2] for s in singles]))
+    if dims == {1}:
+        return Geometry(MULTILINESTRING, [np.asarray(s.coords) for s in singles])
+    if dims == {2}:
+        return Geometry(MULTIPOLYGON, [list(s.coords) for s in singles])
+    return Geometry(GEOMETRYCOLLECTION, singles)
+
+
+def _collinear_overlap_intervals(p0, p1, osegs) -> list[tuple[float, float]]:
+    """Parameter intervals of segment (p0, p1) that lie collinear-on top of
+    any segment in osegs ((n,4) array), merged."""
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    L2 = dx * dx + dy * dy
+    if L2 <= 0:
+        return []
+    ivals = []
+    for ax, ay, bx, by in osegs:
+        # both endpoints of the other segment must lie on this segment's line
+        if abs(_orient(p0[0], p0[1], p1[0], p1[1], ax, ay)) > _EPS:
+            continue
+        if abs(_orient(p0[0], p0[1], p1[0], p1[1], bx, by)) > _EPS:
+            continue
+        t0 = ((ax - p0[0]) * dx + (ay - p0[1]) * dy) / L2
+        t1 = ((bx - p0[0]) * dx + (by - p0[1]) * dy) / L2
+        lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+        if hi - lo > 1e-12:
+            ivals.append((lo, hi))
+    ivals.sort()
+    merged: list[tuple[float, float]] = []
+    for lo, hi in ivals:
+        if merged and lo <= merged[-1][1] + 1e-12:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def intersection(a: Geometry, b: Geometry) -> Geometry:
-    """Geometry intersection. Full support: any × convex-polygon/box, point ×
-    any, line × polygon. Concave × concave polygon boolean is out of scope
-    (reference relies on JTS; raise a clear error)."""
+    """Geometry intersection: point/line/polygon and their multis in any
+    combination (concave + holed polygons via tessellate-clip-dissolve);
+    GeometryCollections dispatch componentwise (union of the piece results,
+    type-promoted — JTS OverlayNG collection semantics)."""
     if a.is_empty() or b.is_empty() or disjoint(a, b):
         return empty(_inter_type(a, b))
+    if a.gtype == GEOMETRYCOLLECTION:
+        return _combine([intersection(sub, b) for sub in a.coords])
+    if b.gtype == GEOMETRYCOLLECTION:
+        return _combine([intersection(a, sub) for sub in b.coords])
     # point cases
     if a.dimension() == 0:
         pts = [p for p in _points_of(a) if locate(p[0], p[1], b) != EXTERIOR]
@@ -964,16 +1031,33 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
                 return multipolygon([q for p in pieces for q in _polygons_of(p)])
         # concave x concave: triangulate-and-clip (area-exact; tessellated)
         return intersection_areal(a, b)
-    # line x line
+    # line x line: crossing points + collinear-overlap sub-lines (JTS returns
+    # the shared 1-D parts as lines, not just 0-D crossings)
     if a.dimension() == 1 and b.dimension() == 1:
         pts = []
+        lines: list[Geometry] = []
         bsegs = _line_segments(b)
         for ax, ay, bx, by in _line_segments(a):
-            for t in _seg_params((ax, ay), (bx, by), bsegs) + [0.0, 1.0]:
+            p0, p1 = (ax, ay), (bx, by)
+            overlaps = _collinear_overlap_intervals(p0, p1, bsegs)
+            for lo, hi in overlaps:
+                lines.append(
+                    linestring(
+                        [
+                            (ax + (bx - ax) * lo, ay + (by - ay) * lo),
+                            (ax + (bx - ax) * hi, ay + (by - ay) * hi),
+                        ]
+                    )
+                )
+            for t in _seg_params(p0, p1, bsegs) + [0.0, 1.0]:
+                if any(lo - 1e-12 <= t <= hi + 1e-12 for lo, hi in overlaps):
+                    continue  # covered by a 1-D overlap part
                 px, py = ax + (bx - ax) * t, ay + (by - ay) * t
                 if locate(px, py, b) != EXTERIOR:
                     pts.append((px, py))
         uniq = sorted(set(pts))
+        if lines:
+            return _combine(lines + [point(*p) for p in uniq])
         if not uniq:
             return empty(POINT)
         if len(uniq) == 1:
@@ -1022,12 +1106,23 @@ def _clip_line(line_g: Geometry, areal: Geometry, keep_inside: bool) -> Geometry
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry:
-    """A minus B. Supported: line - areal, point - any; areal difference only
-    when disjoint or b covers a."""
+    """A minus B for point/line/polygon and their multis (areal via
+    tessellate-subtract-dissolve); GeometryCollections dispatch
+    componentwise (A's members each minus B; B's members subtracted
+    sequentially — JTS OverlayNG collection semantics)."""
     if a.is_empty():
         return a
     if b.is_empty() or disjoint(a, b):
         return a
+    if a.gtype == GEOMETRYCOLLECTION:
+        return _combine([difference(sub, b) for sub in a.coords])
+    if b.gtype == GEOMETRYCOLLECTION:
+        out = a
+        for sub in b.coords:
+            out = difference(out, sub)
+            if out.is_empty():
+                return out
+        return out
     if a.dimension() == 0:
         pts = [p for p in _points_of(a) if locate(p[0], p[1], b) == EXTERIOR]
         if not pts:
@@ -1037,11 +1132,55 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         return Geometry(MULTIPOINT, np.asarray(pts))
     if a.dimension() == 1 and b.dimension() == 2:
         return _clip_line(a, b, keep_inside=False)
+    if a.dimension() == 1 and b.dimension() == 1:
+        # line - line: remove only the collinear-OVERLAP (1-D) parts; mere
+        # crossing points do not change a 1-D geometry (JTS semantics)
+        bsegs = _line_segments(b)
+        parts: list[list] = []
+        for arr in _lines_of(a):
+            arr = np.asarray(arr)
+            cur: list = []
+            for i in range(len(arr) - 1):
+                p0, p1 = arr[i, :2], arr[i + 1, :2]
+                overlaps = _collinear_overlap_intervals(tuple(p0), tuple(p1), bsegs)
+                keep, t_prev = [], 0.0
+                for lo, hi in overlaps:
+                    if lo - t_prev > 1e-12:
+                        keep.append((t_prev, lo))
+                    t_prev = max(t_prev, hi)
+                if 1.0 - t_prev > 1e-12:
+                    keep.append((t_prev, 1.0))
+                for t0, t1 in keep:
+                    s = (
+                        float(p0[0] + (p1[0] - p0[0]) * t0),
+                        float(p0[1] + (p1[1] - p0[1]) * t0),
+                    )
+                    e = (
+                        float(p0[0] + (p1[0] - p0[0]) * t1),
+                        float(p0[1] + (p1[1] - p0[1]) * t1),
+                    )
+                    if cur and cur[-1] == s:
+                        cur.append(e)
+                    else:
+                        if len(cur) >= 2:
+                            parts.append(cur)
+                        cur = [s, e]
+            if len(cur) >= 2:
+                parts.append(cur)
+        if not parts:
+            return empty(LINESTRING)
+        if len(parts) == 1:
+            return linestring(parts[0])
+        return Geometry(MULTILINESTRING, [np.asarray(p) for p in parts])
     if a.dimension() == 2 and b.dimension() == 2:
         if covers(b, a):
             return empty(POLYGON)
         # general case: triangulated convex subtraction (area-exact)
         return difference_areal(a, b)
+    if a.dimension() == 2 and b.dimension() <= 1:
+        return a  # subtracting a 0/1-D geometry leaves an areal A unchanged
+    if a.dimension() == 1 and b.dimension() == 0:
+        return a
     raise NotImplementedError("difference for this type combination")
 
 
@@ -1337,14 +1476,156 @@ def _tessellate_polygon(rings) -> list[np.ndarray]:
     return pieces
 
 
+_SNAP = 1e-9
+
+
+def dissolve_pieces(pieces: list[np.ndarray]) -> Geometry:
+    """Merge interior-disjoint convex pieces into the DISSOLVED
+    (multi)polygon — the JTS-shaped boolean output (OverlayOp result form,
+    ref SpatialRelationFunctions.scala:24-59) instead of triangle soup.
+
+    1. snap vertices to a 1e-9 grid and NODE every edge at the snapped
+       vertices lying on it (clips of different piece pairs produce
+       T-junctions; without noding, interior edges would not pair up);
+    2. drop edge segments appearing more than once (shared piece borders are
+       interior to the union; each appears once per side);
+    3. trace remaining directed edges into rings, resolving pinch vertices
+       by taking the clockwise-most continuation (keeps the union interior
+       on the left throughout);
+    4. CCW rings are shells, CW rings are holes; each hole attaches to the
+       smallest shell containing it."""
+    import math as _math
+    from collections import defaultdict
+
+    def key(x, y):
+        return (round(x / _SNAP), round(y / _SNAP))
+
+    verts: dict[tuple, tuple] = {}
+    raw_edges: list[tuple] = []
+    for p in pieces:
+        r = np.asarray(p, dtype=np.float64)
+        if _ring_area(r) < 0:
+            r = r[::-1]
+        for i in range(len(r) - 1):
+            ku, kv = key(*r[i, :2]), key(*r[i + 1, :2])
+            if ku == kv:
+                continue
+            verts.setdefault(ku, (float(r[i, 0]), float(r[i, 1])))
+            verts.setdefault(kv, (float(r[i + 1, 0]), float(r[i + 1, 1])))
+            raw_edges.append((ku, kv))
+    if not raw_edges:
+        return empty(POLYGON)
+
+    # node edges at snapped vertices lying on them (T-junctions)
+    vitems = list(verts.items())
+    noded: list[tuple] = []
+    for ku, kv in raw_edges:
+        ux, uy = verts[ku]
+        vx, vy = verts[kv]
+        dx, dy = vx - ux, vy - uy
+        L2 = dx * dx + dy * dy
+        on: list[tuple] = []
+        for kw, (wx, wy) in vitems:
+            if kw == ku or kw == kv:
+                continue
+            t = ((wx - ux) * dx + (wy - uy) * dy) / L2
+            if t <= 0.0 or t >= 1.0:
+                continue
+            px, py = ux + t * dx, uy + t * dy
+            if abs(px - wx) <= 10 * _SNAP and abs(py - wy) <= 10 * _SNAP:
+                on.append((t, kw))
+        chain = [ku] + [kw for _, kw in sorted(on)] + [kv]
+        for i in range(len(chain) - 1):
+            if chain[i] != chain[i + 1]:
+                noded.append((chain[i], chain[i + 1]))
+
+    # keep only edges whose undirected segment appears exactly once
+    count: dict[tuple, int] = defaultdict(int)
+    for ku, kv in noded:
+        count[(min(ku, kv), max(ku, kv))] += 1
+    boundary = [
+        (ku, kv) for ku, kv in noded if count[(min(ku, kv), max(ku, kv))] == 1
+    ]
+    if not boundary:
+        return empty(POLYGON)
+
+    out_edges: dict[tuple, list[tuple]] = defaultdict(list)
+    for ku, kv in boundary:
+        out_edges[ku].append(kv)
+    used: set[tuple] = set()
+    rings: list[np.ndarray] = []
+    for start_u, start_v in boundary:
+        if (start_u, start_v) in used:
+            continue
+        ring_keys = [start_u]
+        u, v = start_u, start_v
+        used.add((u, v))
+        guard = 0
+        while v != start_u and guard < len(boundary) + 1:
+            guard += 1
+            ring_keys.append(v)
+            cands = [w for w in out_edges[v] if (v, w) not in used]
+            if not cands:
+                break
+            if len(cands) == 1:
+                w = cands[0]
+            else:
+                # pinch vertex: clockwise-most continuation from the reversed
+                # incoming direction keeps this face's interior on the left
+                ux, uy = verts[u]
+                vx, vy = verts[v]
+                rev = _math.atan2(uy - vy, ux - vx)
+
+                def cw_delta(w):
+                    wx, wy = verts[w]
+                    ang = _math.atan2(wy - vy, wx - vx)
+                    return (rev - ang) % (2 * _math.pi)
+
+                w = min(cands, key=cw_delta)
+            used.add((v, w))
+            u, v = v, w
+        if v == start_u and len(ring_keys) >= 3:
+            # drop collinear vertices introduced by noding (JTS-shaped rings)
+            pts_r = [verts[kk] for kk in ring_keys]
+            keep = [
+                p
+                for i, p in enumerate(pts_r)
+                if abs(
+                    _orient(*pts_r[i - 1], *p, *pts_r[(i + 1) % len(pts_r)])
+                )
+                > _EPS
+            ]
+            if len(keep) >= 3:
+                arr = np.array(keep + [keep[0]])
+                if abs(_ring_area(arr)) > 1e-14:
+                    rings.append(arr)
+
+    shells = [r for r in rings if _ring_area(r) > 0]
+    holes = [r for r in rings if _ring_area(r) < 0]
+    if not shells:
+        return empty(POLYGON)
+    polys: list[list[np.ndarray]] = [[s] for s in shells]
+    for h in holes:
+        # attach to the smallest shell containing the hole's first vertex
+        cands = [
+            (abs(_ring_area(s)), si)
+            for si, s in enumerate(shells)
+            if _point_in_ring(h[0, 0], h[0, 1], s) != EXTERIOR
+        ]
+        if cands:
+            polys[min(cands)[1]].append(h)
+    if len(polys) == 1:
+        return Geometry(POLYGON, polys[0])
+    return Geometry(MULTIPOLYGON, polys)
+
+
 def intersection_areal(a: Geometry, b: Geometry) -> Geometry:
     """Intersection of two areal geometries, CONCAVE shells and HOLES
     supported: tessellate both regions into convex pieces (shell triangles
     minus hole triangles), convex-clip each pair, collect the
-    interior-disjoint pieces as a MultiPolygon. Area-exact; piece boundaries
-    are not dissolved (the reference returns the JTS dissolved polygon —
-    SpatialRelationFunctions.scala:24-59 — the REGION is identical, the
-    tessellation differs)."""
+    interior-disjoint pieces, then DISSOLVE them (dissolve_pieces) into the
+    maximal-ring (multi)polygon the reference returns (JTS OverlayOp,
+    SpatialRelationFunctions.scala:24-59). Area-exact."""
     apolys = _polygons_of(a)
     bpolys = _polygons_of(b)
     pieces: list[list[np.ndarray]] = []
@@ -1369,7 +1650,7 @@ def intersection_areal(a: Geometry, b: Geometry) -> Geometry:
         return empty(POLYGON)
     if len(pieces) == 1:
         return Geometry(POLYGON, pieces[0])
-    return Geometry(MULTIPOLYGON, pieces)
+    return dissolve_pieces([r for rings in pieces for r in rings])
 
 
 def _clip_halfplane(ring: np.ndarray, ax, ay, bx, by, keep_left: bool) -> np.ndarray | None:
@@ -1428,8 +1709,9 @@ def difference_areal(a: Geometry, b: Geometry) -> Geometry:
     """A minus B for arbitrary simple shells INCLUDING holes: tessellate A's
     region into convex pieces, then subtract each convex piece of B's region
     (convex half-plane fans). Subtracting B's region == subtracting each
-    piece of its convex decomposition sequentially. Area-exact; tessellated
-    like intersection_areal."""
+    piece of its convex decomposition sequentially. Area-exact; the pieces
+    are DISSOLVED into the maximal-ring result (dissolve_pieces) like
+    intersection_areal — holes cut by the subtraction come back as rings."""
     tris_b = [t for rings in _polygons_of(b) for t in _tessellate_polygon(rings)]
     out_pieces: list[np.ndarray] = []
     for rings_a in _polygons_of(a):
@@ -1446,4 +1728,4 @@ def difference_areal(a: Geometry, b: Geometry) -> Geometry:
         return empty(POLYGON)
     if len(out_pieces) == 1:
         return Geometry(POLYGON, [out_pieces[0]])
-    return Geometry(MULTIPOLYGON, [[p] for p in out_pieces])
+    return dissolve_pieces(out_pieces)
