@@ -1,0 +1,98 @@
+"""Round-3 items #9/#10: Kafka-shaped streaming coverage + real PIL decode.
+
+- The kafka VALUE-parsing transformation is source-agnostic Column code and
+  is tested on a batch DataFrame with the kafka wire shape (runs in any
+  env). The format('kafka') source itself needs the connector jar; that
+  test skips with a documented reason when the jar is absent (this sandbox)
+  and runs when present.
+- The real-codec media branch (_pil_decode) runs when Pillow is importable
+  (a 1x1 PNG golden); skips otherwise.
+"""
+
+import base64
+import datetime as _dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.streaming.stream import (
+    kafka_point_stream,
+    parse_kafka_points,
+    windowed_tile_counts,
+)
+
+
+def test_kafka_value_parsing_batch(spark):
+    """Kafka wire rows -> typed points -> tile counts, in batch mode (the
+    streaming transformations are the same Column expressions)."""
+    t0 = _dt.datetime(2016, 1, 2, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        ts = (t0 + _dt.timedelta(seconds=30 * i)).strftime("%Y-%m-%dT%H:%M:%S")
+        val = (
+            '{"doc_id": "d%03d", "ts": "%s", "x": %.2f, "y": %.2f}'
+            % (i, ts, (i % 8) * 40.0 - 140.0, (i % 4) * 30.0 - 45.0)
+        ).encode()
+        rows.append({"key": b"k", "value": val, "topic": "pts", "partition": 0, "offset": i})
+    rows.append({"key": b"k", "value": b"not json", "topic": "pts", "partition": 0, "offset": 99})
+    raw = spark.createDataFrame(pd.DataFrame(rows))
+    pts = parse_kafka_points(raw)
+    assert pts.columns == ["doc_id", "ts", "x", "y"]
+    assert pts.count() == 40  # the malformed row is dropped, not fatal
+    tiles = windowed_tile_counts(pts, zoom=3, window="10 minutes", watermark="0 seconds")
+    got = tiles.agg(F.sum("n_docs")).collect()[0][0]
+    assert got == 40
+
+
+def test_kafka_source_smoke(spark):
+    """format('kafka') end-to-end requires the connector jar; skip with a
+    documented reason when absent (parity-neutral: the reference's Kafka
+    layer is a queryable cache, docs/user/kafka/index.rst:10-14)."""
+    try:
+        stream = kafka_point_stream(spark, "localhost:9092", "pts")
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "kafka" in str(e).lower():
+            pytest.skip(f"kafka connector not on classpath: {type(e).__name__}")
+        raise
+    assert stream.isStreaming
+    assert stream.columns == ["doc_id", "ts", "x", "y"]
+
+
+def test_pil_real_png_decode(spark):
+    """Real-codec branch: decode an actual 1x1 PNG via Pillow when present."""
+    pytest.importorskip("PIL")
+    from geomesa_spark.multimodal.media import decode_image_meta
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["m1"], "media_type": ["image/png"], "content": [png]})
+    )
+    row = decode_image_meta(df).collect()[0]
+    assert (row.decoded_w, row.decoded_h) == (1, 1)
+    assert row.checksum is not None
+
+
+def test_pil_absent_degrades_to_null(spark):
+    """Without Pillow, real-format content degrades to null metadata (honest
+    stub), never a job failure."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; the degrade branch is unreachable")
+    except ImportError:
+        pass
+    from geomesa_spark.multimodal.media import decode_image_meta
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_ref": ["m1"], "media_type": ["image/png"], "content": [png]})
+    )
+    row = decode_image_meta(df).collect()[0]
+    assert row.decoded_w is None and row.checksum is None
