@@ -1,0 +1,133 @@
+"""File + converter sources: external formats -> the engine's docs schema.
+
+Reference analog: the converter framework (geomesa-convert) that maps
+delimited text / GeoJSON / etc. into SimpleFeatures at ingest
+(docs/user/convert/index.rst; SURVEY.md §2.1 "file + converter source").
+Spark-first translation: each converter is a spark.read of the native
+format plus PURE-COLUMN mapping into the canonical (doc_id, spans) shape,
+so converted sources flow through the SAME index job (index_docs) and
+planner as parquet docs — no separate ingest path, full pushdown on the
+native reader (CSV/JSON scan with column pruning).
+
+Converters return the DOCS_SCHEMA shape; call index_docs() on the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .docs import DOCS_SCHEMA  # noqa: F401  (schema contract re-export)
+
+
+def _span(kind, text, media_ref, offset: int):
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        F.lit(offset).cast("int").alias("offset"),
+    )
+
+
+def _to_docs(
+    df: DataFrame,
+    id_col,
+    wkt_col,
+    time_col,
+    text_col=None,
+    media_col=None,
+) -> DataFrame:
+    """Assemble the canonical spans array (kind/text/media_ref/offset, in
+    span order — the per-row span-sequence invariant) from typed columns."""
+    empty = F.lit("")
+    spans = [
+        _span(F.lit("text"), F.coalesce(text_col, empty) if text_col is not None else empty, empty, 0),
+        _span(F.lit("geo"), F.coalesce(wkt_col, empty), empty, 1),
+        _span(
+            F.lit("time"),
+            F.coalesce(F.date_format(time_col, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"), empty),
+            empty,
+            2,
+        ),
+    ]
+    if media_col is not None:
+        spans.append(_span(F.lit("media"), empty, F.coalesce(media_col, empty), 3))
+    return df.select(
+        id_col.cast("string").alias("doc_id"), F.array(*spans).alias("spans")
+    )
+
+
+def read_wkt_csv(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    wkt_col: str = "geom",
+    time_col: str = "ts",
+    text_col: str | None = None,
+    media_col: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Delimited text with a WKT column -> docs. The CSV scan keeps Spark's
+    native pushdown (column pruning; only the mapped columns are read)."""
+    raw = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    return _to_docs(
+        raw,
+        F.col(id_col),
+        F.col(wkt_col),
+        F.to_timestamp(F.col(time_col)),
+        F.col(text_col) if text_col else None,
+        F.col(media_col) if media_col else None,
+    )
+
+
+def read_geojson_lines(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    time_field: str = "ts",
+    text_field: str | None = None,
+) -> DataFrame:
+    """Newline-delimited GeoJSON Features -> docs. Geometry is converted
+    GeoJSON->WKB->WKT inside one Arrow batch pass (the geometry kernel's
+    from_geojson); ids/times/props come from `properties` via pure Columns.
+    Features without an id fall back to a content hash (stable)."""
+    from pyspark.sql.types import StringType
+
+    from ..geom.geojson import from_geojson
+    from ..geom.wkt import to_wkt
+
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    geom_json = F.get_json_object(F.col("value"), "$.geometry")
+    props = F.get_json_object(F.col("value"), f"$.properties.{time_field}")
+    fid = F.coalesce(
+        F.get_json_object(F.col("value"), "$.id"),
+        F.get_json_object(F.col("value"), f"$.properties.{id_field}"),
+        F.sha2(F.col("value"), 256),
+    )
+    text = (
+        F.get_json_object(F.col("value"), f"$.properties.{text_field}")
+        if text_field
+        else None
+    )
+
+    import pandas as pd
+
+    def gj_to_wkt(s):  # no hints (local-import annotations trap)
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(to_wkt(from_geojson(v)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    wkt = F.pandas_udf(gj_to_wkt, StringType())(geom_json)
+    return _to_docs(raw, fid, wkt, F.to_timestamp(props), text)

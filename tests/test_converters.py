@@ -1,0 +1,92 @@
+"""File + converter sources (SURVEY §2.1): WKT-CSV and GeoJSON-lines ->
+canonical docs schema -> the SAME index job and planner as parquet docs.
+Closes the 'partial' converter row: external formats are first-class inputs.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.plans.planner import spatial_filter
+from geomesa_spark.sources.converters import read_geojson_lines, read_wkt_csv
+from geomesa_spark.sources.docs import DOCS_SCHEMA, index_docs
+
+BOX = "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0))"
+
+
+def test_wkt_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text(
+        "id,geom,ts,body\n"
+        'a1,POINT (5 5),2016-01-02T10:00:00,"hello world"\n'
+        'a2,POINT (50 50),2016-01-03T10:00:00,"far away"\n'
+        'a3,"POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",2016-01-04T10:00:00,"an extent"\n',
+    )
+    docs = read_wkt_csv(spark, str(p), text_col="body")
+    assert docs.schema == DOCS_SCHEMA or [f.name for f in docs.schema.fields] == [
+        "doc_id",
+        "spans",
+    ]
+    # span-sequence invariant: kinds in order, offsets 0..n
+    row = docs.filter("doc_id = 'a1'").collect()[0]
+    assert [s["kind"] for s in row.spans] == ["text", "geo", "time"]
+    assert [s["offset"] for s in row.spans] == [0, 1, 2]
+    assert row.spans[0]["text"] == "hello world"
+    # flows through the standard index job + planner
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"a1", "a3"}
+
+
+def test_geojson_lines_roundtrip(spark, tmp_path):
+    feats = [
+        {
+            "type": "Feature",
+            "id": "g1",
+            "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+            "properties": {"ts": "2016-01-02T10:00:00", "body": "inside"},
+        },
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[1, 1], [4, 1], [4, 4], [1, 4], [1, 1]]],
+            },
+            "properties": {"id": "g2", "ts": "2016-01-03T10:00:00", "body": "poly"},
+        },
+        {
+            "type": "Feature",
+            "id": "g3",
+            "geometry": {"type": "Point", "coordinates": [120.0, 70.0]},
+            "properties": {"ts": "2016-01-04T10:00:00", "body": "outside"},
+        },
+    ]
+    p = tmp_path / "feats.jsonl"
+    p.write_text("\n".join(json.dumps(f) for f in feats) + "\n")
+    docs = read_geojson_lines(spark, str(p), text_field="body")
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"g1", "g2", "g3"}  # id field OR properties.id both work
+    assert rows["g1"].spans[1]["text"].startswith("POINT")
+    assert rows["g2"].spans[1]["text"].startswith("POLYGON")
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"g1", "g2"}
+    # timestamps parsed into the time span and survive the index job
+    ts = {r.doc_id: r.ts for r in idx.select("doc_id", "ts").collect()}
+    assert ts["g1"] is not None and ts["g1"].year == 2016
+
+
+def test_csv_scan_prunes_columns(spark, tmp_path):
+    """The converter keeps the native CSV scan: only mapped columns are
+    read (ReadSchema shows the pruned set, not every CSV column)."""
+    p = tmp_path / "wide.csv"
+    p.write_text(
+        "id,geom,ts,a,b,c,d\n"
+        "r1,POINT (1 1),2016-01-01T00:00:00,1,2,3,4\n"
+    )
+    docs = read_wkt_csv(spark, str(p))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "a" not in read_schema.replace("struct<", "")
