@@ -281,6 +281,92 @@ def sessionize_tracks(
     )
 
 
+def stream_stream_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    meters: float,
+    time_window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "ts",
+    lon_col: str = "x",
+    lat_col: str = "y",
+) -> DataFrame:
+    """STREAM-STREAM spatio-temporal proximity join: pairs (l, r) with
+    haversine(l, r) <= meters AND |l.ts - r.ts| <= time_window, both sides
+    unbounded streams ("vessels within 1 km of each other within 5 min").
+
+    Spark's stream-stream inner join needs an EQUALITY key plus event-time
+    bounds for state cleanup; the equality key here is the proximity grid
+    cell: cell width >= the search distance, LEFT rows explode to the
+    latitude-aware neighbor cells that could hold a match (lon neighbors
+    widen as cos(lat) shrinks, clamped at |lat| 85 deg — polar pairs beyond
+    that may be missed, documented), RIGHT rows keep their single cell, so
+    each qualifying pair matches in EXACTLY one (jcx, jcy) bucket — no
+    dedup state needed. Exact haversine + time-range filter after the
+    keyed join. Watermarks on both sides bound the join state."""
+    from ..operators.knn import haversine_col
+
+    d_deg = meters / 111_320.0  # conservative: 1 deg lat >= 111.32 km
+    cell = max(d_deg, 1e-4)
+    win_secs = _duration_secs(time_window)
+
+    def cells(df: DataFrame, side: str, explode_neighbors: bool) -> DataFrame:
+        x, y = F.col(lon_col), F.col(lat_col)
+        cx = F.floor((x + F.lit(180.0)) / F.lit(cell)).cast("long")
+        cy = F.floor((y + F.lit(90.0)) / F.lit(cell)).cast("long")
+        out = df.withWatermark(time_col, watermark)
+        renamed = out.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns], cx.alias("_cx"), cy.alias("_cy")
+        )
+        if not explode_neighbors:
+            return renamed.withColumnRenamed("_cx", "jcx").withColumnRenamed(
+                "_cy", "jcy"
+            )
+        # lon-neighbor span grows with latitude (cells narrow in meters)
+        clat = F.cos(F.radians(F.least(F.lit(85.0), F.greatest(F.lit(-85.0), F.col(f"{side}_{lat_col}")))))
+        k = F.ceil(F.lit(1.0) / clat).cast("int")
+        return (
+            renamed.withColumn("_dx", F.explode(F.sequence(-k, k)))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .select(
+                "*",
+                (F.col("_cx") + F.col("_dx")).alias("jcx"),
+                (F.col("_cy") + F.col("_dy")).alias("jcy"),
+            )
+            .drop("_cx", "_cy", "_dx", "_dy")
+        )
+
+    L = cells(left, "l", explode_neighbors=True)
+    R = cells(right, "r", explode_neighbors=False)
+    lt, rt = F.col(f"l_{time_col}"), F.col(f"r_{time_col}")
+    joined = L.join(
+        R,
+        on=(
+            (L["jcx"] == R["jcx"])
+            & (L["jcy"] == R["jcy"])
+            & (lt >= rt - F.expr(f"interval {win_secs} seconds"))
+            & (lt <= rt + F.expr(f"interval {win_secs} seconds"))
+        ),
+        how="inner",
+    )
+    dist = haversine_col(
+        F.col(f"l_{lon_col}"), F.col(f"l_{lat_col}"),
+        F.col(f"r_{lon_col}"), F.col(f"r_{lat_col}"),
+    )
+    return (
+        joined.filter(dist <= F.lit(float(meters)))
+        .withColumn("dist_m", dist)
+        .drop("jcx", "jcy")
+    )
+
+
+def _duration_secs(s: str) -> int:
+    num, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(num) * mult
+
+
 def streaming_proximity_alerts(
     stream: DataFrame,
     center: tuple[float, float],

@@ -1,0 +1,130 @@
+"""Stream-stream spatio-temporal proximity join: two unbounded point streams,
+pairs within (meters, time_window) — verified pair-for-pair against the
+batch kernel over the same finite inputs."""
+
+import datetime as _dt
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom.algorithms import haversine
+from geomesa_spark.streaming.stream import stream_stream_proximity_join
+
+METERS = 50_000.0
+WINDOW_S = 120
+
+
+def _mk_rows(tag, n, seed):
+    rng = np.random.default_rng(seed)
+    t0 = _dt.datetime(2016, 1, 2, 12, 0, 0)
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "pid": f"{tag}{i:03d}",
+                "ts": t0 + _dt.timedelta(seconds=int(rng.integers(0, 600))),
+                "x": float(rng.uniform(-2.0, 2.0)),
+                "y": float(rng.uniform(-1.0, 1.0)),
+            }
+        )
+    return rows
+
+
+def _brute_pairs(lrows, rrows):
+    out = set()
+    for l in lrows:
+        for r in rrows:
+            if abs((l["ts"] - r["ts"]).total_seconds()) <= WINDOW_S and haversine(
+                l["x"], l["y"], r["x"], r["y"]
+            ) <= METERS:
+                out.add((l["pid"], r["pid"]))
+    return out
+
+
+def test_stream_stream_proximity_pairs(spark, tmp_path):
+    lrows, rrows = _mk_rows("L", 120, 3), _mk_rows("R", 80, 4)
+    want = _brute_pairs(lrows, rrows)
+    assert len(want) > 20, "fixture must be non-trivial"
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(pd.DataFrame(lrows))
+    rdf = spark.createDataFrame(pd.DataFrame(rrows))
+    ldf.coalesce(1).write.mode("overwrite").parquet(ldir)
+    rdf.coalesce(1).write.mode("overwrite").parquet(rdir)
+    lstream = spark.readStream.schema(ldf.schema).parquet(ldir)
+    rstream = spark.readStream.schema(rdf.schema).parquet(rdir)
+
+    pairs = stream_stream_proximity_join(
+        lstream, rstream, meters=METERS, time_window="2 minutes", watermark="1 hour"
+    )
+    q = (
+        pairs.select("l_pid", "r_pid", "dist_m")
+        .writeStream.format("memory")
+        .queryName("ss_pairs")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        got = set()
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.l_pid, r.r_pid)
+                for r in spark.sql("select * from ss_pairs").collect()
+            }
+            if got == want:
+                break
+            time.sleep(2)
+        assert got == want, (len(got), len(want), list(want - got)[:5], list(got - want)[:5])
+        # distances reported are within bound
+        dmax = spark.sql("select max(dist_m) m from ss_pairs").collect()[0].m
+        assert dmax <= METERS
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_no_duplicate_pairs(spark, tmp_path):
+    """Each qualifying pair emits exactly once (right rows keep one cell, so
+    the neighbor-explode on the left cannot double-match)."""
+    lrows, rrows = _mk_rows("L", 60, 7), _mk_rows("R", 60, 8)
+    ldir, rdir = str(tmp_path / "l2"), str(tmp_path / "r2")
+    ldf = spark.createDataFrame(pd.DataFrame(lrows))
+    rdf = spark.createDataFrame(pd.DataFrame(rrows))
+    ldf.coalesce(1).write.mode("overwrite").parquet(ldir)
+    rdf.coalesce(1).write.mode("overwrite").parquet(rdir)
+    pairs = stream_stream_proximity_join(
+        spark.readStream.schema(ldf.schema).parquet(ldir),
+        spark.readStream.schema(rdf.schema).parquet(rdir),
+        meters=METERS,
+        time_window="2 minutes",
+        watermark="1 hour",
+    ).select("l_pid", "r_pid")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ss_pairs_dup")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            n = spark.sql("select count(*) c from ss_pairs_dup").collect()[0].c
+            nd = spark.sql(
+                "select count(*) c from (select distinct * from ss_pairs_dup)"
+            ).collect()[0].c
+            if n > 0 and q.status["isDataAvailable"] is False:
+                assert n == nd, (n, nd)
+                break
+            time.sleep(2)
+        assert n == nd and n > 0
+    finally:
+        q.stop()
