@@ -229,6 +229,24 @@ def q_knn_geodesic(spark, sf_dir):
     )
 
 
+def q_knn_join_table(spark, sf_dir):
+    """Cell-ring kNN over a query TABLE (knn_join): 24 deterministic query
+    points, k=3 by geodesic distance — the DataFrame-native formulation for
+    large query sets (no per-query driver state); oracle = exact per-query
+    window top-k in DuckDB."""
+    _init(spark)
+    from geomesa_spark.operators.knn import knn_join
+
+    e = _events_pts(spark, sf_dir).withColumnRenamed("event_id", "doc_id")
+    q = spark.range(24).select(
+        F.format_string("q%02d", F.col("id").cast("int")).alias("query_id"),
+        ((F.col("id") * 37 % 120) - 60).cast("double").alias("q_lon"),
+        ((F.col("id") * 53 % 60) - 30).cast("double").alias("q_lat"),
+    )
+    res = knn_join(e, q, k=3, start_radius_m=500_000, max_radius_m=20_000_000)
+    return res.select("query_id", "doc_id", F.round("dist_m", 6).alias("dist_r6"))
+
+
 def q_dwithin_proximity(spark, sf_dir):
     _init(spark)
     e = _events_pts(spark, sf_dir)
@@ -528,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz2_extent_query": q_xz2_extent_query,
         "xz3_extent_temporal": q_xz3_extent_temporal,
         "knn_geodesic": q_knn_geodesic,
+        "knn_join_table": q_knn_join_table,
         "dwithin_proximity": q_dwithin_proximity,
         "tile_assignment_z8": q_tile_assignment_z8,
         "density_grid": q_density_grid,
@@ -576,6 +595,23 @@ def oracle_sql() -> dict[str, str]:
         + " union all ".join(f"({p})" for p in knn_parts)
         + ") where rn <= 10"
     )
+    kj_h = O.haversine_sql(elon, elat, "q.q_lon", "q.q_lat")
+    knn_join_sql = f"""
+        with q as (
+          select qi, cast((qi * 37) % 120 - 60 as double) as q_lon,
+                     cast((qi * 53) % 60 - 30 as double) as q_lat
+          from range(0, 24) t(qi)
+        ),
+        scored as (
+          select q.qi, e.event_id as doc_id, {kj_h} as d
+          from events e cross join q
+        )
+        select 'q' || lpad(cast(qi as varchar), 2, '0') as query_id,
+               doc_id, round(d, 6) as dist_r6
+        from (select *, row_number() over (partition by qi order by d, doc_id) as rn
+              from scored)
+        where rn <= 3
+    """
     return {
         "spatial_pip_filter": f"""
             select doc_id, round({lon}, 6) as lon_r6, round({lat}, 6) as lat_r6
@@ -611,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
               and {XZ3_TS} < {int(pd.Timestamp(XZ3_INTERVAL[1]).timestamp())}
         """,
         "knn_geodesic": knn_sql,
+        "knn_join_table": knn_join_sql,
         "dwithin_proximity": f"""
             select event_id, round({hav}, 6) as dist_r6
             from events where {hav} <= 500000.0

@@ -100,6 +100,7 @@ def run_queries(spark) -> dict[str, float]:
         "xz2_extent_query",
         "xz3_extent_temporal",
         "knn_geodesic",
+        "knn_join_table",
         "dwithin_proximity",
         "tile_assignment_z8",
         "density_grid",
