@@ -43,7 +43,11 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
 
 
 def shingles_col(text_col, k: int = 3):
-    """Distinct lowercase character k-shingles as a Column (pure built-ins)."""
+    """Distinct lowercase character k-shingles as a Column. NOTE: transform/
+    substring lambdas are INTERPRETED per element by Spark — this is the
+    SQL-mirrorable definition; the dedup hot paths shingle inside Arrow
+    batches instead (_minhash_text_udf / _exact_jaccard_udf compute the
+    identical distinct-k-gram sets in numpy/Python per batch)."""
     t = F.lower(text_col)
     return F.array_distinct(
         F.transform(
@@ -51,6 +55,87 @@ def shingles_col(text_col, k: int = 3):
             lambda i: F.substring(t, i, k),
         )
     )
+
+
+def _shingle_set(t: str, k: int) -> set:
+    """Python mirror of shingles_col: distinct k-grams of lower(t); texts
+    shorter than k yield the whole text (one shingle)."""
+    t = t.lower()
+    n = max(len(t) - k + 1, 1)
+    return {t[i : i + k] for i in range(n)}
+
+
+def _minhash_text_udf(num_hashes: int, k: int = 3, seed: int = 42):
+    """text -> minhash signature with the shingling INSIDE the Arrow batch
+    (one Python pass per doc) — same hash family and same S8-packing as
+    _minhash_udf, so signatures are bit-identical to the Column-shingled
+    path, minus ~len(text) interpreted lambda evals per row."""
+    rng = np.random.default_rng(seed)
+    P = np.uint64((1 << 31) - 1)
+    A = rng.integers(1, int(P), num_hashes, dtype=np.uint64)
+    B = rng.integers(0, int(P), num_hashes, dtype=np.uint64)
+
+    def mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            arr = list(_shingle_set(t, k))
+            packed = np.frombuffer(
+                np.asarray(arr, dtype="S8").tobytes(), dtype=np.uint64
+            )
+            x = ((packed >> np.uint64(31)) ^ packed) & P
+            sig = ((A[:, None] * x[None, :] + B[:, None]) % P).min(axis=1)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(mh, ArrayType(LongType()))
+
+
+def _exact_jaccard_udf(k: int = 3):
+    """(text_a, text_b) -> EXACT distinct-k-shingle Jaccard, one batch pass.
+    Identical math to size(array_intersect)/size(array_union) over
+    shingles_col arrays, but pairs carry ~300-byte strings through the
+    attach joins instead of ~300-element string arrays, and the set ops run
+    in Python per batch instead of interpreted per element."""
+    from pyspark.sql.types import DoubleType
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.full(len(a), np.nan)
+        for i in range(len(a)):
+            ta, tb = a.iloc[i], b.iloc[i]
+            if ta is None or tb is None:
+                continue
+            sa, sb = _shingle_set(ta, k), _shingle_set(tb, k)
+            out[i] = len(sa & sb) / len(sa | sb)
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None).astype(object)
+
+    return F.pandas_udf(f, DoubleType())
+
+
+def _sig_match_frac_udf(num_hashes: int):
+    """(sig_a, sig_b) -> matching-position fraction (the minhash Jaccard
+    estimator), one numpy pass per batch — replaces the per-pair interpreted
+    zip_with/aggregate over 128-element arrays in the candidate prefilter."""
+    from pyspark.sql.types import DoubleType
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.full(len(a), np.nan)
+        ok = [
+            i
+            for i in range(len(a))
+            if a.iloc[i] is not None and b.iloc[i] is not None
+        ]
+        if ok:
+            A = np.stack([np.asarray(a.iloc[i], dtype=np.int64) for i in ok])
+            Bm = np.stack([np.asarray(b.iloc[i], dtype=np.int64) for i in ok])
+            out[ok] = (A == Bm).mean(axis=1)
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None).astype(object)
+
+    return F.pandas_udf(f, DoubleType())
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -297,9 +382,7 @@ def _est_prefilter(
     sigs = sig.select(id_col, "_sig")
     pre = _attach(cand, sigs, id_col, "id_a")
     pre = _attach(pre, sigs, id_col, "id_b")
-    est = F.size(
-        F.filter(F.zip_with("_sig_id_a", "_sig_id_b", lambda x, y: x == y), lambda v: v)
-    ) / F.lit(float(num_hashes))
+    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
     return pre.filter(est >= threshold - margin).select("id_a", "id_b")
 
 
@@ -336,36 +419,34 @@ def minhash_lsh_pairs(
     if canonicalize:
         df = canonicalize_exact(df, text_col, id_col)
     df = _ensure_parallel(df)
-    mh = _minhash_udf(num_hashes)
-    # localCheckpoint cuts the lineage so the shingle/minhash work runs ONCE,
-    # not once per downstream branch (candidates + each attach side); the
+    # shingling happens INSIDE the signature/verify UDF batches — only the
+    # ~300-byte text (not a ~len(text)-element shingle array) is carried,
+    # and no interpreted transform/substring lambdas run per row.
+    # localCheckpoint cuts the lineage so the minhash work runs ONCE, not
+    # once per downstream branch (candidates + each attach side); the
     # materialized blocks are GC-cleaned with the plan — no persist leak
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), k).alias("_sh")
-    ).localCheckpoint(eager=False)
-    sig = sh.withColumn("_sig", mh(F.col("_sh"))).filter(
-        F.col("_sig").isNotNull()
-    ).localCheckpoint(eager=False)
+    txt = df.select(F.col(id_col), F.col(text_col).alias("_txt")).localCheckpoint(
+        eager=False
+    )
+    sig = txt.withColumn(
+        "_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt"))
+    ).filter(F.col("_sig").isNotNull()).localCheckpoint(eager=False)
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
 
     if verify == "exact":
         cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-        cand = _attach(cand, sh, id_col, "id_a")
-        cand = _attach(cand, sh, id_col, "id_b")
-        jac = F.size(F.array_intersect("_sh_id_a", "_sh_id_b")) / F.size(
-            F.array_union("_sh_id_a", "_sh_id_b")
-        )
+        cand = _attach(cand, txt, id_col, "id_a")
+        cand = _attach(cand, txt, id_col, "id_b")
+        jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
         return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
         )
     sigs = sig.select(id_col, "_sig")
     cand = _attach(cand, sigs, id_col, "id_a")
     cand = _attach(cand, sigs, id_col, "id_b")
-    est = F.size(
-        F.filter(F.zip_with("_sig_id_a", "_sig_id_b", lambda x, y: x == y), lambda v: v)
-    ) / F.lit(float(num_hashes))
+    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
     return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -403,24 +484,21 @@ def ngram_jaccard_pairs(
         )
     df = _ensure_parallel(df)
     keep = [id_col] + ([block_col] if block_col else [])
-    sh = df.select(
-        *keep, shingles_col(F.col(text_col), k).alias("_sh")
-    ).localCheckpoint(eager=False)
-    mh = _minhash_udf(num_hashes)
-    sig = sh.select(id_col, "_sh").withColumn("_sig", mh(F.col("_sh"))).filter(
-        F.col("_sig").isNotNull()
-    ).localCheckpoint(eager=False)
+    txt = df.select(*keep, F.col(text_col).alias("_txt")).localCheckpoint(
+        eager=False
+    )
+    sig = txt.select(id_col, "_txt").withColumn(
+        "_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt"))
+    ).filter(F.col("_sig").isNotNull()).localCheckpoint(eager=False)
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
     cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-    cand = _attach(cand, sh, id_col, "id_a")
-    cand = _attach(cand, sh, id_col, "id_b")
+    cand = _attach(cand, txt, id_col, "id_a")
+    cand = _attach(cand, txt, id_col, "id_b")
     if block_col:
         cand = cand.filter(F.col(f"{block_col}_id_a") == F.col(f"{block_col}_id_b"))
-    jac = F.size(F.array_intersect("_sh_id_a", "_sh_id_b")) / F.size(
-        F.array_union("_sh_id_a", "_sh_id_b")
-    )
+    jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
     return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
