@@ -342,11 +342,25 @@ def index_docs(
 
 
 def write_indexed(df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    """Partitioned layout: days(ts) x coarse cell — the Z2Scheme +
-    DateTimeScheme analog (geomesa-fs/.../partitions/Z2Scheme.scala:31-35,
-    DateTimeScheme.scala:25-117). Spark prunes on day/cell predicates natively;
-    with Iceberg jars present, swap fmt='iceberg' for the same spec."""
-    df.write.mode("overwrite").format(fmt).partitionBy("day", "cell").save(path)
+    """Partitioned layout: days(ts) x coarse cell, rows Z2-SORTED within
+    each file — the Z2Scheme + DateTimeScheme analog
+    (geomesa-fs/.../partitions/Z2Scheme.scala:31-35,
+    DateTimeScheme.scala:25-117) plus the z-curve in-file order the
+    reference gets from its key-sorted stores. Spark prunes directories on
+    day/cell predicates natively; the z2 sort makes parquet row-group
+    min/max stats tight on BOTH z2 ranges and the envelope columns (spatial
+    locality), so pushed envelope compares skip row groups inside a cell —
+    at 100 TB the difference between reading a cell and reading the query
+    window's slice of it. With Iceberg jars present, swap fmt='iceberg'
+    for the same spec."""
+    (
+        df.repartition("day", "cell")
+        .sortWithinPartitions("day", "cell", "z2")
+        .write.mode("overwrite")
+        .format(fmt)
+        .partitionBy("day", "cell")
+        .save(path)
+    )
 
 
 # ------------------------------------------------- Column-level point indexer

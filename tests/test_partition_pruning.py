@@ -51,3 +51,23 @@ def test_pruned_read_correct(spark, part_path):
         .collect()
     }
     assert pruned == want and len(want) > 0
+
+
+def test_files_are_z2_sorted(spark, part_path):
+    """write_indexed orders rows by z2 inside each file, so parquet
+    row-group min/max stats are tight on z2 and (by locality) the envelope
+    columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{part_path}/day=*/cell=*/*.parquet"))
+    assert files
+    checked = 0
+    for f in files[:5]:
+        z2 = pq.read_table(f, columns=["z2"])["z2"].to_pylist()
+        z2 = [v for v in z2 if v is not None]
+        if len(z2) > 1:
+            assert z2 == sorted(z2), f
+            checked += 1
+    assert checked > 0
