@@ -275,6 +275,26 @@ def q_density_grid(spark, sf_dir):
     )
 
 
+def q_density_polygonize(spark, sf_dir):
+    """RASTER -> VECTOR: occupied density cells dissolved into maximal
+    (multi)polygons; the oracle counts 4-connected cell components with a
+    recursive CTE and checks the exact dissolved area (disjoint cell cover:
+    area == n_cells x cell_area, binary-exact at 64x32 world grid)."""
+    _init(spark)
+    from geomesa_spark.geom import algorithms as alg
+    from geomesa_spark.operators.density import density, polygonize_density
+
+    d = _docs_pts(spark, sf_dir)
+    bbox = (-180.0, -90.0, 180.0, 90.0)
+    cells = density(d, bbox, 64, 32)
+    g, n_cells = polygonize_density(cells, bbox, 64, 32, threshold=1.0)
+    n_polys = len(alg._polygons_of(g))
+    return spark.createDataFrame(
+        [(n_polys, n_cells, round(alg.area(g), 6))],
+        "n_polygons long, n_cells long, area_r6 double",
+    )
+
+
 def q_density_weighted(spark, sf_dir):
     _init(spark)
     d = _docs_pts(spark, sf_dir)  # keeps documents columns incl. n_chars
@@ -551,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment_z8": q_tile_assignment_z8,
         "density_grid": q_density_grid,
         "density_weighted": q_density_weighted,
+        "density_polygonize": q_density_polygonize,
         "cell_count_z6": q_cell_count_z6,
         "track_length": q_track_length,
         "point2point": q_point2point,
@@ -664,6 +685,31 @@ def oracle_sql() -> dict[str, str]:
             from documents where {lon} between -180.0 and 180.0
               and {lat} between -90.0 and 90.0
             group by 1, 2
+        """,
+        "density_polygonize": f"""
+            with recursive cells as (
+              select {O.grid_i_sql(lon, -180.0, 180.0, 64)} as i,
+                     {O.grid_i_sql(lat, -90.0, 90.0, 32)} as j,
+                     count(*) as w
+              from documents where {lon} between -180.0 and 180.0
+                and {lat} between -90.0 and 90.0
+              group by 1, 2
+            ),
+            sel as (select i, j, i * 100000 + j as cid from cells where w >= 1),
+            e as (
+              select a.cid as src, b.cid as dst from sel a join sel b
+              on abs(a.i - b.i) + abs(a.j - b.j) = 1
+            ),
+            reach (cid, lab) as (
+              select cid, cid from sel
+              union
+              select e.src, r.lab from e join reach r on r.cid = e.dst
+            ),
+            comp as (select cid, min(lab) as c from reach group by cid)
+            select cast(count(distinct c) as bigint) as n_polygons,
+                   cast((select count(*) from sel) as bigint) as n_cells,
+                   round((select count(*) from sel) * 5.625e0 * 5.625e0, 6) as area_r6
+            from comp
         """,
         "density_weighted": f"""
             select {O.grid_i_sql(lon, -180.0, 180.0, 64)} as i,

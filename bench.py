@@ -104,6 +104,7 @@ def run_queries(spark) -> dict[str, float]:
         "dwithin_proximity",
         "tile_assignment_z8",
         "density_grid",
+        "density_polygonize",
         "cell_count_z6",
         "track_length",
         "stats_minmax",

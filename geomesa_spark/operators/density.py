@@ -128,6 +128,45 @@ def _render(g, gs: GridSnap) -> list[tuple[int, int]]:
 # ------------------------------------------------------------------- tiling
 
 
+def polygonize_density(
+    cells: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    threshold: float,
+):
+    """RASTER -> VECTOR: dissolve the grid cells with weight >= threshold
+    into maximal (multi)polygons (isoband extraction — the inverse of
+    density()'s vector -> raster direction). Returns (geometry, n_cells).
+
+    The collect is bounded by the GRID size (width x height cells), never by
+    the data size — the density aggregation upstream is the distributed
+    part; turning <= w*h cell rectangles into dissolved rings is inherently
+    a driver-sized task (same posture as the reference's density process,
+    which renders a fixed-size grid). Corner-touching cells stay separate
+    polygons (4-connectivity), matching JTS union semantics for rectangles
+    sharing only a vertex."""
+    import numpy as np
+
+    from ..geom import algorithms as alg
+    from ..geom.core import POLYGON, empty
+
+    minx, miny, maxx, maxy = bbox
+    cw = (maxx - minx) / width
+    ch = (maxy - miny) / height
+    sel = cells.filter(F.col("weight") >= F.lit(float(threshold))).select("i", "j").collect()
+    if not sel:
+        return empty(POLYGON), 0
+    rects = []
+    for r in sel:
+        x0, y0 = minx + r.i * cw, miny + r.j * ch
+        x1, y1 = x0 + cw, y0 + ch
+        rects.append(
+            np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
+        )
+    return alg.dissolve_pieces(rects), len(rects)
+
+
 def tile_x(lon: Column, zoom: int) -> Column:
     n = float(2**zoom)
     x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))

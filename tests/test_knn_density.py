@@ -153,3 +153,35 @@ def test_tile_counts_sum(spark, docs):
     pts = docs.filter("x = minx and y = miny")
     tc = tile_counts(pts, 4)
     assert tc.agg({"n_docs": "sum"}).collect()[0][0] == pts.count()
+
+
+def test_polygonize_density_patterns(spark):
+    """Raster -> vector: diagonal cells stay separate polygons
+    (4-connectivity), a ring of cells dissolves to one shell + one hole,
+    and the dissolved area equals n_cells x cell area exactly."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.geom import algorithms as alg
+    from geomesa_spark.operators.density import polygonize_density
+
+    ring = [(i, j) for i in range(3) for j in range(3) if (i, j) != (1, 1)]
+    cells = spark.createDataFrame(
+        pd.DataFrame(
+            {"i": [c[0] for c in ring] + [10], "j": [c[1] for c in ring] + [11],
+             "weight": [5.0] * len(ring) + [0.5]}
+        )
+    )
+    bbox = (0.0, 0.0, 64.0, 32.0)  # 64x32 grid of 1x1 cells
+    g, n = polygonize_density(cells, bbox, 64, 32, threshold=1.0)
+    assert n == 8  # the 0.5-weight cell is below threshold
+    polys = alg._polygons_of(g)
+    assert len(polys) == 1 and len(polys[0]) == 2  # shell + hole
+    assert alg.area(g) == 8.0
+    g2, n2 = polygonize_density(
+        spark.createDataFrame(
+            pd.DataFrame({"i": [0, 1], "j": [0, 1], "weight": [2.0, 2.0]})
+        ),
+        bbox, 64, 32, threshold=1.0,
+    )
+    assert n2 == 2 and len(alg._polygons_of(g2)) == 2  # corner touch splits
