@@ -518,6 +518,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(emb, qvec, k=20, bits=ANN_LSH_BITS, probes=ANN_LSH_PROBES)
 
 
+IVF_CENTROIDS, IVF_NPROBE = 16, 4
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: one-matmul nearest-centroid assignment against a
+    deterministic literal codebook, scan only the nprobe cells nearest the
+    query (the inverted-file scale path — partition pruning at scale); the
+    oracle recomputes the identical assignment from the same literal
+    centroids in SQL."""
+    _init(spark)
+    from geomesa_spark.operators.similarity import ann_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann_topk_ivf(
+        emb, qvec, k=20, nprobe=IVF_NPROBE, n_centroids=IVF_CENTROIDS
+    )
+
+
 _ATTR_IDX_CACHE: dict[str, str] = {}
 
 
@@ -592,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "dedup_components": q_dedup_components,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
     }
@@ -845,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_dedup_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "convexhull_by_type": _convexhull_oracle(),
     }
 
@@ -993,6 +1014,40 @@ def _dedup_components_oracle() -> str:
           select e.src, r.lab from edges e join reach r on r.id = e.dst
         )
         select id as doc_id, min(lab) as component from reach group by id
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """Mirror of q_ann_ivf_topk: the SAME literal codebook, the same rounded
+    dot-product assignment (first-max tie rule), the same (d desc, i asc)
+    probe ranking, exact cosine top-k within the probed cells."""
+    from geomesa_spark.operators.similarity import random_codebook
+
+    C = random_codebook(EMB_DIM, IVF_CENTROIDS)
+    cd_rows = " union all ".join(
+        f"select {i} as i, round({O.lit_dot_sql('q.qe', c)}, 9) as d from q"
+        for i, c in enumerate(C)
+    )
+    assign = O.ivf_assign_sql("e.embedding", C)
+    cos = O.cosine_sql("c.embedding", "q.qe")
+    return f"""
+        with q as (select embedding as qe from embeddings where vec_id = 0),
+        cd as ({cd_rows}),
+        probe as (
+          select i from (
+            select i, row_number() over (order by d desc, i asc) as rn from cd
+          ) where rn <= {IVF_NPROBE}
+        ),
+        cand as (
+          select e.vec_id, e.embedding from embeddings e
+          where {assign} in (select i from probe)
+        ),
+        scored as (select c.vec_id, round({cos}, 6) as score from cand c, q)
+        select vec_id, score, rank from (
+            select vec_id, score,
+                   row_number() over (order by score desc, vec_id asc) as rank
+            from scored
+        ) where rank <= 20
     """
 
 

@@ -118,6 +118,7 @@ def run_queries(spark) -> dict[str, float]:
         "dedup_components",
         "embedding_dedup",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "attr_bbox_filter",
         "convexhull_by_type",
     ]

@@ -190,6 +190,106 @@ def rp_bucket_np(vecs: np.ndarray, signs_2d: np.ndarray) -> np.ndarray:
     return ((proj > 0).astype(np.int64) << np.arange(signs_2d.shape[0])).sum(axis=1)
 
 
+# ------------------------------------------------------------------ IVF ANN
+
+
+def random_codebook(dim: int, n_centroids: int = 16, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm codebook (a data-independent coarse
+    quantizer). Like hyperplane_signs, these are plan-time LITERALS inlined
+    into both the Column expression and the DuckDB oracle SQL, so IVF
+    assignment is engine-independent and gate-checkable."""
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample_n: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train a spherical k-means coarse quantizer on a DETERMINISTIC sample
+    (the sample_n lowest ids — reproducible across runs/engines). Driver-side
+    numpy: the codebook is tiny (n_centroids x dim); the expensive part at
+    scale is assignment, which stays a distributed one-matmul pass."""
+    rows = df.orderBy(F.col(id_col)).limit(sample_n).select(vec_col).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows if r[0] is not None])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = X[m].sum(axis=0)
+            else:  # deterministic empty-cluster reseed: farthest point
+                v = X[np.argmin((X @ C.T).max(axis=1))]
+            C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """vector -> nearest-centroid index by dot product, one matmul per Arrow
+    batch. Dots are rounded to 9 decimals before the argmax so the first-max
+    tie rule matches the DuckDB literal-centroid mirror (summation-order fp
+    noise ~1e-15 cannot flip the assignment)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, n_centroids)
+
+    def f(vecs):  # no hints (local-import annotations trap)
+        out = np.full(len(vecs), -1, dtype=np.int32)
+        ok = [i for i in range(len(vecs)) if vecs.iloc[i] is not None]
+        if ok:
+            M = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            out[ok] = np.argmax(np.round(M @ C, 9), axis=1)
+        s = pd.Series(out)
+        return s.where(out >= 0, None).astype(object)
+
+    return F.pandas_udf(f, IntegerType())
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest codebook
+    centroid (one matmul pass), scan ONLY the nprobe cells nearest the
+    query. At scale the table is written partitioned/bucketed by the cell
+    id, so the probe prunes partitions — the classic IVF layout (inverted
+    file, Jegou et al., TPAMI'11) expressed as partition pruning. Pass
+    centroids= a trained ivf_centroids codebook, or omit for the
+    deterministic random codebook (SQL-mirrorable literals)."""
+    if centroids is None:
+        centroids = random_codebook(len(query_vec), n_centroids, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qd = np.round(centroids @ qv, 9)
+    # stable sort: equal dots break by centroid index (mirrors the SQL
+    # row_number() over (order by d desc, i asc) probe ranking)
+    probe = [int(i) for i in np.argsort(-qd, kind="stable")[:nprobe]]
+    cand = df.withColumn("_ivf", ivf_assign_udf(centroids)(F.col(vec_col))).filter(
+        F.col("_ivf").isin(probe)
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_query_udf(query_vec)(F.col(vec_col)), 6).alias("score"),
+    )
+    return _topk(scored, k, id_col)
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:

@@ -164,3 +164,23 @@ PART_CX = "((((p_partkey * 7919) % 33000) / 1e2) - 1.65e2)"
 PART_CY = "((((p_partkey * 104729) % 15000) / 1e2) - 7.5e1)"
 PART_HW = "(2e0 + (p_partkey % 97) * 8e0 / 9.7e1)"  # half-width 2..10 deg
 PART_HH = "(1e0 + (p_partkey % 53) * 4e0 / 5.3e1)"  # half-height 1..5 deg
+
+
+def lit_dot_sql(vec: str, row) -> str:
+    """Dot product of a list column with a LITERAL double vector (full-
+    precision repr so DuckDB parses the identical doubles numpy holds)."""
+    lits = "[" + ", ".join(repr(float(v)) for v in row) + "]"
+    return (
+        f"list_sum([cast({vec}[__di] as double) * ({lits})[__di] "
+        f"for __di in range(1, {len(row) + 1})])"
+    )
+
+
+def ivf_assign_sql(vec: str, centroids) -> str:
+    """Nearest-centroid index (0-based) by rounded dot product — mirrors
+    similarity.ivf_assign_udf (round to 9 decimals, first-max tie rule:
+    numpy argmax and DuckDB list_position both take the first maximum)."""
+    dots = ", ".join(f"round({lit_dot_sql(vec, c)}, 9)" for c in centroids)
+    return (
+        f"(list_position(list_value({dots}), list_max(list_value({dots}))) - 1)"
+    )

@@ -491,3 +491,35 @@ def test_media_resize(spark):
     resized = resize_image(media, 64, 48)
     rows = decode_image_meta(resized).select("decoded_w", "decoded_h").collect()
     assert all(r.decoded_w == 64 and r.decoded_h == 48 for r in rows)
+
+
+def test_ivf_trained_recall(spark, embeddings):
+    """IVF with a TRAINED spherical-kmeans codebook: deterministic training,
+    probing more cells monotonically improves recall, and full probe equals
+    brute force exactly."""
+    from geomesa_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+        ivf_centroids,
+    )
+
+    emb = embeddings
+    qvec = [float(v) for v in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+    C = ivf_centroids(emb, n_centroids=8, sample_n=256)
+    C2 = ivf_centroids(emb, n_centroids=8, sample_n=256)
+    assert (C == C2).all()  # deterministic training
+    truth = [r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()]
+
+    def recall(nprobe):
+        got = {
+            r.vec_id
+            for r in ann_topk_ivf(
+                emb, qvec, k=10, nprobe=nprobe, centroids=C
+            ).collect()
+        }
+        return len(got & set(truth)) / len(truth)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 == 1.0  # probing every cell == exact
+    assert r2 <= r8
+    assert recall(4) >= 0.5  # codebook is useful, not degenerate
