@@ -281,6 +281,23 @@ def sessionize_tracks(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per distinct text
+    (sha2-256 identity), with state bounded by the watermark —
+    dropDuplicatesWithinWatermark keys a 32-byte hash, not the text, so
+    state stays small at web-scale ingest rates. The batch analog is
+    dedup.exact_dedup / canonicalize_exact."""
+    hashed = stream.withColumn("_th", F.sha2(F.col(text_col), 256)).withWatermark(
+        time_col, watermark
+    )
+    return hashed.dropDuplicatesWithinWatermark(["_th"]).drop("_th")
+
+
 def stream_stream_proximity_join(
     left: DataFrame,
     right: DataFrame,

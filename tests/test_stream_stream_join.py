@@ -128,3 +128,52 @@ def test_stream_stream_join_no_duplicate_pairs(spark, tmp_path):
         assert n == nd and n > 0
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Only the first document per distinct text is emitted; state keys are
+    32-byte hashes bounded by the watermark."""
+    import datetime as dt
+
+    from geomesa_spark.streaming.stream import streaming_exact_dedup
+
+    t0 = dt.datetime(2016, 1, 2, 12, 0, 0)
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "doc_id": f"d{i:03d}",
+                "ts": t0 + dt.timedelta(seconds=i),
+                "text": f"unique body {i}" if i % 3 else "boilerplate template",
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "dedup_src")
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").parquet(src)
+    out = streaming_exact_dedup(
+        spark.readStream.schema(sdf.schema).parquet(src), watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = spark.sql("select * from sdedup").collect()
+            if len(got) >= 21:
+                break
+            time.sleep(2)
+        # 20 unique bodies (i % 3 != 0) + exactly ONE boilerplate row
+        assert len(got) == 21
+        boiler = [r.doc_id for r in got if r.text == "boilerplate template"]
+        assert len(boiler) == 1
+    finally:
+        q.stop()
