@@ -1479,7 +1479,7 @@ def _tessellate_polygon(rings) -> list[np.ndarray]:
 _SNAP = 1e-9
 
 
-def dissolve_pieces(pieces: list[np.ndarray]) -> Geometry:
+def dissolve_pieces(pieces: list[np.ndarray], node: bool = True) -> Geometry:
     """Merge interior-disjoint convex pieces into the DISSOLVED
     (multi)polygon — the JTS-shaped boolean output (OverlayOp result form,
     ref SpatialRelationFunctions.scala:24-59) instead of triangle soup.
@@ -1516,10 +1516,16 @@ def dissolve_pieces(pieces: list[np.ndarray]) -> Geometry:
     if not raw_edges:
         return empty(POLYGON)
 
-    # node edges at snapped vertices lying on them (T-junctions)
-    vitems = list(verts.items())
-    noded: list[tuple] = []
-    for ku, kv in raw_edges:
+    # node edges at snapped vertices lying on them (T-junctions). node=False
+    # skips the O(E x V) pass — correct when pieces share EXACT edges by
+    # construction (e.g. equal grid cells in polygonize_density)
+    if not node:
+        noded = raw_edges
+        vitems = []
+    else:
+        vitems = list(verts.items())
+        noded = []
+    for ku, kv in raw_edges if node else []:
         ux, uy = verts[ku]
         vx, vy = verts[kv]
         dx, dy = vx - ux, vy - uy

@@ -164,7 +164,9 @@ def polygonize_density(
         rects.append(
             np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)])
         )
-    return alg.dissolve_pieces(rects), len(rects)
+    # node=False: equal grid cells share exact corner coordinates by
+    # construction, so the O(edges x vertices) T-junction pass is unneeded
+    return alg.dissolve_pieces(rects, node=False), len(rects)
 
 
 def tile_x(lon: Column, zoom: int) -> Column:
