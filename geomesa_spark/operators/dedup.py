@@ -216,10 +216,16 @@ def dedup_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # fold the FIRST propagation into initialization: label0 = min(self,
+    # neighbors). Near-dup clusters are near-cliques, so most nodes reach
+    # their final label here and the loop usually runs one confirm round.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("component"),
+        )
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
