@@ -144,14 +144,13 @@ def q_xz2_extent_query(spark, sf_dir):
     _init(spark)
     from pyspark.sql.types import LongType
 
-    from geomesa_spark.index.xz2 import XZ2SFC
+    from geomesa_spark.index.xz2 import XZ2SFC, xz2_index_many
 
     sfc = XZ2SFC(g=12)
 
     def xz2(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        return pd.Series(
-            [sfc.index(a, b, c, d) for a, b, c, d in zip(minx, miny, maxx, maxy)]
-        )
+        # one numpy pass over the whole Arrow batch (not a per-row loop)
+        return pd.Series(xz2_index_many(minx, miny, maxx, maxy, g=12))
 
     xz2_udf = F.pandas_udf(xz2, LongType())
     polys = _part_polys(spark, sf_dir).withColumn(

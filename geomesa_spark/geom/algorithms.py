@@ -1151,14 +1151,24 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
                 if 1.0 - t_prev > 1e-12:
                     keep.append((t_prev, 1.0))
                 for t0, t1 in keep:
-                    s = (
-                        float(p0[0] + (p1[0] - p0[0]) * t0),
-                        float(p0[1] + (p1[1] - p0[1]) * t0),
-                    )
-                    e = (
-                        float(p0[0] + (p1[0] - p0[0]) * t1),
-                        float(p0[1] + (p1[1] - p0[1]) * t1),
-                    )
+                    # use the ORIGINAL vertices verbatim at t=0/t=1 —
+                    # p0+(p1-p0)*1.0 can differ from p1 by 1 ulp, which would
+                    # break the cur[-1] == s chaining below and fragment a
+                    # continuous result at interior vertices
+                    if t0 == 0.0:
+                        s = (float(p0[0]), float(p0[1]))
+                    else:
+                        s = (
+                            float(p0[0] + (p1[0] - p0[0]) * t0),
+                            float(p0[1] + (p1[1] - p0[1]) * t0),
+                        )
+                    if t1 == 1.0:
+                        e = (float(p1[0]), float(p1[1]))
+                    else:
+                        e = (
+                            float(p0[0] + (p1[0] - p0[0]) * t1),
+                            float(p0[1] + (p1[1] - p0[1]) * t1),
+                        )
                     if cur and cur[-1] == s:
                         cur.append(e)
                     else:

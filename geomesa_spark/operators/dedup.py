@@ -256,6 +256,16 @@ def dedup_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still changing: the graph has
+        # diameter > max_iter+1 (a long near-dup chain) and the components
+        # returned would be WRONG. Fail loudly rather than silently diverge
+        # from the transitive closure.
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — the "
+            "pair graph has a path longer than max_iter; raise max_iter or "
+            "use a large-star/small-star formulation for this graph shape"
+        )
     return labels
 
 

@@ -42,13 +42,30 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return 2 * F.lit(EARTH_MEAN_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
 
 
+def disc_window_deg(lat: float, radius_m: float) -> tuple[float, float]:
+    """(dlat, dlon) half-widths in degrees of the lon/lat bounding box of a
+    geodesic disc of `radius_m` centered at latitude `lat`. dlat is the
+    angular radius. dlon is the EXACT bound asin(sin(r)/cos(lat)) — the
+    naive dlat/cos(lat) under-covers the disc away from the equator (the
+    disc's widest longitude span is NOT at the center latitude) — and the
+    full 180 whenever the disc touches a pole (there every longitude holds
+    candidates). sin(r)/cos(lat) > 1 iff |lat|+dlat > 90, so the clamp and
+    the pole branch agree at the boundary."""
+    r = radius_m / EARTH_MEAN_RADIUS_M
+    dlat = math.degrees(r)
+    if abs(lat) + dlat >= 90.0:
+        return dlat, 180.0
+    dlon = math.degrees(
+        math.asin(min(1.0, math.sin(r) / math.cos(math.radians(lat))))
+    )
+    return dlat, dlon
+
+
 def _query_windows(queries: list[tuple], radius_m: float):
     """(qid, lon, lat) -> list of bbox windows (antimeridian-split)."""
     out = []
     for qid, lon, lat in queries:
-        dlat = math.degrees(radius_m / EARTH_MEAN_RADIUS_M)
-        coslat = max(0.01, math.cos(math.radians(lat)))
-        dlon = min(180.0, dlat / coslat)
+        dlat, dlon = disc_window_deg(lat, radius_m)
         y0, y1 = max(-90.0, lat - dlat), min(90.0, lat + dlat)
         x0, x1 = lon - dlon, lon + dlon
         if x0 < -180.0:
@@ -112,10 +129,21 @@ def knn_join(
         )
 
     def _windows_col(radius: float):
-        """1-2 antimeridian-split windows per query as an array Column."""
-        dlat = F.lit(math.degrees(radius / EARTH_MEAN_RADIUS_M))
-        coslat = F.greatest(F.lit(0.01), F.cos(F.radians(F.col("q_lat"))))
-        dlon = F.least(F.lit(180.0), dlat / coslat)
+        """1-2 antimeridian-split windows per query as an array Column.
+        Column mirror of disc_window_deg: dlon is the exact disc bound
+        asin(sin(r)/cos(lat)), widened to the full ±180 when the disc
+        touches a pole — dlat/cos(lat) under-covers away from the equator
+        and misses trans-polar neighbors entirely."""
+        r_ang = radius / EARTH_MEAN_RADIUS_M
+        dlat = F.lit(math.degrees(r_ang))
+        coslat = F.cos(F.radians(F.col("q_lat")))
+        dlon = F.when(
+            F.abs(F.col("q_lat")) + dlat >= F.lit(90.0), F.lit(180.0)
+        ).otherwise(
+            F.degrees(
+                F.asin(F.least(F.lit(1.0), F.lit(math.sin(r_ang)) / coslat))
+            )
+        )
         y0 = F.greatest(F.lit(-90.0), F.col("q_lat") - dlat)
         y1 = F.least(F.lit(90.0), F.col("q_lat") + dlat)
         x0 = F.col("q_lon") - dlon

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .knn import haversine_col
+from .knn import disc_window_deg, haversine_col
 
 
 def proximity_search(
@@ -20,14 +20,9 @@ def proximity_search(
     """Features within `meters` of ANY input point
     (ProximitySearchProcess.scala:25-93): bbox prefilter (codegen) + geodesic
     distance check; dwithin two-phase shape."""
-    import math
-
-    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
-
     conds = None
     for lon, lat in inputs:
-        dlat = math.degrees(meters / EARTH_MEAN_RADIUS_M)
-        dlon = dlat / max(0.01, math.cos(math.radians(lat)))
+        dlat, dlon = disc_window_deg(lat, meters)
         box = (
             (F.col("x") >= lon - dlon)
             & (F.col("x") <= lon + dlon)
@@ -134,13 +129,8 @@ def tube_select(
     (TubeSelectProcess.scala:33-184): per track vertex, docs within `meters`
     AND within the vertex's time window."""
     conds = None
-    import math
-
-    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
-
     for lon, lat, iso_ts in track_points:
-        dlat = math.degrees(meters / EARTH_MEAN_RADIUS_M)
-        dlon = dlat / max(0.01, math.cos(math.radians(lat)))
+        dlat, dlon = disc_window_deg(lat, meters)
         c = (
             (F.col("x").between(lon - dlon, lon + dlon))
             & (F.col("y").between(lat - dlat, lat + dlat))
@@ -170,15 +160,14 @@ def route_search(
     tolerance of the segment bearing."""
     import math
 
-    from ..geom.algorithms import EARTH_MEAN_RADIUS_M, haversine
+    from ..geom.algorithms import haversine
 
     conds = None
     for (x1, y1), (x2, y2) in zip(route_points[:-1], route_points[1:]):
         mx, my = (x1 + x2) / 2, (y1 + y2) / 2
         seg_len = float(haversine(x1, y1, x2, y2))
         radius = meters + seg_len / 2
-        dlat = math.degrees(radius / EARTH_MEAN_RADIUS_M)
-        dlon = dlat / max(0.01, math.cos(math.radians(my)))
+        dlat, dlon = disc_window_deg(my, radius)
         c = (
             F.col("x").between(mx - dlon, mx + dlon)
             & F.col("y").between(my - dlat, my + dlat)

@@ -299,6 +299,16 @@ def _with_envelope(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
     return df.mapInPandas(add, schema=schema)
 
 
+def _shuffle_partitions(spark) -> int:
+    """`spark.sql.shuffle.partitions` as an int — some deployments set the
+    AQE-style "auto", which must fall back to defaultParallelism rather
+    than throw out of the salt probe."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -347,7 +357,7 @@ def spatial_join(
         # (left rows hash-salted; right rows replicated). Cold cells pay
         # nothing. Reference analog: shard-byte key prefixes (ShardStrategy)
         # + RTREE/WEIGHTED partitioning; this is strictly more targeted.
-        n_shuffle = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n_shuffle = _shuffle_partitions(left.sparkSession)
         # hot-cell detection needs only approximate counts: probe a 2% SAMPLE
         # of the left side — the total-row estimate comes from the SAME
         # sample (sum of cell counts / fraction), so salting costs ONE probe

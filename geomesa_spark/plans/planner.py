@@ -316,8 +316,14 @@ def z3_predicate(
     for b in range(bin_lo, bin_hi + 1):
         t0 = max(lo, b * per) - b * per
         t1 = min(hi, (b + 1) * per) - b * per
+        # No epsilon shrink on t1 (mirrors the xz3 fix below): a point whose
+        # timestamp equals the interval upper bound AND lands exactly on a Z3
+        # time-cell boundary normalizes into the NEXT cell; shrinking the
+        # pushdown bound would prune that row even though the exact filter
+        # keeps it. normalize clamps to the bin, so the closed bound is safe
+        # (over-select, never miss).
         it0 = int(normalize([t0], 0, per, Z3_BITS)[0])
-        it1 = int(normalize([max(t0, t1 - 1e-9)], 0, per, Z3_BITS)[0])
+        it1 = int(normalize([max(t0, t1)], 0, per, Z3_BITS)[0])
         for minx, miny, maxx, maxy in bboxes:
             ix0 = int(normalize([minx], WORLD[0], WORLD[2], Z3_BITS)[0])
             ix1 = int(normalize([maxx], WORLD[0], WORLD[2], Z3_BITS)[0])

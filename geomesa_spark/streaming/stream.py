@@ -321,9 +321,18 @@ def stream_stream_proximity_join(
     each qualifying pair matches in EXACTLY one (jcx, jcy) bucket — no
     dedup state needed. Exact haversine + time-range filter after the
     keyed join. Watermarks on both sides bound the join state."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
     from ..operators.knn import haversine_col
 
-    d_deg = meters / 111_320.0  # conservative: 1 deg lat >= 111.32 km
+    # cell width derives from the SAME radius as haversine_col (R mean) —
+    # a mismatched 111,320 m/deg constant made cells ~0.11% smaller than
+    # the true angular reach, so a pair just under `meters` apart could sit
+    # 2 lat cells apart while the explode only covered -1..1. One extra
+    # cell of slack in BOTH axes below makes the cover provable regardless
+    # of where the pair lands relative to cell boundaries.
+    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
     cell = max(d_deg, 1e-4)
     win_secs = _duration_secs(time_window)
 
@@ -339,12 +348,23 @@ def stream_stream_proximity_join(
             return renamed.withColumnRenamed("_cx", "jcx").withColumnRenamed(
                 "_cy", "jcy"
             )
-        # lon-neighbor span grows with latitude (cells narrow in meters)
+        # lon-neighbor span grows with latitude (cells narrow in meters);
+        # use the exact disc lon bound asin(sin r / cos lat) — dlat/cos(lat)
+        # under-covers away from the equator — plus one cell of slack; lat
+        # neighbors get the same slack (dy in -2..2)
         clat = F.cos(F.radians(F.least(F.lit(85.0), F.greatest(F.lit(-85.0), F.col(f"{side}_{lat_col}")))))
-        k = F.ceil(F.lit(1.0) / clat).cast("int")
+        dlon = F.degrees(
+            F.asin(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat,
+                )
+            )
+        )
+        k = (F.ceil(dlon / F.lit(cell)) + F.lit(1)).cast("int")
         return (
             renamed.withColumn("_dx", F.explode(F.sequence(-k, k)))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
             .select(
                 "*",
                 (F.col("_cx") + F.col("_dx")).alias("jcx"),
