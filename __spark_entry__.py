@@ -518,6 +518,26 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 IVF_CENTROIDS, IVF_NPROBE = 16, 4
+ANN_JOIN_K, ANN_JOIN_NPROBE = 5, 4
+
+
+def q_ann_join_topk(spark, sf_dir):
+    """BATCH ANN: top-k cosine neighbors for EVERY row of a query table via
+    IVF cell equi-join — the embedding analog of knn_join and the shape a
+    100 TB retrieval/dedup pipeline actually runs. Corpus rows get one IVF
+    cell, query rows explode to their nprobe nearest cells (both one-matmul
+    Arrow UDFs against the same literal codebook the oracle holds), ONE
+    shuffle equi-join on cell, exact cosine, per-query top-k over the
+    candidates only."""
+    _init(spark)
+    from geomesa_spark.operators.similarity import ann_join, random_codebook
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 25) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = random_codebook(EMB_DIM, IVF_CENTROIDS)
+    return ann_join(emb, q, k=ANN_JOIN_K, nprobe=ANN_JOIN_NPROBE, centroids=C)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -611,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_join_topk": q_ann_join_topk,
         "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
     }
@@ -865,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_join_topk": _ann_join_oracle(),
         "convexhull_by_type": _convexhull_oracle(),
     }
 
@@ -1047,6 +1069,48 @@ def _ann_ivf_oracle() -> str:
                    row_number() over (order by score desc, vec_id asc) as rank
             from scored
         ) where rank <= 20
+    """
+
+
+def _ann_join_oracle() -> str:
+    """Mirror of q_ann_join_topk: the same literal codebook assigns every
+    corpus row its cell (round-9 first-max rule) and ranks each query's
+    probe cells ((d desc, i asc) per query), cell equi-join, exact cosine,
+    per-query top-k."""
+    from geomesa_spark.operators.similarity import random_codebook
+
+    C = random_codebook(EMB_DIM, IVF_CENTROIDS)
+    cd_rows = " union all ".join(
+        f"select q.query_id, {i} as i, round({O.lit_dot_sql('q.qe', c)}, 9) as d from q"
+        for i, c in enumerate(C)
+    )
+    assign = O.ivf_assign_sql("e.embedding", C)
+    cos = O.cosine_sql("a.embedding", "q.qe")
+    return f"""
+        with q as (
+          select vec_id as query_id, embedding as qe
+          from embeddings where vec_id % 25 = 0
+        ),
+        cd as ({cd_rows}),
+        probe as (
+          select query_id, i from (
+            select query_id, i,
+                   row_number() over (partition by query_id order by d desc, i asc) as rn
+            from cd
+          ) where rn <= {ANN_JOIN_NPROBE}
+        ),
+        asg as (select e.vec_id, e.embedding, {assign} as cell from embeddings e),
+        scored as (
+          select p.query_id, a.vec_id, round({cos}, 6) as score
+          from probe p
+          join asg a on a.cell = p.i
+          join q on q.query_id = p.query_id
+        )
+        select query_id, vec_id, score, rank from (
+            select query_id, vec_id, score,
+                   row_number() over (partition by query_id order by score desc, vec_id asc) as rank
+            from scored
+        ) where rank <= {ANN_JOIN_K}
     """
 
 

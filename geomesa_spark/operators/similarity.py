@@ -290,6 +290,95 @@ def ann_topk_ivf(
     return _topk(scored, k, id_col)
 
 
+def ivf_probe_udf(centroids: np.ndarray, nprobe: int):
+    """vector -> the `nprobe` nearest centroid ids as an array, one matmul
+    per Arrow batch. Ranking is (dot desc, centroid index asc) on round-9
+    dots — identical to the SQL probe ranking (row_number over (order by d
+    desc, i asc)), so probe sets are engine-independent."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64).T  # (dim, n_centroids)
+
+    def f(vecs):  # no hints (local-import annotations trap)
+        out = np.empty(len(vecs), dtype=object)
+        ok = [i for i in range(len(vecs)) if vecs.iloc[i] is not None]
+        if ok:
+            M = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in ok])
+            d = np.round(M @ C, 9)  # (n, n_centroids)
+            # stable argsort of -d: equal dots break by centroid index asc
+            order = np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
+            for row_i, probes in zip(ok, order):
+                out[row_i] = [int(p) for p in probes]
+        return pd.Series(out, dtype=object)
+
+    return F.pandas_udf(f, ArrayType(IntegerType()))
+
+
+def ann_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Top-k cosine neighbors for EVERY row of a query TABLE — the embedding
+    analog of knn_join (the shape a 100 TB retrieval/dedup pipeline runs:
+    batch ANN, not one vector at a time).
+
+    Plan shape (all state in DataFrames, no driver loops):
+      1. corpus rows get their IVF cell (`ivf_assign_udf`, one matmul per
+         Arrow batch);
+      2. query rows get their `nprobe` nearest cells (`ivf_probe_udf`, one
+         matmul) and EXPLODE to (query_id, cell) — nprobe rows per query;
+      3. one shuffle equi-join on cell (a corpus row has exactly ONE cell,
+         so a (query, doc) pair can meet at most once — no dedup needed);
+      4. exact cosine on the candidates (`cosine_pairs_udf`, batched);
+      5. per-query top-k via a row_number window over the CANDIDATES only
+         (bounded by the probed cells, never the corpus).
+
+    At scale: corpus cells come free from the persisted IVF layout
+    (`write_ivf_indexed` — partition pruning on cell); the cell join
+    shuffles each side once; hot cells are ordinary join-key skew (AQE
+    skew-join splits them). The query vector travels nprobe times (dim x 8
+    x nprobe bytes per query) — cheaper than the extra shuffle an ids-only
+    join + re-attach would cost on the small side.
+
+    Reference-shape analog: the cell-ring kNN join (knn.knn_join) proven on
+    point geometries; centroid cells replace grid cells."""
+    if centroids is None:
+        centroids = random_codebook(_vec_dim(queries, q_vec_col), n_centroids, seed)
+    corp = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
+    )
+    qx = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).alias("_qv"),
+        F.explode(ivf_probe_udf(centroids, nprobe)(F.col(q_vec_col))).alias("_cell"),
+    )
+    scored = corp.join(qx, "_cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_pairs_udf()(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
