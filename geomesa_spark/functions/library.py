@@ -675,9 +675,15 @@ def convex_hull_by(df, group_cols, geom_col: str = "geom"):
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     proj = df.select(*group_cols, geom_col)
-    # single-file reads arrive as one partition — spread the map-side fold
+    # single-file reads arrive as one partition — spread the map-side fold.
+    # inputFiles() is a metadata-only probe; touching df.rdd here would
+    # force an RDD conversion plan just to count partitions.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if proj.rdd.getNumPartitions() < par:
+    try:
+        n_files = len(proj.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < par:
         proj = proj.repartition(par)
     schema = proj.schema
 

@@ -454,21 +454,27 @@ def relate(a: Geometry, b: Geometry) -> str:
             else:
                 setmax(2, side_b, "0")
 
-    # areal-areal containment evidence (no boundary crossing case)
+    # areal-areal interior evidence from per-part representative points
+    # (no-boundary-crossing cases): a part's interior rep locating INTERIOR
+    # of the other proves II; locating EXTERIOR proves IE (resp. EI) — e.g.
+    # a polygon exactly filling the other's HOLE shares its whole boundary
+    # yet has interior∩exterior = 2, which no boundary classification or
+    # area comparison can see.
     if a_is_areal and b_is_areal:
-        if M[0][0] != "2":
-            rx, ry = representative_point(Geometry(POLYGON, _polygons_of(a)[0]))
-            if locate(rx, ry, b) == INTERIOR:
+        for rings in _polygons_of(a):
+            rx, ry = representative_point(Geometry(POLYGON, rings))
+            loc = locate(rx, ry, b)
+            if loc == INTERIOR:
                 M[0][0] = "2"
-            else:
-                rx, ry = representative_point(Geometry(POLYGON, _polygons_of(b)[0]))
-                if locate(rx, ry, a) == INTERIOR:
-                    M[0][0] = "2"
-        # interiors overlapping but boundaries may still poke out
-        # IE: A interior outside B — if A's boundary has outside part, interior does too
-        # (handled above). If A strictly contains B, A interior hits B exterior:
-        if M[2][1] in "01" or M[2][0] in "012" or _contains_strict(a, b):
-            pass
+            elif loc == EXTERIOR:
+                setmax(0, 2, "2")
+        for rings in _polygons_of(b):
+            rx, ry = representative_point(Geometry(POLYGON, rings))
+            loc = locate(rx, ry, a)
+            if loc == INTERIOR:
+                M[0][0] = "2"
+            elif loc == EXTERIOR:
+                setmax(2, 0, "2")
     if a_is_areal:
         # A has 2D interior; does it reach B's exterior? if B not areal → yes
         if not b_is_areal:

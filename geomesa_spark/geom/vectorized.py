@@ -159,19 +159,29 @@ def areal_intersects_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray
             out[i] = True
     # 3. proper edge crossings (cross-overlaps with all vertices mutually
     #    outside) — broadcast orientation tests, chunked to bound memory
-    be = _areal_edges(right)
     undecided = np.nonzero(~out)[0]
-    if len(be) == 0 or len(undecided) == 0:
-        return out
-    ae_list = [_areal_edges(lefts[i]) for i in undecided]
+    if len(undecided):
+        out[undecided] |= _proper_crossings([lefts[i] for i in undecided], right)
+    return out
+
+
+def _proper_crossings(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """bool per left geometry: does any edge of it PROPERLY cross (strict
+    sign changes on both orientation pairs) any edge of `right`? Broadcast
+    orientation tests over the concatenated edge sets, chunked to bound the
+    (left_edges x right_edges) intermediate."""
+    res = np.zeros(len(lefts), dtype=bool)
+    be = _areal_edges(right)
+    if len(be) == 0 or not lefts:
+        return res
+    ae_list = [_areal_edges(g) for g in lefts]
     owners = np.concatenate(
         [np.full(len(e), k) for k, e in enumerate(ae_list)]
     ) if ae_list else np.empty(0, dtype=int)
     ae = np.concatenate(ae_list) if ae_list else np.empty((0, 4))
     if len(ae) == 0:
-        return out
+        return res
     b1x, b1y, b2x, b2y = be[:, 0], be[:, 1], be[:, 2], be[:, 3]
-    hit_owner = np.zeros(len(undecided), dtype=bool)
     chunk = max(1, int(2_000_000 // max(1, len(be))))
     for s in range(0, len(ae), chunk):
         a = ae[s : s + chunk]
@@ -186,8 +196,115 @@ def areal_intersects_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray
         cross &= ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
         rows = cross.any(axis=1)
         if rows.any():
-            np.logical_or.at(hit_owner, owners[s : s + chunk][rows], True)
-    out[undecided] |= hit_owner
+            np.logical_or.at(res, owners[s : s + chunk][rows], True)
+    return res
+
+
+def _test_points(g: Geometry) -> np.ndarray:
+    """Ring vertices + edge midpoints + one interior representative point
+    per polygon part, as (n, 2) — the covered-side probe set. Midpoints
+    catch the common improper-crossing escapes (an edge leaving the cover
+    through a vertex or a collinear run of its boundary between two covered
+    vertices); the interior representatives catch boundary-coincident
+    traps (e.g. the covered geometry exactly filling a HOLE of the cover:
+    every boundary probe sits on the shared ring, only an interior point
+    reveals the miss)."""
+    e = _areal_edges(g)
+    if len(e) == 0:
+        return np.empty((0, 2))
+    mids = np.column_stack([(e[:, 0] + e[:, 2]) / 2.0, (e[:, 1] + e[:, 3]) / 2.0])
+    from .core import POLYGON
+
+    reps = np.asarray(
+        [alg.representative_point(Geometry(POLYGON, rings)) for rings in alg._polygons_of(g)],
+        dtype=np.float64,
+    ).reshape(-1, 2)
+    return np.concatenate([_areal_vertices(g), mids, reps])
+
+
+def _hole_points(g: Geometry) -> np.ndarray:
+    """Hole-ring vertices + midpoints as (n, 2) — probes for 'a hole of the
+    cover intrudes into the covered region'."""
+    parts = []
+    for rings in alg._polygons_of(g):
+        for r in rings[1:]:
+            r = np.asarray(r, dtype=np.float64)
+            mids = (r[:-1, :2] + r[1:, :2]) / 2.0
+            parts.append(np.concatenate([r[:-1, :2], mids]))
+    return np.concatenate(parts) if parts else np.empty((0, 2))
+
+
+def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """Vectorized closed-set covers(A_i, right) for a batch of AREAL
+    geometries against ONE areal geometry (and — because a covered areal
+    geometry has interior points, all necessarily interior to the cover —
+    also contains(A_i, right) for non-degenerate polygons).
+
+    A covers B  <=>  every probe point of B (vertices + edge midpoints) is
+    in closed A, AND no edge of A properly crosses an edge of B, AND no
+    hole of A intrudes into B (no hole vertex/midpoint strictly inside B).
+    Exact for generic-position and the common touch cases; shares the
+    documented approximation posture of the relate() kernel on adversarial
+    collinear constructions (algorithms.py relate docstring)."""
+    n = len(lefts)
+    out = np.zeros(n, dtype=bool)
+    bt = _test_points(right)
+    if len(bt) == 0:
+        return out
+    cand = [
+        i
+        for i, g in enumerate(lefts)
+        if alg._polygons_of(g)
+        and bool(points_in_polygon(bt[:, 0], bt[:, 1], g, True).all())
+    ]
+    if not cand:
+        return out
+    crossing = _proper_crossings([lefts[i] for i in cand], right)
+    for i, crossed in zip(cand, crossing):
+        if crossed:
+            continue
+        hp = _hole_points(lefts[i])
+        if len(hp) and bool(
+            points_in_polygon(hp[:, 0], hp[:, 1], right, False).any()
+        ):
+            continue
+        out[i] = True
+    return out
+
+
+def areal_within_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """Vectorized closed-set within(A_i, right) (= right covers A_i) for a
+    batch of AREAL geometries against ONE areal geometry. Same decision
+    procedure as areal_covers_batch with the roles swapped; the probe ray
+    cast runs ONCE over the whole batch's concatenated probe points."""
+    n = len(lefts)
+    out = np.zeros(n, dtype=bool)
+    if not alg._polygons_of(right):
+        return out
+    tp = [_test_points(g) for g in lefts]
+    counts = np.array([len(t) for t in tp])
+    if counts.sum() == 0:
+        return out
+    allv = np.concatenate([t for t in tp if len(t)])
+    hit = points_in_polygon(allv[:, 0], allv[:, 1], right, boundary_ok=True)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    cand = [
+        i
+        for i, (o, c) in enumerate(zip(offs, counts))
+        if c > 0 and bool(hit[o : o + c].all())
+    ]
+    if not cand:
+        return out
+    crossing = _proper_crossings([lefts[i] for i in cand], right)
+    hp = _hole_points(right)
+    for i, crossed in zip(cand, crossing):
+        if crossed:
+            continue
+        if len(hp) and bool(
+            points_in_polygon(hp[:, 0], hp[:, 1], lefts[i], False).any()
+        ):
+            continue
+        out[i] = True
     return out
 
 

@@ -31,7 +31,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from ..geom.vectorized import areal_intersects_batch, points_from_wkb, points_in_polygon
+from ..geom.vectorized import (
+    areal_covers_batch,
+    areal_intersects_batch,
+    areal_within_batch,
+    points_from_wkb,
+    points_in_polygon,
+)
 from ..geom.wkb import from_wkb
 from ..geom import algorithms as alg
 from ..geom import core as gcore
@@ -235,13 +241,14 @@ def _pairwise_predicate_udf(predicate: str):
             rest = np.nonzero(~left_is_pt)[0]
         else:
             rest = np.arange(n)
-        # non-rect areal x areal 'intersects' pairs: batch by distinct right
-        # geometry and decide with vectorized ray casts + proper-crossing
-        # tests (geom.vectorized.areal_intersects_batch) — the extent path
-        # mirror of the point fast path; per-pair Python only for the long
-        # tail (mixed-dimension / exotic predicates)
+        # non-rect areal x areal pairs for intersects/contains/within/covers:
+        # batch by distinct right geometry and decide with vectorized ray
+        # casts + proper-crossing tests (geom.vectorized.*_batch) — the
+        # extent path mirror of the point fast path; per-pair Python only
+        # for the long tail (mixed-dimension / overlaps / touches / crosses)
         areal_groups: dict[bytes, list[int]] = {}
         areal_types = (gcore.POLYGON, gcore.MULTIPOLYGON)
+        batchable = predicate in ("intersects", "contains", "within", "covers")
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
@@ -255,7 +262,7 @@ def _pairwise_predicate_udf(predicate: str):
                         out[i] = v
                         continue
             if (
-                predicate == "intersects"
+                batchable
                 and geo(lbytes[i]).gtype in areal_types
                 and geo(rbytes[i]).gtype in areal_types
             ):
@@ -263,7 +270,17 @@ def _pairwise_predicate_udf(predicate: str):
                 continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
         for rb_key, idxs in areal_groups.items():
-            verdict = areal_intersects_batch([geo(lbytes[i]) for i in idxs], geo(rb_key))
+            Ls = [geo(lbytes[i]) for i in idxs]
+            R = geo(rb_key)
+            if predicate == "intersects":
+                verdict = areal_intersects_batch(Ls, R)
+            elif predicate == "within":
+                verdict = areal_within_batch(Ls, R)
+            else:
+                # contains == covers for non-degenerate areal pairs: a
+                # covered 2-D geometry has interior points, which are then
+                # necessarily interior to the cover
+                verdict = areal_covers_batch(Ls, R)
             for k, i in enumerate(idxs):
                 out[i] = bool(verdict[k])
         return pd.Series(out, dtype=object)

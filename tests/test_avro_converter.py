@@ -1,0 +1,160 @@
+"""Avro converter (round-4 item #7): object-container files -> canonical
+docs schema through the pure-Python OCF codec (no spark-avro jar in env) —
+roundtrip, span invariant, logical-type timestamps, unions, deflate codec,
+multi-file distribution, and byte-level decoder units."""
+
+import json
+import struct
+import zlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.plans.planner import spatial_filter
+from geomesa_spark.sources.avro_io import (
+    read_ocf_bytes,
+    write_ocf_bytes,
+)
+from geomesa_spark.sources.converters import read_avro
+from geomesa_spark.sources.docs import DOCS_SCHEMA, index_docs
+
+BOX = "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0))"
+
+SCHEMA = {
+    "type": "record",
+    "name": "feat",
+    "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "geom", "type": "string"},
+        {"name": "ts", "type": "string"},
+        {"name": "body", "type": ["null", "string"]},
+    ],
+}
+
+RECORDS = [
+    {"id": "a1", "geom": "POINT (5 5)", "ts": "2016-01-02T10:00:00", "body": "hello"},
+    {"id": "a2", "geom": "POINT (50 50)", "ts": "2016-01-03T10:00:00", "body": None},
+    {
+        "id": "a3",
+        "geom": "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+        "ts": "2016-01-04T10:00:00",
+        "body": "an extent",
+    },
+]
+
+
+def test_ocf_roundtrip_bytes():
+    data = write_ocf_bytes(SCHEMA, RECORDS)
+    schema, recs = read_ocf_bytes(data)
+    assert schema["name"] == "feat"
+    assert recs == RECORDS
+
+
+def test_decoder_primitives_golden_bytes():
+    """Hand-built byte sequences from the public spec examples."""
+    from geomesa_spark.sources.avro_io import _decode, _read_long
+
+    # spec: zigzag examples — 1 -> 0x02, -2 -> 0x03, 64 -> 0x80 0x01
+    assert _read_long(memoryview(b"\x02"), 0) == (1, 1)
+    assert _read_long(memoryview(b"\x03"), 0) == (-2, 1)
+    assert _read_long(memoryview(b"\x80\x01"), 0) == (64, 2)
+    # string "foo": length 3 (0x06) + bytes
+    v, _ = _decode("string", memoryview(b"\x06foo"), 0)
+    assert v == "foo"
+    # double little-endian
+    v, _ = _decode("double", memoryview(struct.pack("<d", 2.5)), 0)
+    assert v == 2.5
+    # union ["null","long"] value 10 -> index 1 (0x02) then 10 (0x14)
+    v, _ = _decode(["null", "long"], memoryview(b"\x02\x14"), 0)
+    assert v == 10
+    # array of longs [1,2]: count 2, items, terminator
+    v, _ = _decode(
+        {"type": "array", "items": "long"}, memoryview(b"\x04\x02\x04\x00"), 0
+    )
+    assert v == [1, 2]
+    # enum index 1
+    v, _ = _decode(
+        {"type": "enum", "name": "e", "symbols": ["A", "B"]}, memoryview(b"\x02"), 0
+    )
+    assert v == "B"
+    # map {"k": 7}
+    v, _ = _decode(
+        {"type": "map", "values": "long"}, memoryview(b"\x02\x02k\x0e\x00"), 0
+    )
+    assert v == {"k": 7}
+
+
+def test_deflate_codec():
+    """Build a deflate-coded container by recompressing the null-codec body."""
+    data = write_ocf_bytes(SCHEMA, RECORDS)
+    schema, recs = read_ocf_bytes(data)
+    # surgically re-write with deflate: re-encode via the writer's internals
+    from geomesa_spark.sources.avro_io import MAGIC, _encode, _write_bytes, _write_zlong
+    import io
+
+    body = io.BytesIO()
+    for r in RECORDS:
+        _encode(SCHEMA, r, body)
+    comp = zlib.compress(body.getvalue())[2:-4]  # raw deflate (strip zlib wrap)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(SCHEMA).encode(),
+        "avro.codec": b"deflate",
+    }
+    _write_zlong(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_zlong(out, 0)
+    sync = b"\x07" * 16
+    out.write(sync)
+    _write_zlong(out, len(RECORDS))
+    _write_zlong(out, len(comp))
+    out.write(comp)
+    out.write(sync)
+    _, recs2 = read_ocf_bytes(out.getvalue())
+    assert recs2 == RECORDS
+
+
+def test_avro_to_docs_roundtrip(spark, tmp_path):
+    d = tmp_path / "avro_src"
+    d.mkdir()
+    (d / "part1.avro").write_bytes(write_ocf_bytes(SCHEMA, RECORDS[:2]))
+    (d / "part2.avro").write_bytes(write_ocf_bytes(SCHEMA, RECORDS[2:]))
+    docs = read_avro(spark, str(d), text_col="body")
+    assert [f.name for f in docs.schema.fields] == ["doc_id", "spans"]
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"a1", "a2", "a3"}
+    # span-sequence invariant: kinds in order, offsets 0..n
+    assert [s["kind"] for s in rows["a1"].spans] == ["text", "geo", "time"]
+    assert [s["offset"] for s in rows["a1"].spans] == [0, 1, 2]
+    assert rows["a1"].spans[0]["text"] == "hello"
+    assert rows["a2"].spans[0]["text"] == ""  # null body -> empty, not NULL
+    # flows through the standard index job + planner
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"a1", "a3"}
+
+
+def test_avro_timestamp_logical_type(spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "string"},
+            {"name": "geom", "type": "string"},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            },
+        ],
+    }
+    ms = int(pd.Timestamp("2016-01-02T10:00:00").timestamp() * 1000)
+    recs = [{"id": "L1", "geom": "POINT (2 2)", "ts": ms}]
+    p = tmp_path / "lt.avro"
+    p.write_bytes(write_ocf_bytes(schema, recs))
+    docs = read_avro(spark, str(p))
+    row = docs.collect()[0]
+    assert row.spans[2]["text"].startswith("2016-01-02T10:00:00")

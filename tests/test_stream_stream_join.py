@@ -177,3 +177,87 @@ def test_streaming_exact_dedup(spark, tmp_path):
         assert len(boiler) == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_join_drops_late_pairs(spark, tmp_path):
+    """Watermark contract (round-4 item #8): a pair whose rows arrive AFTER
+    the watermark has advanced past their event time is dropped (bounded
+    state actually evicts), while in-watermark pairs emit.
+
+    Sequencing is real late arrival: the late left file is written to the
+    source directory only after the first micro-batches have advanced the
+    watermark by ~1 hour."""
+    import datetime as dt
+    import os
+
+    from geomesa_spark.streaming.stream import stream_stream_proximity_join
+
+    t0 = dt.datetime(2016, 1, 2, 12, 0, 0)
+    t1 = t0 + dt.timedelta(hours=1)
+    ldir, rdir = str(tmp_path / "ll"), str(tmp_path / "lr")
+    os.makedirs(ldir), os.makedirs(rdir)
+    mk = lambda pid, ts: pd.DataFrame([{"pid": pid, "ts": ts, "x": 1.0, "y": 1.0}])
+    schema = "pid string, ts timestamp, x double, y double"
+    # batch-1 files: R_old (event t0) enters right state; L_new/R_new at t1
+    # advance the watermark to ~t1 - 10s, far past R_old + window
+    spark.createDataFrame(mk("R_old", t0), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+    spark.createDataFrame(mk("R_new", t1), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+    spark.createDataFrame(mk("L_new", t1), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ldir)
+    pairs = stream_stream_proximity_join(
+        spark.readStream.schema(schema).parquet(ldir),
+        spark.readStream.schema(schema).parquet(rdir),
+        meters=1000.0,
+        time_window="2 minutes",
+        watermark="10 seconds",
+    ).select("l_pid", "r_pid")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ss_late")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.l_pid, r.r_pid)
+                for r in spark.sql("select * from ss_late").collect()
+            }
+            if ("L_new", "R_new") in got:
+                break
+            time.sleep(2)
+        assert got == {("L_new", "R_new")}, got
+        # watermark has advanced past t0 + window; NOW the late row arrives
+        wm_deadline = time.time() + 45
+        while time.time() < wm_deadline:
+            wm = (q.lastProgress or {}).get("eventTime", {}).get("watermark", "")
+            if wm and wm > "2016-01-02T12:30":
+                break
+            time.sleep(2)
+        spark.createDataFrame(mk("L_late", t0), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ldir)
+        # give it several micro-batches to (wrongly) emit; it must not
+        settle = time.time() + 25
+        while time.time() < settle:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.l_pid, r.r_pid)
+                for r in spark.sql("select * from ss_late").collect()
+            }
+            assert ("L_late", "R_old") not in got, got
+            time.sleep(2)
+        assert got == {("L_new", "R_new")}, got
+    finally:
+        q.stop()
