@@ -119,6 +119,7 @@ def run_queries(spark) -> dict[str, float]:
         "embedding_dedup",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_join_topk",
         "attr_bbox_filter",
         "convexhull_by_type",
     ]

@@ -153,3 +153,32 @@ def test_concave_containment_join_row_parity(spark, predicate):
     }
     assert len(want) > 3, f"{predicate} fixture must be non-trivial"
     assert got == want
+
+
+def test_containment_batch_50k_scale_shape():
+    """50k concave lefts vs a concave right through the batch decider: one
+    vectorized pass (concatenated probe ray cast + chunked crossing test),
+    sampled parity vs the kernel. Per-pair Python at this size would be
+    minutes; the batch completes in seconds."""
+    import time as _t
+
+    rng = np.random.default_rng(33)
+    B = from_wkt(_star(0, 0, rng.uniform(2, 5, size=9), rot=0.4))
+    lefts = []
+    for _ in range(50_000):
+        cx, cy = rng.uniform(-6, 6, size=2)
+        r = rng.uniform(0.05, 1.2)
+        lefts.append(
+            from_wkt(_star(cx, cy, rng.uniform(0.5 * r, r, size=6), rot=rng.uniform(0, 3)))
+        )
+    t0 = _t.time()
+    got_w = areal_within_batch(lefts, B)
+    got_c = areal_covers_batch(lefts, B)
+    elapsed = _t.time() - t0
+    assert got_w.sum() > 100, "within fixture must be non-vacuous"
+    idx = rng.choice(50_000, size=300, replace=False)
+    for i in idx:
+        assert bool(got_w[i]) == alg.within(lefts[i], B), i
+        assert bool(got_c[i]) == alg.covers(lefts[i], B), i
+    # loose wall guard only to catch an accidental per-pair regression
+    assert elapsed < 120, elapsed
