@@ -519,6 +519,25 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 IVF_CENTROIDS, IVF_NPROBE = 16, 4
 ANN_JOIN_K, ANN_JOIN_NPROBE = 5, 4
+ANN_JOIN_LSH_BITS, ANN_JOIN_LSH_TABLES = 5, 4
+
+
+def q_ann_join_lsh_topk(spark, sf_dir):
+    """Batch ANN over a query TABLE via multi-table random-hyperplane LSH
+    bucket equi-join — the data-independent sibling of ann_join_topk. Ids-
+    only candidate join + pair dedupe BEFORE scoring; literal hyperplanes
+    make bucket assignment engine-independent, so the oracle recomputes the
+    identical buckets for both sides in SQL."""
+    _init(spark)
+    from geomesa_spark.operators.similarity import ann_join_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 25) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_join_lsh(
+        emb, q, k=ANN_JOIN_K, bits=ANN_JOIN_LSH_BITS, tables=ANN_JOIN_LSH_TABLES
+    )
 
 
 def q_ann_join_topk(spark, sf_dir):
@@ -632,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_join_topk": q_ann_join_topk,
+        "ann_join_lsh_topk": q_ann_join_lsh_topk,
         "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
     }
@@ -887,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
         "ann_join_topk": _ann_join_oracle(),
+        "ann_join_lsh_topk": _ann_join_lsh_oracle(),
         "convexhull_by_type": _convexhull_oracle(),
     }
 
@@ -1105,6 +1126,50 @@ def _ann_join_oracle() -> str:
           from probe p
           join asg a on a.cell = p.i
           join q on q.query_id = p.query_id
+        )
+        select query_id, vec_id, score, rank from (
+            select query_id, vec_id, score,
+                   row_number() over (partition by query_id order by score desc, vec_id asc) as rank
+            from scored
+        ) where rank <= {ANN_JOIN_K}
+    """
+
+
+def _ann_join_lsh_oracle() -> str:
+    """Mirror of q_ann_join_lsh_topk: the same literal sign matrices bucket
+    BOTH sides per table, distinct pair join, exact cosine, per-query
+    top-k."""
+    from geomesa_spark.operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(
+        EMB_DIM, ANN_JOIN_LSH_BITS, tables=ANN_JOIN_LSH_TABLES, seed=42
+    )
+    bk_arms = " union all ".join(
+        f"select vec_id, {O.rp_bucket_sql('embedding', signs[t])} as bkt, {t} as t "
+        f"from embeddings"
+        for t in range(ANN_JOIN_LSH_TABLES)
+    )
+    qb_arms = " union all ".join(
+        f"select query_id, {O.rp_bucket_sql('qe', signs[t])} as bkt, {t} as t from q"
+        for t in range(ANN_JOIN_LSH_TABLES)
+    )
+    cos = O.cosine_sql("e.embedding", "q.qe")
+    return f"""
+        with q as (
+          select vec_id as query_id, embedding as qe
+          from embeddings where vec_id % 25 = 0
+        ),
+        bk as ({bk_arms}),
+        qb as ({qb_arms}),
+        cand as (
+          select distinct qb.query_id, bk.vec_id
+          from qb join bk on qb.t = bk.t and qb.bkt = bk.bkt
+        ),
+        scored as (
+          select c.query_id, c.vec_id, round({cos}, 6) as score
+          from cand c
+          join embeddings e on e.vec_id = c.vec_id
+          join q on q.query_id = c.query_id
         )
         select query_id, vec_id, score, rank from (
             select query_id, vec_id, score,

@@ -379,6 +379,72 @@ def ann_join(
     )
 
 
+def ann_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Batch ANN via multi-table random-hyperplane LSH bucket equi-join —
+    the data-independent alternative to ann_join's IVF cells (recall does
+    not depend on the corpus having cluster structure; more tables = more
+    recall, linearly more candidates).
+
+    Scale shape (the embedding_cosine_pairs candidate pattern): both sides
+    compute all `tables` bucket ids in ONE Arrow matmul (rp_buckets_udf),
+    posexplode to (table, bucket) keys, equi-join carrying IDS ONLY, and
+    dedupe pairs that met in several tables BEFORE any scoring — the
+    re-attach joins then ship each embedding once per surviving pair, and
+    the exact-cosine matmul runs once per pair. Hyperplanes are literal
+    seeded sign matrices, so the whole pipeline is SQL-mirrorable."""
+    dim = _vec_dim(queries, q_vec_col)
+    signs = hyperplane_signs(dim, bits, tables=tables, seed=seed)
+    corp_b = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(rp_buckets_udf(signs)(F.col(vec_col))).alias("_t", "_bkt"),
+    )
+    q_b = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.posexplode(rp_buckets_udf(signs)(F.col(q_vec_col))).alias("_t", "_bkt"),
+    )
+    cand = (
+        corp_b.join(q_b, ["_t", "_bkt"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(
+            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
+            "vec_id",
+        )
+        .join(
+            queries.select(
+                F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("_qv")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_pairs_udf()(F.col("_v"), F.col("_qv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:

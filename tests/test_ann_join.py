@@ -135,3 +135,47 @@ def test_ivf_probe_udf_matches_numpy(spark):
         d = np.round(vecs[i] @ C.T, 9)
         want = list(np.argsort(-d, kind="stable")[:3])
         assert list(got.iloc[i]) == want, i
+
+
+# ----------------------------------------------------------- LSH batch ANN
+
+
+def test_ann_join_lsh_zero_bits_is_brute_force(spark, clustered):
+    """bits=0 puts everything in one bucket per table -> exact top-k."""
+    from geomesa_spark.operators.similarity import ann_join_lsh
+
+    df, pdf = clustered
+    qids = [0, 301, 710]
+    q = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_join_lsh(df, q, k=5, bits=0, tables=1).toPandas()
+    for qid in qids:
+        qvec = np.asarray(pdf[pdf.vec_id == qid]["embedding"].iloc[0])
+        want = _brute(pdf, qvec, 5)
+        have = list(
+            out[out.query_id == qid].sort_values("rank")["vec_id"].astype(int)
+        )
+        assert have == want, (qid, have, want)
+
+
+def test_ann_join_lsh_recall_and_no_duplicates(spark, clustered):
+    """Multi-table LSH on clustered data: recall@5 >= 0.85 over 36 queries;
+    pairs that met in several tables emit once."""
+    from geomesa_spark.operators.similarity import ann_join_lsh
+
+    df, pdf = clustered
+    q = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_join_lsh(df, q, k=5, bits=6, tables=8).toPandas()
+    assert not out.duplicated(["query_id", "vec_id"]).any()
+    qids = sorted(pdf[pdf.vec_id % 20 == 0]["vec_id"])
+    hits = total = 0
+    for qid in qids:
+        qvec = np.asarray(pdf[pdf.vec_id == qid]["embedding"].iloc[0])
+        want = set(_brute(pdf, qvec, 5))
+        have = set(out[out.query_id == qid]["vec_id"].astype(int))
+        hits += len(want & have)
+        total += 5
+    assert hits / total >= 0.85, hits / total
