@@ -197,11 +197,82 @@ def exact_canonical_map(
     )
 
 
+def dedup_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewriting (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log^2 n) rounds REGARDLESS of graph
+    diameter, where min-label propagation needs O(diameter) rounds. Use for
+    long near-dup chains; dedup_components falls back here automatically.
+
+    Per round (all DataFrame ops, two shuffles + a convergence probe):
+      large-star: every node links its LARGER neighbors to the minimum of
+      its closed neighborhood; small-star: every node links its smaller-or-
+      equal neighbors (and itself) to that minimum. The fixed point is a
+      star forest: edges point straight at component roots."""
+    u, v = F.col("u"), F.col("v")
+    E = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(u != v)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        sym = E.union(E.select(v.alias("u"), u.alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(u, F.col("_mv")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+            .distinct()
+        )
+        dirz = ls.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).distinct()
+        mins2 = dirz.groupBy("u").agg(F.min("v").alias("m"))
+        joined = dirz.join(mins2, "u")
+        ss = (
+            joined.select(v.alias("u"), F.col("m").alias("v"))
+            .union(joined.select(u.alias("u"), F.col("m").alias("v")))
+            .filter(u != v)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            ss.exceptAll(E).limit(1).count() or E.exceptAll(ss).limit(1).count()
+        )
+        E = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components_star did not converge in {max_iter} rounds"
+        )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    return nodes.join(
+        E.select(u.alias("id"), v.alias("_c")), "id", "left"
+    ).select("id", F.coalesce(F.col("_c"), F.col("id")).alias("component"))
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    fallback: str = "star",
 ) -> DataFrame:
     """Connected components of a near-duplicate pair graph -> (id, component)
     with component = min member id. Iterative min-label propagation: each
@@ -258,13 +329,17 @@ def dedup_components(
             break
     else:
         # loop exhausted max_iter with labels still changing: the graph has
-        # diameter > max_iter+1 (a long near-dup chain) and the components
-        # returned would be WRONG. Fail loudly rather than silently diverge
-        # from the transitive closure.
+        # diameter > max_iter+1 (a long near-dup chain) and the labels so
+        # far would be WRONG. Default: hand the graph to the diameter-
+        # independent large-star/small-star formulation (O(log^2 n) rounds);
+        # fallback="raise" fails loudly instead for callers that treat a
+        # long-diameter dedup graph as a data bug.
+        if fallback == "star":
+            return dedup_components_star(pairs, id_a, id_b)
         raise RuntimeError(
             f"dedup_components did not converge in {max_iter} rounds — the "
             "pair graph has a path longer than max_iter; raise max_iter or "
-            "use a large-star/small-star formulation for this graph shape"
+            "use dedup_components_star for this graph shape"
         )
     return labels
 

@@ -79,9 +79,98 @@ def read_wkt_csv(
         raw,
         F.col(id_col),
         F.col(wkt_col),
-        F.to_timestamp(F.col(time_col)),
+        F.try_to_timestamp(F.col(time_col)),
         F.col(text_col) if text_col else None,
         F.col(media_col) if media_col else None,
+    )
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, tuple[int, int]],
+    id_col: str = "id",
+    wkt_col: str = "geom",
+    time_col: str = "ts",
+    text_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width text files -> docs (the geomesa-convert fixed-width
+    delimited-text converter analog). `fields` maps column name ->
+    (1-based start, length). Slicing is pure-Column substring+trim —
+    whole-stage codegen, no Python — over Spark's native text scan."""
+    raw = spark.read.text(path).filter(F.length(F.col("value")) > 0)
+    cols = [
+        F.trim(F.substring(F.col("value"), start, length)).alias(name)
+        for name, (start, length) in fields.items()
+    ]
+    df = raw.select(*cols)
+    return _to_docs(
+        df,
+        F.col(id_col),
+        F.col(wkt_col),
+        F.try_to_timestamp(F.col(time_col)),
+        F.col(text_col) if text_col else None,
+    )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    record_tag: str = "feature",
+    id_field: str = "id",
+    wkt_field: str = "geom",
+    time_field: str = "ts",
+    text_field: str | None = None,
+) -> DataFrame:
+    """XML files -> docs (the geomesa-convert-xml analog; its XPath surface
+    restricted to child-element paths `a/b` and attributes `@name`). Files
+    are read with Spark's binaryFile source and parsed INSIDE Arrow batches
+    with the stdlib ElementTree — distributed by file, no driver IO, no
+    external XML package."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = [(("id", id_field)), ("geom", wkt_field), ("ts", time_field)]
+    if text_field:
+        fields.append(("body", text_field))
+    out_schema = StructType([StructField(n, StringType()) for n, _ in fields])
+
+    def get(elem, spec: str):
+        if spec.startswith("@"):
+            return elem.get(spec[1:])
+        cur = elem
+        for part in spec.split("/"):
+            if cur is None:
+                return None
+            cur = cur.find(part)
+        return None if cur is None else (cur.text or "").strip()
+
+    def decode(batches):
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            rows: dict[str, list] = {n: [] for n, _ in fields}
+            for blob in pdf["content"]:
+                root = ET.fromstring(bytes(blob).decode("utf-8"))
+                recs = root.iter(record_tag)
+                for rec in recs:
+                    for name, spec in fields:
+                        rows[name].append(get(rec, spec))
+            yield pd.DataFrame(rows, dtype=object)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select("content")
+        .mapInPandas(decode, schema=out_schema)
+    )
+    return _to_docs(
+        raw,
+        F.col("id"),
+        F.col("geom"),
+        F.try_to_timestamp(F.col("ts")),
+        F.col("body") if text_field else None,
     )
 
 
@@ -108,7 +197,7 @@ def read_avro(
             raw,
             F.col(id_col),
             F.col(wkt_col),
-            F.to_timestamp(F.col(time_col)),
+            F.try_to_timestamp(F.col(time_col)),
             F.col(text_col) if text_col else None,
             F.col(media_col) if media_col else None,
         )
@@ -157,7 +246,7 @@ def read_avro(
         raw,
         F.col(id_col),
         F.col(wkt_col),
-        F.to_timestamp(F.col(time_col)),
+        F.try_to_timestamp(F.col(time_col)),
         F.col(text_col) if text_col else None,
         F.col(media_col) if media_col else None,
     )
@@ -208,4 +297,4 @@ def read_geojson_lines(
         return pd.Series(out, dtype=object)
 
     wkt = F.pandas_udf(gj_to_wkt, StringType())(geom_json)
-    return _to_docs(raw, fid, wkt, F.to_timestamp(props), text)
+    return _to_docs(raw, fid, wkt, F.try_to_timestamp(props), text)

@@ -158,12 +158,17 @@ def extract_span_fields(df: DataFrame) -> DataFrame:
     """Pull geo WKT + time text out of the spans array with Spark built-ins
     (no Python): filter(spans, ...)[0] stays in whole-stage codegen."""
     # get(...) (not [0]) so spanless docs yield NULL instead of an ANSI
-    # INVALID_ARRAY_INDEX error
+    # INVALID_ARRAY_INDEX error; try_to_timestamp (not to_timestamp) so ONE
+    # malformed/empty time span yields a NULL ts instead of failing the
+    # whole ingest job under ANSI mode (CAST_INVALID_INPUT) — at 100 TB a
+    # single bad row must never kill the index build
     return df.withColumn(
         "_geo_wkt", F.expr("get(filter(spans, s -> s.kind = 'geo'), 0).text")
     ).withColumn(
         "ts",
-        F.to_timestamp(F.expr("get(filter(spans, s -> s.kind = 'time'), 0).text")),
+        F.try_to_timestamp(
+            F.expr("get(filter(spans, s -> s.kind = 'time'), 0).text")
+        ),
     )
 
 

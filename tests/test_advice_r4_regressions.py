@@ -247,16 +247,50 @@ def test_line_difference_no_ulp_fragmentation():
 # ------------------------------------------------- 6. components convergence
 
 
-def test_dedup_components_raises_on_nonconvergence(spark):
+def test_dedup_components_nonconvergence_handling(spark):
     from geomesa_spark.operators.dedup import dedup_components
 
     chain = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],
         "id_a string, id_b string",
     )
+    # explicit fallback="raise" fails loudly instead of returning wrong labels
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(chain, max_iter=2).collect()
-    # and with enough rounds the same chain converges to one component
-    labels = dedup_components(chain, max_iter=30)
+        dedup_components(chain, max_iter=2, fallback="raise").collect()
+    # the default falls back to the diameter-independent star formulation
+    labels = dedup_components(chain, max_iter=2)
+    got = {(r.id, r.component) for r in labels.collect()}
+    assert got == {(f"n{i:02d}", "n00") for i in range(13)}
+    # and with enough rounds plain propagation converges to the same answer
+    labels = dedup_components(chain, max_iter=30, fallback="raise")
     comps = {r.component for r in labels.collect()}
     assert comps == {"n00"}
+
+
+# ------------------------------------------------- 7. bad-row ingest safety
+
+
+def test_index_docs_survives_malformed_time_spans(spark):
+    """One malformed/empty time span must yield NULL ts, not kill the whole
+    index job under ANSI mode (found via converter try_to_timestamp rows)."""
+    from geomesa_spark.sources.docs import DOCS_SCHEMA, index_docs
+
+    rows = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (1 1)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "2016-01-02T00:00:00.000Z", "media_ref": "", "offset": 2}]},
+        {"doc_id": "empty_ts", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (2 2)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "", "media_ref": "", "offset": 2}]},
+        {"doc_id": "garbage_ts", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (3 3)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "not-a-time", "media_ref": "", "offset": 2}]},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=DOCS_SCHEMA)
+    out = {r.doc_id: r for r in index_docs(df).select("doc_id", "ts", "x").collect()}
+    assert out["ok"].ts is not None and out["ok"].x == 1.0
+    assert out["empty_ts"].ts is None and out["empty_ts"].x == 2.0
+    assert out["garbage_ts"].ts is None and out["garbage_ts"].x == 3.0

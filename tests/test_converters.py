@@ -90,3 +90,75 @@ def test_csv_scan_prunes_columns(spark, tmp_path):
     assert "ReadSchema" in plan
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "a" not in read_schema.replace("struct<", "")
+
+
+def test_fixed_width_roundtrip(spark, tmp_path):
+    """Fixed-width converter: pure-Column substring slicing -> docs ->
+    index job -> planner (round-4; closes the geomesa-convert fixed-width
+    format)."""
+    # layout: id[1-4] geom[5-44] ts[45-70]
+    lines = [
+        "a1  POINT (5 5)                             2016-01-02T10:00:00",
+        "a2  POINT (50 50)                           2016-01-03T10:00:00",
+        "a3  POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))     2016-01-04T10:00:00",
+    ]
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    from geomesa_spark.sources.converters import read_fixed_width
+
+    docs = read_fixed_width(
+        spark, str(p), fields={"id": (1, 4), "geom": (5, 40), "ts": (45, 26)}
+    )
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"a1", "a2", "a3"}
+    assert [s["kind"] for s in rows["a1"].spans] == ["text", "geo", "time"]
+    assert [s["offset"] for s in rows["a1"].spans] == [0, 1, 2]
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"a1", "a3"}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML converter: per-file ElementTree parse inside Arrow batches;
+    child paths and @attributes both resolve (geomesa-convert-xml analog)."""
+    xml1 = """<features>
+      <feature id="x1">
+        <where><wkt>POINT (5 5)</wkt></where>
+        <ts>2016-01-02T10:00:00</ts>
+        <body>inside</body>
+      </feature>
+      <feature id="x2">
+        <where><wkt>POINT (70 70)</wkt></where>
+        <ts>2016-01-03T10:00:00</ts>
+        <body>outside</body>
+      </feature>
+    </features>"""
+    xml2 = """<features>
+      <feature id="x3">
+        <where><wkt>POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))</wkt></where>
+        <ts>2016-01-04T10:00:00</ts>
+        <body>poly</body>
+      </feature>
+    </features>"""
+    d = tmp_path / "xml_src"
+    d.mkdir()
+    (d / "a.xml").write_text(xml1)
+    (d / "b.xml").write_text(xml2)
+    from geomesa_spark.sources.converters import read_xml
+
+    docs = read_xml(
+        spark,
+        str(d),
+        record_tag="feature",
+        id_field="@id",
+        wkt_field="where/wkt",
+        time_field="ts",
+        text_field="body",
+    )
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"x1", "x2", "x3"}
+    assert rows["x1"].spans[0]["text"] == "inside"
+    assert rows["x3"].spans[1]["text"].startswith("POLYGON")
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"x1", "x3"}

@@ -141,3 +141,57 @@ def test_dedup_components_path_graph_converges(spark):
     )
     comp = {r.id: r.component for r in dedup_components(pairs).collect()}
     assert set(comp.values()) == {"p00"} and len(comp) == n
+
+
+def test_star_components_long_chain_and_random_graph(spark):
+    """Large-star/small-star components (round-4): a 300-node chain
+    (diameter 299 — min-label would need ~300 rounds) and a random graph,
+    both matching a driver-side union-find ground truth."""
+    from geomesa_spark.operators.dedup import dedup_components_star
+
+    import numpy as np
+
+    def union_find_truth(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min member id per component
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        out = {}
+        for _, members in comp.items():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    # long chain
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(299)]
+    nodes = {x for e in chain for x in e}
+    want = union_find_truth(chain, nodes)
+    df = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = {r.id: r.component for r in dedup_components_star(df).collect()}
+    assert got == want
+    # random graph with several components + duplicate/reversed edges
+    rng = np.random.default_rng(8)
+    edges = []
+    for _ in range(400):
+        a, b = rng.integers(0, 250, size=2)
+        if a != b:
+            edges.append((f"r{a:03d}", f"r{b:03d}"))
+    edges += [(b, a) for a, b in edges[:50]] + edges[:30]
+    nodes = {x for e in edges for x in e}
+    want = union_find_truth(edges, nodes)
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.id: r.component for r in dedup_components_star(df).collect()}
+    assert got == want
