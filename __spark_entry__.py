@@ -158,11 +158,9 @@ def q_xz2_extent_query(spark, sf_dir):
     )
     window = (-40.0, -20.0, 10.0, 25.0)
     ranges = sfc.ranges([window], max_ranges=60)
-    cond = None
-    for r in ranges:
-        c = F.col("xz2").between(r.lower, r.upper)
-        cond = c if cond is None else (cond | c)
-    pre = polys.filter(cond)
+    from geomesa_spark.plans.planner import ranges_between_sql
+
+    pre = polys.filter(F.expr(ranges_between_sql("xz2", ranges)))
     exact = pre.filter(
         (F.col("minx") <= window[2]) & (F.col("maxx") >= window[0])
         & (F.col("miny") <= window[3]) & (F.col("maxy") >= window[1])

@@ -278,6 +278,31 @@ def spatial_filter(
 # ----------------------------------------------------------- Z3 pushdown path
 
 
+def _or_tree_sql(terms: list[str]) -> str | None:
+    """Balanced OR combination as ONE SQL string. Two reasons this is a
+    string, not Columns: (1) every Column operation is a py4j round trip
+    (~3-10 ms of driver time each — a 250-range predicate built as Columns
+    costs ~2.5 s BEFORE any execution; as a string it is one F.expr call),
+    and (2) balanced nesting keeps Catalyst's recursive expression visitors
+    shallow (deep left-nested OR chains overflow them)."""
+    if not terms:
+        return None
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} OR {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def ranges_between_sql(col_name: str, ranges) -> str | None:
+    """`col BETWEEN lo AND hi` OR-tree over decomposed key ranges, as a
+    single parseable SQL string (values are plan-time integer literals)."""
+    return _or_tree_sql(
+        [f"{col_name} BETWEEN {int(r.lower)} AND {int(r.upper)}" for r in ranges]
+    )
+
+
 def z3_predicate(
     bboxes: list[tuple[float, float, float, float]],
     interval: tuple,
@@ -296,16 +321,6 @@ def z3_predicate(
     if not bboxes or interval is None:
         return None
 
-    def _or_tree(conds):
-        """Balanced OR combination: left-nested chains of hundreds of ranges
-        overflow Catalyst's recursive converter; a log-depth tree does not."""
-        while len(conds) > 1:
-            nxt = [
-                conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
-                for i in range(0, len(conds), 2)
-            ]
-            conds = nxt
-        return conds[0] if conds else None
     lo = pd.Timestamp(interval[0]).timestamp()
     hi = pd.Timestamp(interval[1]).timestamp()
     per = SECONDS_PER["week"]
@@ -334,10 +349,11 @@ def z3_predicate(
                 max_ranges=per_bin_budget, max_recurse=7,
                 itmin=it0, itmax=it1,
             )
-            rc = _or_tree([F.col("z3").between(r.lower, r.upper) for r in ranges])
+            rc = ranges_between_sql("z3", ranges)
             if rc is not None:
-                all_conds.append((F.col("week_bin") == b) & rc)
-    return _or_tree(all_conds) if all_conds else None
+                all_conds.append(f"(week_bin = {b} AND {rc})")
+    sql = _or_tree_sql(all_conds)
+    return F.expr(sql) if sql else None
 
 
 def xz3_predicate(
@@ -359,14 +375,6 @@ def xz3_predicate(
     if not bboxes or interval is None:
         return None
 
-    def _or_tree(conds):
-        while len(conds) > 1:
-            conds = [
-                conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
-                for i in range(0, len(conds), 2)
-            ]
-        return conds[0] if conds else None
-
     sfc = XZ3SFC()
     lo = pd.Timestamp(interval[0]).timestamp()
     hi = pd.Timestamp(interval[1]).timestamp()
@@ -387,7 +395,8 @@ def xz3_predicate(
             for minx, miny, maxx, maxy in bboxes
         ]
         ranges = sfc.ranges(windows, max_ranges=per_bin_budget)
-        rc = _or_tree([F.col("xz3").between(r.lower, r.upper) for r in ranges])
+        rc = ranges_between_sql("xz3", ranges)
         if rc is not None:
-            all_conds.append((F.col("week_bin") == b) & rc)
-    return _or_tree(all_conds) if all_conds else None
+            all_conds.append(f"(week_bin = {b} AND {rc})")
+    sql = _or_tree_sql(all_conds)
+    return F.expr(sql) if sql else None

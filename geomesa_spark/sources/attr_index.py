@@ -98,13 +98,14 @@ def attr_equality_scan(
     if bbox is not None:
         minx, miny, maxx, maxy = bbox
         if geom_kind == "points":
+            from ..plans.planner import ranges_between_sql
+
             ranges = zranges_lonlat([bbox], Z2_BITS, max_ranges=max_ranges)
-            zcond = None
-            for r in ranges:
-                c = F.col("z2").between(r.lower, r.upper)
-                zcond = c if zcond is None else (zcond | c)
-            if zcond is not None:
-                cond = cond & zcond
+            # ONE F.expr call for the whole balanced OR-tree (per-range
+            # Column ops are py4j round trips — driver-time, not query-time)
+            zsql = ranges_between_sql("z2", ranges)
+            if zsql is not None:
+                cond = cond & F.expr(zsql)
         cond = cond & (
             (F.col("minx") <= F.lit(maxx))
             & (F.col("maxx") >= F.lit(minx))
