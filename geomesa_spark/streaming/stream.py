@@ -281,6 +281,115 @@ def sessionize_tracks(
     )
 
 
+def geofence_transitions(
+    stream: DataFrame,
+    fences: list[tuple[str, str]],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    lon_col: str = "x",
+    lat_col: str = "y",
+    idle_ttl_ms: int = 3_600_000,
+) -> DataFrame:
+    """Stateful geofence ENTER/EXIT detection: emits one row per transition
+    of an entity across any of up to 63 literal fence polygons (the
+    streaming upgrade of streaming_proximity_alerts' stateless filter —
+    alert-on-boundary-crossing instead of alert-while-inside; reference
+    analog: the geofencing pattern over live feeds described for the
+    reference's streaming/Lambda layer).
+
+    State per entity is ONE long (inside-set bitmask) + a timestamp —
+    bounded by the live-entity count, with an idle TTL eviction
+    (applyInPandasWithState ProcessingTimeTimeout). Membership tests run
+    vectorized per micro-batch (one ray cast per fence over the whole
+    entity batch, boundary-inclusive); events are applied in event-time
+    order within the batch. An entity's FIRST appearance inside a fence
+    emits 'enter' (the unknown->inside transition is observable)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..geom.vectorized import points_in_polygon
+    from ..geom.wkb import from_wkb, to_wkb
+    from ..geom.wkt import from_wkt
+
+    if len(fences) > 63:
+        raise ValueError("geofence_transitions supports at most 63 fences")
+    fence_ids = [fid for fid, _ in fences]
+    fence_wkbs = [to_wkb(from_wkt(wkt)) for _, wkt in fences]
+
+    out_schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("fence_id", StringType()),
+            StructField("event", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("x", DoubleType()),
+            StructField("y", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("mask", LongType()), StructField("last_s", DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({f.name: pd.Series([], dtype=object) for f in out_schema})
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts", kind="stable")
+        xs = rows["x"].to_numpy(dtype=float)
+        ys = rows["y"].to_numpy(dtype=float)
+        tss = rows["ts"].tolist()
+        geoms = [from_wkb(b) for b in fence_wkbs]
+        member = [
+            points_in_polygon(xs, ys, g, boundary_ok=True) for g in geoms
+        ]
+        mask = int(state.get[0]) if state.exists else 0
+        out = {c: [] for c in ("user_id", "fence_id", "event", "ts", "x", "y")}
+        for i in range(len(xs)):
+            for j, fid in enumerate(fence_ids):
+                inside = bool(member[j][i])
+                was = (mask >> j) & 1
+                if inside and not was:
+                    mask |= 1 << j
+                    ev = "enter"
+                elif not inside and was:
+                    mask &= ~(1 << j)
+                    ev = "exit"
+                else:
+                    continue
+                out["user_id"].append(key[0])
+                out["fence_id"].append(fid)
+                out["event"].append(ev)
+                out["ts"].append(tss[i])
+                out["x"].append(xs[i])
+                out["y"].append(ys[i])
+        last_s = pd.Timestamp(tss[-1]).timestamp() if len(tss) else 0.0
+        state.update((mask, float(last_s)))
+        state.setTimeoutDuration(idle_ttl_ms)
+        yield pd.DataFrame(out)
+
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("user_id"),
+            F.col(time_col).alias("ts"),
+            F.col(lon_col).cast("double").alias("x"),
+            F.col(lat_col).cast("double").alias("y"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

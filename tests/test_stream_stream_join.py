@@ -261,3 +261,87 @@ def test_stream_stream_join_drops_late_pairs(spark, tmp_path):
         assert got == {("L_new", "R_new")}, got
     finally:
         q.stop()
+
+
+def test_geofence_transitions(spark, tmp_path):
+    """Stateful ENTER/EXIT: exact transition sequence across two fences,
+    including cross-micro-batch state (the EXIT for a batch-1 ENTER arrives
+    in batch 2)."""
+    import datetime as dt
+
+    from geomesa_spark.streaming.stream import geofence_transitions
+
+    t0 = dt.datetime(2016, 1, 2, 12, 0, 0)
+    FA = ("A", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    FB = ("B", "POLYGON ((8 8, 20 8, 20 20, 8 20, 8 8))")  # overlaps A's corner
+
+    def rows(batch):
+        if batch == 1:
+            return [
+                # u1: outside -> inside A -> into the A∩B overlap
+                {"user_id": "u1", "ts": t0 + dt.timedelta(seconds=0), "x": -5.0, "y": -5.0},
+                {"user_id": "u1", "ts": t0 + dt.timedelta(seconds=10), "x": 5.0, "y": 5.0},
+                {"user_id": "u1", "ts": t0 + dt.timedelta(seconds=20), "x": 9.0, "y": 9.0},
+                # u2: first event already inside B -> enter on first sight
+                {"user_id": "u2", "ts": t0 + dt.timedelta(seconds=5), "x": 15.0, "y": 15.0},
+            ]
+        return [
+            # u1 leaves A (still in B), then leaves B too
+            {"user_id": "u1", "ts": t0 + dt.timedelta(seconds=30), "x": 15.0, "y": 15.0},
+            {"user_id": "u1", "ts": t0 + dt.timedelta(seconds=40), "x": 50.0, "y": 50.0},
+            # u2 stays put: no transitions
+            {"user_id": "u2", "ts": t0 + dt.timedelta(seconds=35), "x": 16.0, "y": 16.0},
+        ]
+
+    src = str(tmp_path / "geofence_src")
+    schema = "user_id string, ts timestamp, x double, y double"
+    spark.createDataFrame(pd.DataFrame(rows(1)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out = geofence_transitions(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        fences=[FA, FB],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gf")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        want1 = {
+            ("u1", "A", "enter", 10), ("u1", "B", "enter", 20), ("u2", "B", "enter", 5),
+        }
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.user_id, r.fence_id, r.event, int((r.ts - t0).total_seconds()))
+                for r in spark.sql("select * from gf").collect()
+            }
+            if got >= want1:
+                break
+            time.sleep(2)
+        assert got == want1, got
+        # batch 2: the exits arrive later — state must have persisted
+        spark.createDataFrame(pd.DataFrame(rows(2)), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        want2 = want1 | {("u1", "A", "exit", 30), ("u1", "B", "exit", 40)}
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.user_id, r.fence_id, r.event, int((r.ts - t0).total_seconds()))
+                for r in spark.sql("select * from gf").collect()
+            }
+            if got == want2:
+                break
+            time.sleep(2)
+        assert got == want2, got
+    finally:
+        q.stop()
