@@ -123,9 +123,16 @@ def run_queries(spark) -> dict[str, float]:
         "attr_bbox_filter",
         "convexhull_by_type",
     ]
-    # warm the session (python workers, package zip import, codegen) so the
-    # first measured query isn't charged for startup
+    # warm the session so the first measured query isn't charged for
+    # startup: one pure-Column query (codegen, scan setup) AND one pandas-
+    # UDF query at the SMALLEST sf (spawning 32 python workers + numpy
+    # imports costs ~3 s flat — long-lived workers are the production
+    # steady state, so measuring it inside the first UDF query would
+    # misattribute it)
     qs["spatial_bbox_temporal"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qs["spatial_pip_filter"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
     out: dict[str, float] = {}
     for name in names:
         t0 = time.time()
