@@ -351,7 +351,14 @@ def ann_join(
     join + re-attach would cost on the small side.
 
     Reference-shape analog: the cell-ring kNN join (knn.knn_join) proven on
-    point geometries; centroid cells replace grid cells."""
+    point geometries; centroid cells replace grid cells.
+
+    Plan note: Catalyst's python-UDF extraction evaluates the corpus
+    assignment UDF twice on one join side (once for the inserted join-key
+    null filter, once for the value). Harmless at probe scale; at corpus
+    scale use sources.ivf_index.ann_join_scan over the PERSISTED layout,
+    where the cell is a partition column — no assignment UDF in the query
+    plan at all, and the probe set prunes partitions."""
     if centroids is None:
         centroids = random_codebook(_vec_dim(queries, q_vec_col), n_centroids, seed)
     corp = corpus.select(
