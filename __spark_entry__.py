@@ -112,8 +112,10 @@ def q_spatial_pip_filter(spark, sf_dir):
     from geomesa_spark.plans.planner import spatial_filter
 
     d = _docs_pts(spark, sf_dir)
-    # planner path: cell pruning + envelope compare + vectorized ray-cast
-    return spatial_filter(d, PENTAGON_WKT, "contains").select(
+    # planner path: cell pruning + envelope compare + vectorized ray-cast;
+    # geom_kind="points" (index_points_df output) refines on x/y alone —
+    # the makePoint WKB column prunes out of the scan entirely
+    return spatial_filter(d, PENTAGON_WKT, "contains", geom_kind="points").select(
         "doc_id",
         F.round("lon", 6).alias("lon_r6"),
         F.round("lat", 6).alias("lat_r6"),

@@ -49,6 +49,13 @@ class QueryPlan:
     interval: tuple | None
     loose: bool
     cells: list[int] = field(default_factory=list)
+    # "mixed" (default) | "points": caller's declaration that every row is a
+    # point (e.g. index_points_df output). Matters because python UDFs in
+    # BOTH branches of a when() are extracted and evaluated for EVERY row —
+    # a mixed-table refine pays the per-row WKB predicate even on an
+    # all-points table. "points" refines with the ray cast alone and never
+    # references geom_wkb (so its producing UDF prunes away entirely).
+    geom_kind: str = "mixed"
 
     def describe(self) -> str:
         return (
@@ -104,7 +111,10 @@ def plan(
     interval: tuple | None = None,
     loose: bool = False,
     cell_bits: int = PARTITION_CELL_BITS,
+    geom_kind: str = "mixed",
 ) -> QueryPlan:
+    if geom_kind not in ("mixed", "points"):
+        raise ValueError(f"geom_kind must be 'mixed' or 'points', got {geom_kind!r}")
     g = from_wkt(geometry) if isinstance(geometry, str) else geometry
     bboxes = _query_bboxes(g) if g is not None else []
     cells = _cover_cells(bboxes, cell_bits) if bboxes else []
@@ -119,6 +129,7 @@ def plan(
         interval=interval,
         loose=loose or (predicate == "bbox"),
         cells=cells,
+        geom_kind=geom_kind,
     )
 
 
@@ -225,6 +236,23 @@ def _refine(df: DataFrame, qp: QueryPlan) -> DataFrame:
 
     qwkb = F.lit(bytearray(to_wkb(qp.geometry)))
     pred = qp.predicate
+
+    # ALL-POINTS declaration (plan(geom_kind="points"), e.g. tables built by
+    # index_points_df): refine with the x/y ray cast ALONE. The mixed-table
+    # form below wraps the ray cast and the WKB predicate in a when(), and
+    # Spark extracts python UDFs from BOTH branches — every row would pay
+    # the per-row WKB predicate too, and geom_wkb's producing UDF could
+    # never be pruned from the scan.
+    if (
+        qp.geom_kind == "points"
+        and pred in ("intersects", "bbox", "dwithin", "within", "contains", "covers")
+        and qp.geometry is not None
+        and qp.geometry.dimension() == 2
+        and {"x", "y"}.issubset(df.columns)
+    ):
+        boundary_ok = pred in ("intersects", "bbox", "dwithin", "covers")
+        return df.filter(_pip_udf(qp.geometry, boundary_ok)(F.col("x"), F.col("y")))
+
     geom = F.col("geom_wkb")
     if pred in ("intersects", "bbox", "dwithin"):
         exact = UDFS["st_intersects"](geom, qwkb)
@@ -270,9 +298,12 @@ def spatial_filter(
     predicate: str = "intersects",
     interval: tuple | None = None,
     loose: bool = False,
+    geom_kind: str = "mixed",
 ) -> DataFrame:
-    """One-call API: plan + apply (the engine's `df.filter(st_...)` fast path)."""
-    return apply_plan(df, plan(geometry, predicate, interval, loose))
+    """One-call API: plan + apply (the engine's `df.filter(st_...)` fast
+    path). Pass geom_kind="points" for tables known to hold only points
+    (index_points_df output) — the refine then never touches geom_wkb."""
+    return apply_plan(df, plan(geometry, predicate, interval, loose, geom_kind=geom_kind))
 
 
 # ----------------------------------------------------------- Z3 pushdown path

@@ -294,3 +294,34 @@ def test_index_docs_survives_malformed_time_spans(spark):
     assert out["ok"].ts is not None and out["ok"].x == 1.0
     assert out["empty_ts"].ts is None and out["empty_ts"].x == 2.0
     assert out["garbage_ts"].ts is None and out["garbage_ts"].x == 3.0
+
+
+# ----------------------------------------------- 8. points-only refine path
+
+
+def test_points_geom_kind_refine_parity_and_pruning(spark):
+    """plan(geom_kind='points') must (a) return identical rows to the mixed
+    refine on an all-points table, (b) keep geom_wkb's producing UDF out of
+    the plan, and (c) reject unknown kinds."""
+    from geomesa_spark.plans.planner import plan, spatial_filter
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(400)],
+            "lon": [((i * 7919) % 360) - 180.0 + 0.5 for i in range(400)],
+            "lat": [((i * 104729) % 180) - 90.0 + 0.25 for i in range(400)],
+        }
+    )
+    d = index_points_df(spark.createDataFrame(pdf), "lon", "lat")
+    pentagon = "POLYGON ((-30 -20, 30 -20, 45 10, 0 35, -45 10, -30 -20))"
+    for pred in ("contains", "intersects", "within", "covers"):
+        fast = {r.doc_id for r in spatial_filter(d, pentagon, pred, geom_kind="points").collect()}
+        mixed = {r.doc_id for r in spatial_filter(d, pentagon, pred).collect()}
+        assert fast == mixed, pred
+    assert len(fast) > 5
+    out = spatial_filter(d, pentagon, "contains", geom_kind="points").select("doc_id")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one python eval (the ray cast); the makePoint WKB UDF pruned
+    assert p.count("ArrowEvalPython") == 1, p
+    with pytest.raises(ValueError):
+        plan(pentagon, "contains", geom_kind="bogus")
