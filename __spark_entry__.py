@@ -266,6 +266,20 @@ def q_tile_assignment_z8(spark, sf_dir):
     )
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Tile-count PYRAMID zoom 8..5 from one pass over the data: base
+    counts at z8, each parent level the 4-child sum by integer halving of
+    child COUNTS (not re-scans). Oracle: per-level group-bys on the same
+    tile math — halving in SQL is exact because floor(f*2^z) ==
+    floor(floor(f*2^(z+1))/2)."""
+    _init(spark)
+    from geomesa_spark.operators.density import tile_pyramid
+
+    return tile_pyramid(_docs_pts(spark, sf_dir), zoom_max=8, zoom_min=5).select(
+        "tile_z", "tile_x", "tile_y", "n_docs"
+    )
+
+
 def q_density_grid(spark, sf_dir):
     _init(spark)
     d = _docs_pts(spark, sf_dir)
@@ -626,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_table": q_knn_join_table,
         "dwithin_proximity": q_dwithin_proximity,
         "tile_assignment_z8": q_tile_assignment_z8,
+        "tile_pyramid": q_tile_pyramid,
         "density_grid": q_density_grid,
         "density_weighted": q_density_weighted,
         "density_polygonize": q_density_polygonize,
@@ -737,6 +752,20 @@ def oracle_sql() -> dict[str, str]:
             select {O.tile_x_sql(lon, 8)} as tile_x, {O.tile_y_sql(lat, 8)} as tile_y,
                    count(*) as n_docs
             from documents group by 1, 2
+        """,
+        "tile_pyramid": f"""
+            with base as (
+              select {O.tile_x_sql(lon, 8)} as tile_x, {O.tile_y_sql(lat, 8)} as tile_y,
+                     count(*) as n_docs
+              from documents group by 1, 2
+            )
+            select cast(8 as bigint) as tile_z, tile_x, tile_y, n_docs from base
+            union all
+            select 7, tile_x // 2, tile_y // 2, sum(n_docs) from base group by 2, 3
+            union all
+            select 6, tile_x // 4, tile_y // 4, sum(n_docs) from base group by 2, 3
+            union all
+            select 5, tile_x // 8, tile_y // 8, sum(n_docs) from base group by 2, 3
         """,
         "density_grid": f"""
             select {O.grid_i_sql(lon, -180.0, 180.0, 256)} as i,

@@ -202,3 +202,35 @@ def tile_counts(df: DataFrame, zoom: int) -> DataFrame:
         .groupBy("tile_z", "tile_x", "tile_y")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def tile_pyramid(df: DataFrame, zoom_max: int, zoom_min: int = 0) -> DataFrame:
+    """Full tile-count PYRAMID zoom_min..zoom_max from ONE pass over the
+    data: counts at zoom_max (the only shuffle that touches rows), then each
+    parent level is the 4-child sum via integer halving of the CHILD COUNTS
+    — every rollup input is 4x smaller than the last, so the whole pyramid
+    costs ~4/3 of the base aggregation. The parent rule floor(x/2),
+    floor(y/2) is exact for the slippy tile math: floor(f*2^z) ==
+    floor(floor(f*2^(z+1))/2) and the clamp maps n-1 -> n/2-1.
+
+    Reference analog: the per-zoom tile/density aggregation outputs the web
+    layer renders as a pyramid (DensityProcess + tile exports)."""
+    if zoom_min > zoom_max:
+        raise ValueError("zoom_min must be <= zoom_max")
+    base = (
+        tile_counts(df, zoom_max)
+        .withColumn("tile_z", F.col("tile_z").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    out, cur = base, base
+    for z in range(zoom_max - 1, zoom_min - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.shiftright(F.col("tile_x"), 1).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), 1).alias("tile_y"),
+            )
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .select(F.lit(z).cast("long").alias("tile_z"), "tile_x", "tile_y", "n_docs")
+        )
+        out = out.unionByName(cur.select(*out.columns))
+    return out

@@ -185,3 +185,30 @@ def test_polygonize_density_patterns(spark):
         bbox, 64, 32, threshold=1.0,
     )
     assert n2 == 2 and len(alg._polygons_of(g2)) == 2  # corner touch splits
+
+
+def test_tile_pyramid_rollup_conservation(spark):
+    """Every pyramid level conserves total count; each parent equals the
+    sum of its (up to 4) children; base level equals tile_counts."""
+    from geomesa_spark.operators.density import tile_counts, tile_pyramid
+    from geomesa_spark.sources.docs import index_docs, synth_docs
+
+    d = index_docs(synth_docs(spark, 3000, seed=5)).filter("x is not null")
+    pyr = tile_pyramid(d, zoom_max=6, zoom_min=3).toPandas()
+    total = d.count()
+    for z in (3, 4, 5, 6):
+        lvl = pyr[pyr.tile_z == z]
+        assert lvl.n_docs.sum() == total, z
+        assert not lvl.duplicated(["tile_x", "tile_y"]).any()
+    base = tile_counts(d, 6).toPandas()
+    b6 = pyr[pyr.tile_z == 6][["tile_x", "tile_y", "n_docs"]]
+    assert (
+        b6.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+        == base[["tile_x", "tile_y", "n_docs"]]
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    ).all().all()
+    # parent = sum of children (spot-check every parent at z5)
+    kids = b6.assign(px=b6.tile_x // 2, py=b6.tile_y // 2).groupby(["px", "py"]).n_docs.sum()
+    p5 = pyr[pyr.tile_z == 5].set_index(["tile_x", "tile_y"]).n_docs
+    assert kids.sort_index().equals(p5.sort_index())

@@ -67,3 +67,49 @@ def test_relate_laws_per_row(i):
             assert alg.within(a, b) and alg.contains(a, b)
         if a.gtype in (POLYGON, MULTIPOLYGON) and b.gtype in (POLYGON, MULTIPOLYGON):
             assert bool(areal_intersects_batch([a], b)[0]) == inter, m
+
+
+# --------------------------- degenerate-position DE-9IM goldens (round 4)
+
+DEGENERATE_GOLDENS = [
+    # (name, wkt_a, wkt_b, expected relate(a, b))  — hand-derived matrices
+    # for shared-boundary / collinear / vertex-touch positions, the cases
+    # the relate() docstring flags as approximation-risk. The transpose law
+    # below cross-checks each derivation.
+    ("edge-adjacent squares", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+     "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))", "FF2F11212"),
+    ("corner-touching squares", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+     "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", "FF2F01212"),
+    ("within sharing two corner edges", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "2FF11F212"),
+    ("contains sharing two corner edges", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+     "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "212F11FF2"),
+    ("equal squares", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+     "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "2FFF1FFF2"),
+    ("partial collinear edge overlap", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+     "POLYGON ((2 1, 4 1, 4 3, 2 3, 2 1))", "FF2F11212"),
+    ("line along polygon edge", "LINESTRING (0 0, 1 0)",
+     "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "F1FF0F212"),
+    ("collinear line overlap", "LINESTRING (0 0, 2 0)",
+     "LINESTRING (1 0, 3 0)", "1010F0102"),
+    ("line through polygon corners", "LINESTRING (-1 -1, 2 2)",
+     "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "101FF0212"),
+    ("point on polygon corner", "POINT (0 0)",
+     "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "F0FFFF212"),
+    # a polygon exactly filling another's hole: boundaries coincide but the
+    # interiors are disjoint AND the filler's interior is in the holed
+    # polygon's EXTERIOR (the round-4 relate() interior-evidence fix)
+    ("hole filler", "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))",
+     "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))",
+     "FF2F1F212"),
+]
+
+
+@pytest.mark.parametrize("name,wa,wb,want", DEGENERATE_GOLDENS)
+def test_degenerate_position_relate_goldens(name, wa, wb, want):
+    a, b = from_wkt(wa), from_wkt(wb)
+    assert alg.relate(a, b) == want, name
+    # transpose law cross-checks the hand derivation itself
+    m = alg.relate(b, a)
+    t = want[0] + want[3] + want[6] + want[1] + want[4] + want[7] + want[2] + want[5] + want[8]
+    assert m == t, (name, m, t)
