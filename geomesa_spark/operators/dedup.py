@@ -311,20 +311,20 @@ def dedup_components(
             .agg(F.min("_nc").alias("_mn"))
             .withColumnRenamed("src", "id")
         )
+        # the change flag rides along in the same projection, so the
+        # convergence probe is a filter on the materialized round — not a
+        # second join of new-vs-old labels
         new = labels.join(nbr_min, on="id", how="left").select(
             "id",
             F.least(F.col("component"), F.coalesce("_mn", "component")).alias(
                 "component"
             ),
+            (F.coalesce("_mn", F.col("component")) < F.col("component")).alias(
+                "_chg"
+            ),
         ).localCheckpoint(eager=False)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("_chg").limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     else:
