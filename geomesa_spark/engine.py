@@ -67,6 +67,7 @@ class GeoEngine:
         bin: dict | None = None,
         guard: bool = False,
         columns: list | None = None,
+        geom_kind: str = "mixed",
     ):
         """One query entry with the reference's hint surface. Returns a
         DataFrame (or a stat dict for stats=...)."""
@@ -76,7 +77,9 @@ class GeoEngine:
             )
         out = df
         if geometry is not None or interval is not None:
-            qp = planner.plan(geometry, predicate, interval, loose)
+            # geom_kind="points" declares an all-points table: the refine is
+            # the x/y ray cast alone and never references geom_wkb
+            qp = planner.plan(geometry, predicate, interval, loose, geom_kind=geom_kind)
             out = planner.apply_plan(out, qp)
         if sampling:
             key = df.columns[0]

@@ -158,3 +158,52 @@ def test_avro_timestamp_logical_type(spark, tmp_path):
     docs = read_avro(spark, str(p))
     row = docs.collect()[0]
     assert row.spans[2]["text"].startswith("2016-01-02T10:00:00")
+
+
+# ------------------------------------------------------ property roundtrips
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _REC_SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "maybe", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+            {"name": "kv", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+
+    _rec = st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=40),
+            "i": st.integers(min_value=-(2**62), max_value=2**62),
+            "d": st.floats(allow_nan=False, allow_infinity=False),
+            "b": st.booleans(),
+            "maybe": st.none() | st.text(max_size=10),
+            "xs": st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=6),
+            "kv": st.dictionaries(st.text(min_size=1, max_size=8), st.text(max_size=8), max_size=4),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_rec, max_size=20))
+    def test_ocf_property_roundtrip(records):
+        """write_ocf_bytes -> read_ocf_bytes is the identity for arbitrary
+        records over the full primitive/array/map/union surface (zigzag
+        varints at extreme magnitudes included)."""
+        _, got = read_ocf_bytes(write_ocf_bytes(_REC_SCHEMA, records))
+        assert got == records
