@@ -89,6 +89,32 @@ def synth_join_job(spark, n_docs: int, n_polys: int) -> tuple[int, float]:
     return n_docs, dt
 
 
+def ann_join_synth_job(spark, n_corpus: int = 200_000, n_queries: int = 1_000) -> float:
+    """Batch-ANN scale probe: 200k synthetic 64-dim vectors x 1k queries
+    through the IVF cell equi-join (k=10, nprobe=4, 64-centroid literal
+    codebook). The gate embeddings table is only 500 rows; this measures
+    the operator at a shape where the matmuls and the cell shuffle
+    actually dominate."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.similarity import (
+        ann_join,
+        random_codebook,
+        synth_embeddings,
+    )
+
+    t0 = time.time()
+    corpus = synth_embeddings(spark, n_corpus)
+    queries = synth_embeddings(spark, n_queries, partitions=8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = random_codebook(64, 64, seed=7)
+    out = ann_join(corpus, queries, k=10, nprobe=4, centroids=C)
+    n = out.count()
+    assert n == 10 * n_queries, n
+    return time.time() - t0
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
@@ -139,6 +165,7 @@ def run_queries(spark) -> dict[str, float]:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
+    out["ann_join_synth_200k"] = round(ann_join_synth_job(spark), 3)
     return out
 
 

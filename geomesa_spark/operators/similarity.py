@@ -337,44 +337,95 @@ def ann_join(
          Arrow batch);
       2. query rows get their `nprobe` nearest cells (`ivf_probe_udf`, one
          matmul) and EXPLODE to (query_id, cell) — nprobe rows per query;
-      3. one shuffle equi-join on cell (a corpus row has exactly ONE cell,
-         so a (query, doc) pair can meet at most once — no dedup needed);
-      4. exact cosine on the candidates (`cosine_pairs_udf`, batched);
-      5. per-query top-k via a row_number window over the CANDIDATES only
-         (bounded by the probed cells, never the corpus).
+      3. COGROUP both sides by cell and score each (cell-block x
+         probing-queries) pair with ONE BLAS matmul, keeping only the
+         per-query per-cell top-k (a corpus row has exactly ONE cell, so a
+         (query, doc) pair meets at most once — no dedup needed);
+      4. global per-query top-k via a row_number window over <= nprobe*k
+         rows per query, never the corpus.
 
-    At scale: corpus cells come free from the persisted IVF layout
-    (`write_ivf_indexed` — partition pruning on cell); the cell join
-    shuffles each side once; hot cells are ordinary join-key skew (AQE
-    skew-join splits them). The query vector travels nprobe times (dim x 8
-    x nprobe bytes per query) — cheaper than the extra shuffle an ids-only
-    join + re-attach would cost on the small side.
+    At scale: each corpus row crosses Arrow ONCE (its cell), each query row
+    nprobe times — a pair equi-join instead would ship |cell|x|probers|
+    rows each carrying both vectors (13 GB at 200k x 1k x nprobe 4/64).
+    Memory is bounded by the largest cell (the IVF analog of the join
+    grid's hot-cell envelope; train the codebook for balance or raise
+    n_centroids). The persisted layout (`write_ivf_indexed` +
+    `ann_join_scan`) adds partition pruning for the probe set.
 
     Reference-shape analog: the cell-ring kNN join (knn.knn_join) proven on
-    point geometries; centroid cells replace grid cells.
+    point geometries; centroid cells replace grid cells."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    Plan note: Catalyst's python-UDF extraction evaluates the corpus
-    assignment UDF twice on one join side (once for the inserted join-key
-    null filter, once for the value). Harmless at probe scale; at corpus
-    scale use sources.ivf_index.ann_join_scan over the PERSISTED layout,
-    where the cell is a partition column — no assignment UDF in the query
-    plan at all, and the probe set prunes partitions."""
     if centroids is None:
         centroids = random_codebook(_vec_dim(queries, q_vec_col), n_centroids, seed)
     corp = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         ivf_assign_udf(centroids)(F.col(vec_col)).alias("_cell"),
-    )
+    ).filter(F.col("_cell").isNotNull())
     qx = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).alias("_qv"),
         F.explode(ivf_probe_udf(centroids, nprobe)(F.col(q_vec_col))).alias("_cell"),
     )
-    scored = corp.join(qx, "_cell").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_pairs_udf()(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    # COGROUP-BY-CELL BLOCK MATMUL, not a pair join: a pair join would ship
+    # |corpus-in-probed-cells| x |queries-probing-them| rows each carrying
+    # BOTH vectors through Arrow (e.g. 200k corpus x 1k queries at nprobe
+    # 4/64 = 12.5M pair rows = ~13 GB). Cogrouping moves every corpus row
+    # across Arrow ONCE (its one cell) and every query row nprobe times;
+    # scoring is one BLAS matmul per (cell-block x probing-queries), and
+    # only the per-cell per-query top-k (<= nprobe*k rows per query) feeds
+    # the global rank. Memory is bounded by the largest cell — the IVF
+    # analog of the join grid's hot-cell envelope.
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[q_id_col].dataType),
+            StructField("vec_id", corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+    return _cogroup_topk_by_cell(corp, qx, "_cell", k, out_schema)
+
+
+def _cogroup_topk_by_cell(corp, qx, cell_col: str, k: int, out_schema):
+    """Shared physical core of the batch-ANN joins: cogroup corpus
+    (vec_id, _v, cell) with queries (query_id, _qv, cell) on the cell key,
+    score each block with one BLAS matmul, keep the per-query per-cell
+    top-k under the global (score desc, vec_id asc) rule — the union over
+    probed cells then provably contains the global top-k — and rank."""
+    import pandas as pd
+
+    def score_cell(corp_pdf, q_pdf):
+        if len(corp_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "score": []})
+        Cm = np.stack([np.asarray(v, dtype=np.float64) for v in corp_pdf["_v"]])
+        Qm = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf["_qv"]])
+        cn = np.linalg.norm(Cm, axis=1)
+        qn = np.linalg.norm(Qm, axis=1)
+        S = np.round((Qm @ Cm.T) / np.outer(qn, cn), 6)  # (m, n)
+        vec_ids = corp_pdf["vec_id"].to_numpy()
+        kk = min(k, S.shape[1])
+        rows_q, rows_v, rows_s = [], [], []
+        order_v = np.argsort(vec_ids, kind="stable")
+        for i in range(S.shape[0]):
+            si = S[i][order_v]
+            sel = np.argsort(-si, kind="stable")[:kk]
+            idx = order_v[sel]
+            rows_q.extend([q_pdf["query_id"].iloc[i]] * len(idx))
+            rows_v.extend(vec_ids[idx])
+            rows_s.extend(S[i][idx])
+        return pd.DataFrame({"query_id": rows_q, "vec_id": rows_v, "score": rows_s})
+
+    scored = (
+        corp.select("vec_id", "_v", F.col(cell_col).alias("_cg_cell"))
+        .groupBy("_cg_cell")
+        .cogroup(
+            qx.select("query_id", "_qv", F.col(cell_col).alias("_cg_cell")).groupBy(
+                "_cg_cell"
+            )
+        )
+        .applyInPandas(score_cell, schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
@@ -450,6 +501,37 @@ def ann_join_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def synth_embeddings(
+    spark, n: int, dim: int = 64, partitions: int = 32, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic synthetic embedding table as ONE numpy pass per
+    partition (mapInPandas over spark.range) — values are a fixed integer
+    hash of (id, component), so any engine regenerates the identical table
+    (the bench/scale fixture for the ANN family; no driver-side data)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            j = np.arange(dim, dtype=np.int64)
+            # (n, dim) integer hash -> uniform [-0.5, 0.5); one vectorized op
+            h = (ids[:, None] * 6364136223846793005 + j[None, :] * 1442695040888963407) % (1 << 31)
+            m = h.astype(np.float64) / float(1 << 31) - 0.5
+            yield pd.DataFrame(
+                {id_col: ids, "embedding": [row.tolist() for row in m]}
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=schema)
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     _topk,
-    cosine_pairs_udf,
     cosine_query_udf,
     ivf_assign_udf,
     ivf_probe_udf,
@@ -103,6 +102,10 @@ def ann_join_scan(
     the driver for the partition-pruning isin stays O(codebook) no matter
     how large the query table is; the per-pair candidate generation remains
     a distributed cell equi-join."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..operators.similarity import _cogroup_topk_by_cell
+
     qx = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).alias("_qv"),
@@ -111,21 +114,20 @@ def ann_join_scan(
         ).alias("ivf_cell"),
     )
     cells = [int(r[0]) for r in qx.select("ivf_cell").distinct().collect()]
-    corp = spark.read.parquet(path).filter(F.col("ivf_cell").isin(cells))
-    scored = corp.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), "ivf_cell"
-    ).join(qx, "ivf_cell").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_pairs_udf()(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    corp = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_cell").isin(cells))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("ivf_cell").cast("int").alias("ivf_cell"),
+        )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[q_id_col].dataType),
+            StructField("vec_id", corp.schema["vec_id"].dataType),
+            StructField("score", DoubleType()),
+        ]
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _cogroup_topk_by_cell(corp, qx, "ivf_cell", k, out_schema)
