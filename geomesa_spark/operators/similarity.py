@@ -388,7 +388,7 @@ def ann_join(
     return _cogroup_topk_by_cell(corp, qx, "_cell", k, out_schema)
 
 
-def _cogroup_topk_by_cell(corp, qx, cell_col: str, k: int, out_schema):
+def _cogroup_topk_by_cell(corp, qx, cell_col: str, k: int, out_schema, dedup: bool = False):
     """Shared physical core of the batch-ANN joins: cogroup corpus
     (vec_id, _v, cell) with queries (query_id, _qv, cell) on the cell key,
     score each block with one BLAS matmul, keep the per-query per-cell
@@ -427,6 +427,10 @@ def _cogroup_topk_by_cell(corp, qx, cell_col: str, k: int, out_schema):
         )
         .applyInPandas(score_cell, schema=out_schema)
     )
+    if dedup:
+        # multi-table LSH: a pair meeting in several tables scores
+        # identically in each — drop the copies before ranking
+        scored = scored.dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
     )
@@ -454,53 +458,41 @@ def ann_join_lsh(
     not depend on the corpus having cluster structure; more tables = more
     recall, linearly more candidates).
 
-    Scale shape (the embedding_cosine_pairs candidate pattern): both sides
-    compute all `tables` bucket ids in ONE Arrow matmul (rp_buckets_udf),
-    posexplode to (table, bucket) keys, equi-join carrying IDS ONLY, and
-    dedupe pairs that met in several tables BEFORE any scoring — the
-    re-attach joins then ship each embedding once per surviving pair, and
-    the exact-cosine matmul runs once per pair. Hyperplanes are literal
-    seeded sign matrices, so the whole pipeline is SQL-mirrorable."""
+    Scale shape: both sides compute all `tables` bucket ids in ONE Arrow
+    matmul (rp_buckets_udf), posexplode to a combined (table, bucket) key,
+    then COGROUP and block-matmul exactly like ann_join — each corpus row
+    crosses Arrow once per table (not once per candidate pair), the
+    per-bucket top-k bounds what reaches the global rank, and pairs that
+    met in several tables (identical scores) dedupe before ranking.
+    Hyperplanes are literal seeded sign matrices, so the whole pipeline is
+    SQL-mirrorable."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     dim = _vec_dim(queries, q_vec_col)
     signs = hyperplane_signs(dim, bits, tables=tables, seed=seed)
+    # one long key per (table, bucket): bucket < 2^bits by construction
     corp_b = corpus.select(
         F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
         F.posexplode(rp_buckets_udf(signs)(F.col(vec_col))).alias("_t", "_bkt"),
+    ).select(
+        "vec_id", "_v", (F.col("_t").cast("long") * (1 << bits) + F.col("_bkt")).alias("_cell")
     )
     q_b = queries.select(
         F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).alias("_qv"),
         F.posexplode(rp_buckets_udf(signs)(F.col(q_vec_col))).alias("_t", "_bkt"),
+    ).select(
+        "query_id", "_qv", (F.col("_t").cast("long") * (1 << bits) + F.col("_bkt")).alias("_cell")
     )
-    cand = (
-        corp_b.join(q_b, ["_t", "_bkt"])
-        .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
+    out_schema = StructType(
+        [
+            StructField("query_id", queries.schema[q_id_col].dataType),
+            StructField("vec_id", corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
     )
-    scored = (
-        cand.join(
-            corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")),
-            "vec_id",
-        )
-        .join(
-            queries.select(
-                F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("_qv")
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_pairs_udf()(F.col("_v"), F.col("_qv")), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+    return _cogroup_topk_by_cell(corp_b, q_b, "_cell", k, out_schema, dedup=True)
 
 
 def synth_embeddings(
