@@ -146,6 +146,8 @@ def run_queries(spark) -> dict[str, float]:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_join_topk",
+        "ann_join_lsh_topk",
+        "tile_pyramid",
         "attr_bbox_filter",
         "convexhull_by_type",
     ]

@@ -327,6 +327,7 @@ def ann_join(
     q_vec_col: str = "embedding",
     q_id_col: str = "query_id",
     seed: int = 7,
+    cell_salt: int = 1,
 ) -> DataFrame:
     """Top-k cosine neighbors for EVERY row of a query TABLE — the embedding
     analog of knn_join (the shape a 100 TB retrieval/dedup pipeline runs:
@@ -348,9 +349,13 @@ def ann_join(
     nprobe times — a pair equi-join instead would ship |cell|x|probers|
     rows each carrying both vectors (13 GB at 200k x 1k x nprobe 4/64).
     Memory is bounded by the largest cell (the IVF analog of the join
-    grid's hot-cell envelope; train the codebook for balance or raise
-    n_centroids). The persisted layout (`write_ivf_indexed` +
-    `ann_join_scan`) adds partition pruning for the probe set.
+    grid's hot-cell envelope): train the codebook for balance, raise
+    n_centroids, or set cell_salt=s to hash-split every cell s ways —
+    corpus rows land in one subcell, queries probe all s, results are
+    IDENTICAL (tested) and the largest cogroup block shrinks s-fold (the
+    same move as the spatial join's hot-cell salting). The persisted
+    layout (`write_ivf_indexed` + `ann_join_scan`) adds partition pruning
+    for the probe set.
 
     Reference-shape analog: the cell-ring kNN join (knn.knn_join) proven on
     point geometries; centroid cells replace grid cells."""
@@ -378,6 +383,17 @@ def ann_join(
     # only the per-cell per-query top-k (<= nprobe*k rows per query) feeds
     # the global rank. Memory is bounded by the largest cell — the IVF
     # analog of the join grid's hot-cell envelope.
+    if cell_salt > 1:
+        corp = corp.withColumn(
+            "_cell",
+            F.col("_cell").cast("long") * cell_salt
+            + F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(cell_salt)),
+        )
+        qx = (
+            qx.withColumn("_s", F.explode(F.sequence(F.lit(0), F.lit(cell_salt - 1))))
+            .withColumn("_cell", F.col("_cell").cast("long") * cell_salt + F.col("_s"))
+            .drop("_s")
+        )
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[q_id_col].dataType),

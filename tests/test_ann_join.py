@@ -179,3 +179,22 @@ def test_ann_join_lsh_recall_and_no_duplicates(spark, clustered):
         hits += len(want & have)
         total += 5
     assert hits / total >= 0.85, hits / total
+
+
+def test_ann_join_cell_salt_identical_results(spark, clustered):
+    """cell_salt=4 hash-splits every cell (bounded cogroup blocks) without
+    changing a single output row."""
+    df, pdf = clustered
+    q = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = random_codebook(DIM, 8, seed=3)
+    plain = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in ann_join(df, q, k=5, nprobe=3, centroids=C).collect()
+    )
+    salted = sorted(
+        (r.query_id, r.vec_id, r.score, r.rank)
+        for r in ann_join(df, q, k=5, nprobe=3, centroids=C, cell_salt=4).collect()
+    )
+    assert plain == salted and len(plain) > 0
