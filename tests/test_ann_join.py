@@ -198,3 +198,31 @@ def test_ann_join_cell_salt_identical_results(spark, clustered):
         for r in ann_join(df, q, k=5, nprobe=3, centroids=C, cell_salt=4).collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_ann_join_string_ids(spark):
+    """Output schema follows caller id dtypes (string ids end-to-end)."""
+    from geomesa_spark.operators.similarity import ann_join_lsh
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [f"doc-{i:03d}" for i in range(60)],
+            "embedding": [
+                [float(((i * 31 + j * 17) % 97) - 48) for j in range(8)]
+                for i in range(60)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, "vec_id string, embedding array<double>")
+    q = df.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    for out in (
+        ann_join(df, q, k=3, nprobe=4, centroids=random_codebook(8, 4)),
+        ann_join_lsh(df, q, k=3, bits=2, tables=2),
+    ):
+        rows = out.collect()
+        assert len(rows) == 15
+        assert all(isinstance(r.query_id, str) and isinstance(r.vec_id, str) for r in rows)
+        # every query's own vector is its rank-1 neighbor (cosine 1.0)
+        assert {(r.query_id, r.vec_id) for r in rows if r.rank == 1} == {
+            (f"doc-{i:03d}", f"doc-{i:03d}") for i in range(5)
+        }
