@@ -293,6 +293,10 @@ def knn(
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("w_minx", "w_miny", "w_maxx", "w_maxy", "q_lon", "q_lat")
+            # the stats collect below is an ACTION on this round's top-k and
+            # the final result is another — checkpoint so the scan + join +
+            # window run once per round, not twice
+            .localCheckpoint(eager=False)
         )
         stats = {
             r["query_id"]: (r["cnt"], r["kth"])
