@@ -115,6 +115,23 @@ def ann_join_synth_job(spark, n_corpus: int = 200_000, n_queries: int = 1_000) -
     return time.time() - t0
 
 
+def minhash_synth_job(spark, n_docs: int = 100_000) -> float:
+    """Text-dedup scale probe: 100k synthetic ~260-char docs with ~5%
+    planted near-duplicates through the full MinHash-LSH + exact-verify
+    pipeline (the sf0.1 documents table is only 5k rows — latency-bound;
+    this measures the path where the signature and verify work dominate)."""
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs, synth_texts
+
+    t0 = time.time()
+    d = synth_texts(spark, n_docs)
+    pairs = minhash_lsh_pairs(
+        d, threshold=0.8, verify="exact", canonicalize=True, max_bucket=2000
+    )
+    n = pairs.count()
+    assert n >= n_docs // 20 - 8, n  # every planted pair found
+    return time.time() - t0
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
 
@@ -168,6 +185,7 @@ def run_queries(spark) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
     out["ann_join_synth_200k"] = round(ann_join_synth_job(spark), 3)
+    out["minhash_synth_100k"] = round(minhash_synth_job(spark), 3)
     return out
 
 

@@ -197,6 +197,67 @@ def exact_canonical_map(
     )
 
 
+def synth_texts(spark, n: int, partitions: int = 32, dup_every: int = 20) -> DataFrame:
+    """Deterministic synthetic document table for dedup scale probes: 40
+    hash-chosen vocab words per doc (~260 chars); every `dup_every`-th id
+    regenerates the text of (id - 7) plus a one-word suffix — a planted
+    near-duplicate pair with shingle Jaccard ~0.95. Pure mapInPandas over
+    spark.range: no driver data, any engine regenerates it identically."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        # diverse pseudo-words (NOT wNNN: uniform digit patterns share most
+        # character trigrams, which makes every doc a shingle near-dup)
+        vocab = np.array(
+            [
+                "".join(
+                    chr(97 + (i * 7 + k * 13 + (i >> 3) * k) % 26)
+                    for k in range(5 + i % 4)
+                )
+                for i in range(997)
+            ]
+        )
+        U = np.uint64
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            base = np.where((ids % dup_every == 7) & (ids >= 7), ids - 7, ids)
+            j = np.arange(40, dtype=np.uint64)
+            # xorshift-multiply mix: word choice must NOT be linear in
+            # (seed, j) — a linear rule makes every doc a shifted sample of
+            # one cyclic progression, i.e. thousands of accidental
+            # shingle near-dup pairs
+            h = base[:, None].astype(np.uint64) * U(2654435761) + (j[None, :] + U(1)) * U(2246822519)
+            h ^= h >> U(13)
+            h *= U(0x9E3779B185EBCA87)
+            h ^= h >> U(29)
+            idx = (h % U(997)).astype(int)
+            W = vocab[idx]  # (n, 40) word matrix
+            texts = [" ".join(row) for row in W]
+            texts = [
+                t + " xtra" if (i % dup_every == 7 and i >= 7) else t
+                for i, t in zip(ids, texts)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [f"d{i:08d}" for i in ids],
+                    "text": texts,
+                    "lang": ["en"] * len(ids),
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=schema)
+
+
 def dedup_components_star(
     pairs: DataFrame,
     id_a: str = "id_a",

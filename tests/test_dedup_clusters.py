@@ -195,3 +195,19 @@ def test_star_components_long_chain_and_random_graph(spark):
     df = spark.createDataFrame(edges, "id_a string, id_b string")
     got = {r.id: r.component for r in dedup_components_star(df).collect()}
     assert got == want
+
+
+def test_synth_texts_planted_pairs_found(spark):
+    """The dedup scale fixture plants (id-7, id) near-dup pairs every 20
+    ids; the full MinHash-LSH + exact-verify pipeline finds exactly them."""
+    from geomesa_spark.operators.dedup import minhash_lsh_pairs, synth_texts
+
+    d = synth_texts(spark, 2000, partitions=4)
+    pairs = minhash_lsh_pairs(
+        d, threshold=0.8, verify="exact", canonicalize=True, max_bucket=2000
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {
+        (f"d{i - 7:08d}", f"d{i:08d}") for i in range(7, 2000) if i % 20 == 7
+    }
+    assert got == want, (len(got), len(want))
