@@ -140,6 +140,20 @@ def q_spatial_join_pip(spark, sf_dir):
     return j.select("doc_id", "poly_id")
 
 
+def q_distance_join(spark, sf_dir):
+    """st_dwithin as a JOIN predicate (reference SQLRules join-rewrite):
+    geodesic distance-bounded doc x event pairs via the lat-aware grid-cell
+    equi-join — one shuffle, exact haversine refine, zero Python. Oracle:
+    brute-force cross join + the same haversine in DuckDB."""
+    _init(spark)
+    from geomesa_spark.operators.spatial_join import distance_join
+
+    d = _docs_pts(spark, sf_dir).select("doc_id", "x", "y")
+    e = _events_pts(spark, sf_dir).select("event_id", "x", "y")
+    j = distance_join(d, e, meters=100_000.0)
+    return j.select("doc_id", "event_id", F.round("dist_m", 6).alias("dist_r6"))
+
+
 def q_xz2_extent_query(spark, sf_dir):
     """Extent (polygon) query through the XZ2 index: one cell per geometry,
     range prefilter, envelope refine (XZ2SFC.scala semantics)."""
@@ -634,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_pip_filter": q_spatial_pip_filter,
         "spatial_bbox_temporal": q_spatial_bbox_temporal,
         "spatial_join_pip": q_spatial_join_pip,
+        "distance_join": q_distance_join,
         "xz2_extent_query": q_xz2_extent_query,
         "xz3_extent_temporal": q_xz3_extent_temporal,
         "knn_geodesic": q_knn_geodesic,
@@ -727,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
                                                          and ({O.PART_CX.replace('p_partkey','p.p_partkey')}) + ({O.PART_HW.replace('p_partkey','p.p_partkey')})
              and {lat.replace('doc_id', 'd.doc_id')} between ({O.PART_CY.replace('p_partkey','p.p_partkey')}) - ({O.PART_HH.replace('p_partkey','p.p_partkey')})
                                                          and ({O.PART_CY.replace('p_partkey','p.p_partkey')}) + ({O.PART_HH.replace('p_partkey','p.p_partkey')})
+        """,
+        "distance_join": f"""
+            select d.doc_id, e.event_id,
+                   round({O.haversine_sql(lon.replace('doc_id', 'd.doc_id'), lat.replace('doc_id', 'd.doc_id'), elon.replace('event_id', 'e.event_id'), elat.replace('event_id', 'e.event_id'))}, 6) as dist_r6
+            from documents d, events e
+            where {O.haversine_sql(lon.replace('doc_id', 'd.doc_id'), lat.replace('doc_id', 'd.doc_id'), elon.replace('event_id', 'e.event_id'), elat.replace('event_id', 'e.event_id'))} <= 100000.0
         """,
         "xz2_extent_query": f"""
             select p_partkey as poly_id from part

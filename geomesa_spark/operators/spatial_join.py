@@ -472,3 +472,91 @@ def spatial_join(
         keys = result.select(key).dropDuplicates()
         return left.join(keys, on=key, how=how)
     raise ValueError(f"unsupported how={how}")
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    meters: float,
+    left_lon: str = "x",
+    left_lat: str = "y",
+    right_lon: str = "x",
+    right_lat: str = "y",
+) -> DataFrame:
+    """Geodesic distance-bounded pair join for two POINT tables — st_dwithin
+    as a JOIN predicate (the reference's join planner accepts st_dwithin
+    conditions, SQLRules.scala join-rewrite path; this is the batch sibling
+    of streaming.stream_stream_proximity_join, same provable cell cover).
+
+    Plan: both sides key on a lat/lon grid whose cell width is the angular
+    radius; the LEFT side explodes to the latitude-aware neighbor cells
+    (exact asin(sin r/cos lat) lon bound + one cell of slack both axes),
+    the RIGHT keeps its single cell, so each qualifying pair meets in
+    EXACTLY one bucket (no dedup); one shuffle equi-join, exact haversine
+    refine, all columns codegen'd — no Python in the join at all.
+
+    Returns left columns + right columns (right renamed `r_<name>` on
+    clash) + dist_m. Polar caveat as the streaming join: |lat| > 85 deg is
+    clamped (documented)."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+    from .knn import haversine_col
+
+    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
+    cell = max(d_deg, 1e-4)
+
+    overlap = set(left.columns) & set(right.columns)
+    R = right.select(
+        *[F.col(c).alias(f"r_{c}") if c in overlap else F.col(c) for c in right.columns]
+    )
+    r_lon = f"r_{right_lon}" if right_lon in overlap else right_lon
+    r_lat = f"r_{right_lat}" if right_lat in overlap else right_lat
+
+    lx, ly = F.col(left_lon), F.col(left_lat)
+    rx, ry = F.col(r_lon), F.col(r_lat)
+    L = left.withColumn("_cx", F.floor((lx + 180.0) / F.lit(cell)).cast("long")).withColumn(
+        "_cy", F.floor((ly + 90.0) / F.lit(cell)).cast("long")
+    )
+    # exact disc lon bound incl. poles (disc_window_deg rule): a disc
+    # touching a pole reaches EVERY longitude — those rows explode to the
+    # full lon ring (bounded: only points within the angular radius of a
+    # pole pay it)
+    clat = F.cos(F.radians(ly))
+    dlon = F.when(
+        F.abs(ly) + F.lit(d_deg) >= F.lit(90.0), F.lit(180.0)
+    ).otherwise(
+        F.degrees(
+            F.asin(
+                F.least(F.lit(1.0), F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat)
+            )
+        )
+    )
+    k = (F.ceil(dlon / F.lit(cell)) + F.lit(1)).cast("int")
+    # the lon axis is a RING: cell ids wrap modulo ceil(360/cell), so a
+    # pair straddling the antimeridian still meets; array_distinct keeps
+    # each neighbor cell once even when a polar full-ring explode wraps
+    # onto itself (exactly-one-bucket per pair preserved)
+    n_lon = int(math.ceil(360.0 / cell))
+    jcx_arr = F.array_distinct(
+        F.transform(
+            F.sequence(-k, k), lambda d: F.pmod(F.col("_cx") + d, F.lit(n_lon))
+        )
+    )
+    L = (
+        L.withColumn("jcx", F.explode(jcx_arr))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
+        .withColumn("jcy", F.col("_cy") + F.col("_dy"))
+        .drop("_cx", "_cy", "_dy")
+    )
+    Rk = R.withColumn(
+        "jcx",
+        F.pmod(F.floor((rx + 180.0) / F.lit(cell)).cast("long"), F.lit(n_lon)),
+    ).withColumn("jcy", F.floor((ry + 90.0) / F.lit(cell)).cast("long"))
+    dist = haversine_col(lx, ly, rx, ry)
+    return (
+        L.join(Rk, ["jcx", "jcy"])
+        .filter(dist <= F.lit(float(meters)))
+        .withColumn("dist_m", dist)
+        .drop("jcx", "jcy")
+    )

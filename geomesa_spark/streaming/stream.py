@@ -424,12 +424,14 @@ def stream_stream_proximity_join(
     Spark's stream-stream inner join needs an EQUALITY key plus event-time
     bounds for state cleanup; the equality key here is the proximity grid
     cell: cell width >= the search distance, LEFT rows explode to the
-    latitude-aware neighbor cells that could hold a match (lon neighbors
-    widen as cos(lat) shrinks, clamped at |lat| 85 deg — polar pairs beyond
-    that may be missed, documented), RIGHT rows keep their single cell, so
-    each qualifying pair matches in EXACTLY one (jcx, jcy) bucket — no
-    dedup state needed. Exact haversine + time-range filter after the
-    keyed join. Watermarks on both sides bound the join state."""
+    latitude-aware neighbor cells that could hold a match (exact
+    asin(sin r / cos lat) lon bound; pole-touching discs take the full lon
+    ring; lon cell ids WRAP at the antimeridian), RIGHT rows keep their
+    single cell, so each qualifying pair matches in EXACTLY one (jcx, jcy)
+    bucket — the wrap uses a distinct neighbor array, so even a full-ring
+    polar explode lists each cell once. Exact haversine + time-range
+    filter after the keyed join. Watermarks on both sides bound the join
+    state."""
     import math
 
     from ..geom.algorithms import EARTH_MEAN_RADIUS_M
@@ -445,9 +447,13 @@ def stream_stream_proximity_join(
     cell = max(d_deg, 1e-4)
     win_secs = _duration_secs(time_window)
 
+    n_lon = int(math.ceil(360.0 / cell))
+
     def cells(df: DataFrame, side: str, explode_neighbors: bool) -> DataFrame:
         x, y = F.col(lon_col), F.col(lat_col)
-        cx = F.floor((x + F.lit(180.0)) / F.lit(cell)).cast("long")
+        # lon cell ids wrap modulo ceil(360/cell): the lon axis is a RING,
+        # so antimeridian-straddling pairs share a bucket
+        cx = F.pmod(F.floor((x + F.lit(180.0)) / F.lit(cell)).cast("long"), F.lit(n_lon))
         cy = F.floor((y + F.lit(90.0)) / F.lit(cell)).cast("long")
         out = df.withWatermark(time_col, watermark)
         renamed = out.select(
@@ -460,26 +466,33 @@ def stream_stream_proximity_join(
         # lon-neighbor span grows with latitude (cells narrow in meters);
         # use the exact disc lon bound asin(sin r / cos lat) — dlat/cos(lat)
         # under-covers away from the equator — plus one cell of slack; lat
-        # neighbors get the same slack (dy in -2..2)
-        clat = F.cos(F.radians(F.least(F.lit(85.0), F.greatest(F.lit(-85.0), F.col(f"{side}_{lat_col}")))))
-        dlon = F.degrees(
-            F.asin(
-                F.least(
-                    F.lit(1.0),
-                    F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat,
+        # neighbors get the same slack (dy in -2..2). Discs touching a pole
+        # reach every longitude: those rows take the full (distinct) ring.
+        ly = F.col(f"{side}_{lat_col}")
+        clat = F.cos(F.radians(ly))
+        dlon = F.when(
+            F.abs(ly) + F.lit(d_deg) >= F.lit(90.0), F.lit(180.0)
+        ).otherwise(
+            F.degrees(
+                F.asin(
+                    F.least(
+                        F.lit(1.0),
+                        F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat,
+                    )
                 )
             )
         )
         k = (F.ceil(dlon / F.lit(cell)) + F.lit(1)).cast("int")
-        return (
-            renamed.withColumn("_dx", F.explode(F.sequence(-k, k)))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
-            .select(
-                "*",
-                (F.col("_cx") + F.col("_dx")).alias("jcx"),
-                (F.col("_cy") + F.col("_dy")).alias("jcy"),
+        jcx_arr = F.array_distinct(
+            F.transform(
+                F.sequence(-k, k), lambda d: F.pmod(F.col("_cx") + d, F.lit(n_lon))
             )
-            .drop("_cx", "_cy", "_dx", "_dy")
+        )
+        return (
+            renamed.withColumn("jcx", F.explode(jcx_arr))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
+            .withColumn("jcy", F.col("_cy") + F.col("_dy"))
+            .drop("_cx", "_cy", "_dy")
         )
 
     L = cells(left, "l", explode_neighbors=True)

@@ -66,6 +66,14 @@ def _boundary_pairs():
         lrows.append({"pid": f"L{i}", "ts": t0, "x": x_l, "y": lat_base})
         rrows.append({"pid": f"R{i}", "ts": t0, "x": x_l + dlon, "y": lat_base})
         i += 1
+    # antimeridian-straddling pair (~90 m apart across the ±180 seam)
+    lrows.append({"pid": f"L{i}", "ts": t0, "x": 179.9996, "y": -20.0})
+    rrows.append({"pid": f"R{i}", "ts": t0, "x": -179.9996, "y": -20.0})
+    i += 1
+    # polar pair: disc touches the pole, partner on the far lon side
+    lrows.append({"pid": f"L{i}", "ts": t0, "x": 0.0, "y": 89.997})
+    rrows.append({"pid": f"R{i}", "ts": t0, "x": 180.0, "y": 89.996})
+    i += 1
     # one clearly-out pair as a negative control
     lrows.append({"pid": f"L{i}", "ts": t0, "x": -120.0, "y": 10.0})
     rrows.append({"pid": f"R{i}", "ts": t0, "x": -119.0, "y": 10.0})
@@ -82,7 +90,7 @@ def test_stream_stream_cell_cover_near_radius(spark, tmp_path):
         for r in rrows
         if haversine(l["x"], l["y"], r["x"], r["y"]) <= 1000.0
     }
-    assert len(want) == 8, want  # all boundary pairs qualify, control doesn't
+    assert len(want) == 10, want  # all boundary pairs qualify, control doesn't
 
     ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
     ldf = spark.createDataFrame(pd.DataFrame(lrows))
