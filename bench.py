@@ -140,6 +140,7 @@ def run_queries(spark) -> dict[str, float]:
         "spatial_pip_filter",
         "spatial_bbox_temporal",
         "spatial_join_pip",
+        "distance_join",
         "xz2_extent_query",
         "xz3_extent_temporal",
         "knn_geodesic",
