@@ -12,6 +12,23 @@ from pyspark.sql.window import Window
 from .knn import disc_window_deg, haversine_col
 
 
+def _disc_box_cond(lon: float, lat: float, dlat: float, dlon: float):
+    """Lon/lat window Column for a geodesic disc, SPLIT at the antimeridian
+    (the lon axis is a ring: a window past ±180 wraps to the other side —
+    the same seam the knn _query_windows split handles)."""
+    ycond = (F.col("y") >= lat - dlat) & (F.col("y") <= lat + dlat)
+    x0, x1 = lon - dlon, lon + dlon
+    if dlon >= 180.0:
+        return ycond
+    if x0 < -180.0:
+        xcond = (F.col("x") >= x0 + 360.0) | (F.col("x") <= x1)
+    elif x1 > 180.0:
+        xcond = (F.col("x") >= x0) | (F.col("x") <= x1 - 360.0)
+    else:
+        xcond = (F.col("x") >= x0) & (F.col("x") <= x1)
+    return xcond & ycond
+
+
 def proximity_search(
     docs: DataFrame,
     inputs: list[tuple[float, float]],
@@ -23,12 +40,8 @@ def proximity_search(
     conds = None
     for lon, lat in inputs:
         dlat, dlon = disc_window_deg(lat, meters)
-        box = (
-            (F.col("x") >= lon - dlon)
-            & (F.col("x") <= lon + dlon)
-            & (F.col("y") >= lat - dlat)
-            & (F.col("y") <= lat + dlat)
-            & (haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters)
+        box = _disc_box_cond(lon, lat, dlat, dlon) & (
+            haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters
         )
         conds = box if conds is None else (conds | box)
     return docs.filter(conds)
@@ -132,8 +145,7 @@ def tube_select(
     for lon, lat, iso_ts in track_points:
         dlat, dlon = disc_window_deg(lat, meters)
         c = (
-            (F.col("x").between(lon - dlon, lon + dlon))
-            & (F.col("y").between(lat - dlat, lat + dlat))
+            _disc_box_cond(lon, lat, dlat, dlon)
             & (haversine_col(F.col("x"), F.col("y"), F.lit(lon), F.lit(lat)) <= meters)
             & (
                 F.abs(
@@ -168,10 +180,8 @@ def route_search(
         seg_len = float(haversine(x1, y1, x2, y2))
         radius = meters + seg_len / 2
         dlat, dlon = disc_window_deg(my, radius)
-        c = (
-            F.col("x").between(mx - dlon, mx + dlon)
-            & F.col("y").between(my - dlat, my + dlat)
-            & (haversine_col(F.col("x"), F.col("y"), F.lit(mx), F.lit(my)) <= radius)
+        c = _disc_box_cond(mx, my, dlat, dlon) & (
+            haversine_col(F.col("x"), F.col("y"), F.lit(mx), F.lit(my)) <= radius
         )
         if heading_col and heading_tolerance_deg is not None:
             bearing = math.degrees(math.atan2(x2 - x1, y2 - y1)) % 360

@@ -333,3 +333,28 @@ def test_points_geom_kind_refine_parity_and_pruning(spark):
     assert p.count("ArrowEvalPython") == 1, p
     with pytest.raises(ValueError):
         plan(pentagon, "contains", geom_kind="bogus")
+
+
+# ------------------------------------------- 9. process antimeridian windows
+
+
+def test_proximity_search_antimeridian_and_pole(spark):
+    """proximity_search windows split at the ±180 seam and go full-ring at
+    pole touch — same seam handling as distance_join/knn windows."""
+    from geomesa_spark.operators.processes import proximity_search
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["seam", "pole", "far"],
+            "lon": [-179.9995, 180.0, 0.0],
+            "lat": [10.0, 89.9, 0.0],
+        }
+    )
+    docs = index_points_df(spark.createDataFrame(pdf), "lon", "lat")
+    got = {
+        r.doc_id
+        for r in proximity_search(
+            docs, [(179.9995, 10.0), (0.0, 89.95)], 100_000.0
+        ).collect()
+    }
+    assert got == {"seam", "pole"}, got
