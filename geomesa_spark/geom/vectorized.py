@@ -272,6 +272,49 @@ def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     return out
 
 
+def _interior_evidence_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """bool per left: do the INTERIORS of left and right intersect?
+    Evidence: any probe point (vertices + edge midpoints + per-part
+    interior representatives) of one STRICTLY inside the other, or a
+    proper edge crossing. Edge midpoints matter: two rects sharing a wall
+    while overlapping (A=(0,0,2,1), B=(1,0,3,1)) have every vertex on the
+    other's boundary — only A's x=2 edge midpoint sits strictly inside B."""
+    n = len(lefts)
+    out = np.zeros(n, dtype=bool)
+    bt = _test_points(right)
+    for i, g in enumerate(lefts):
+        if not alg._polygons_of(g):
+            continue
+        if len(bt) and bool(points_in_polygon(bt[:, 0], bt[:, 1], g, False).any()):
+            out[i] = True
+            continue
+        tp = _test_points(g)
+        if len(tp) and bool(points_in_polygon(tp[:, 0], tp[:, 1], right, False).any()):
+            out[i] = True
+    undecided = np.nonzero(~out)[0]
+    if len(undecided):
+        out[undecided] |= _proper_crossings([lefts[i] for i in undecided], right)
+    return out
+
+
+def areal_overlaps_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """Vectorized closed-set overlaps(A_i, right) for areal pairs:
+    interiors intersect AND neither covers the other (the DE-9IM
+    T*T***T** equal-dim rule re-expressed through the batch primitives)."""
+    inter = _interior_evidence_batch(lefts, right)
+    cov = areal_covers_batch(lefts, right)
+    win = areal_within_batch(lefts, right)
+    return inter & ~cov & ~win
+
+
+def areal_touches_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
+    """Vectorized touches(A_i, right) for areal pairs: they intersect but
+    ONLY on their boundaries (interiors disjoint)."""
+    return areal_intersects_batch(lefts, right) & ~_interior_evidence_batch(
+        lefts, right
+    )
+
+
 def areal_within_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     """Vectorized closed-set within(A_i, right) (= right covers A_i) for a
     batch of AREAL geometries against ONE areal geometry. Same decision

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from ..geom.vectorized import (
     areal_covers_batch,
     areal_intersects_batch,
+    areal_overlaps_batch,
+    areal_touches_batch,
     areal_within_batch,
     points_from_wkb,
     points_in_polygon,
@@ -241,14 +243,16 @@ def _pairwise_predicate_udf(predicate: str):
             rest = np.nonzero(~left_is_pt)[0]
         else:
             rest = np.arange(n)
-        # non-rect areal x areal pairs for intersects/contains/within/covers:
-        # batch by distinct right geometry and decide with vectorized ray
-        # casts + proper-crossing tests (geom.vectorized.*_batch) — the
-        # extent path mirror of the point fast path; per-pair Python only
-        # for the long tail (mixed-dimension / overlaps / touches / crosses)
+        # non-rect areal x areal pairs: EVERY join predicate now batches by
+        # distinct right geometry and decides with vectorized ray casts +
+        # proper-crossing + interior-evidence probes (geom.vectorized.
+        # *_batch) — per-pair Python remains only for mixed-dimension pairs
         areal_groups: dict[bytes, list[int]] = {}
         areal_types = (gcore.POLYGON, gcore.MULTIPOLYGON)
-        batchable = predicate in ("intersects", "contains", "within", "covers")
+        batchable = predicate in (
+            "intersects", "contains", "within", "covers",
+            "overlaps", "touches", "crosses",
+        )
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
@@ -276,6 +280,13 @@ def _pairwise_predicate_udf(predicate: str):
                 verdict = areal_intersects_batch(Ls, R)
             elif predicate == "within":
                 verdict = areal_within_batch(Ls, R)
+            elif predicate == "overlaps":
+                verdict = areal_overlaps_batch(Ls, R)
+            elif predicate == "touches":
+                verdict = areal_touches_batch(Ls, R)
+            elif predicate == "crosses":
+                # areal x areal can never cross (DE-9IM dimension rule)
+                verdict = np.zeros(len(Ls), dtype=bool)
             else:
                 # contains == covers for non-degenerate areal pairs: a
                 # covered 2-D geometry has interior points, which are then

@@ -182,3 +182,111 @@ def test_containment_batch_50k_scale_shape():
         assert bool(got_c[i]) == alg.covers(lefts[i], B), i
     # loose wall guard only to catch an accidental per-pair regression
     assert elapsed < 120, elapsed
+
+
+# -------------------------------------- overlaps / touches batch deciders
+
+
+@pytest.mark.parametrize(
+    "a_wkt,b_wkt,want_overlaps,want_touches",
+    [
+        # partial overlap
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))", True, False),
+        # shared-wall overlap: every vertex on the other's boundary
+        ("POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))", "POLYGON ((1 0, 3 0, 3 1, 1 1, 1 0))", True, False),
+        # edge touch only
+        ("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", False, True),
+        # corner touch only
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", False, True),
+        # containment: neither overlaps nor touches
+        ("POLYGON ((-5 -5, 15 -5, 15 15, -5 15, -5 -5))", HOLED, False, False),
+        # equal: neither
+        (HOLED, HOLED, False, False),
+        # disjoint
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", False, False),
+        # plus-sign cross overlap: all vertices mutually outside
+        ("POLYGON ((4 -1, 6 -1, 6 11, 4 11, 4 -1))", "POLYGON ((-1 4, 11 4, 11 6, -1 6, -1 4))", True, False),
+        # B fills A's hole: boundaries meet, interiors disjoint -> touches
+        (HOLED, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))", False, True),
+    ],
+)
+def test_overlaps_touches_golden(a_wkt, b_wkt, want_overlaps, want_touches):
+    from geomesa_spark.geom.vectorized import (
+        areal_overlaps_batch,
+        areal_touches_batch,
+    )
+
+    A, B = from_wkt(a_wkt), from_wkt(b_wkt)
+    assert bool(areal_overlaps_batch([A], B)[0]) is want_overlaps
+    assert bool(areal_touches_batch([A], B)[0]) is want_touches
+    # kernel agreement
+    assert alg.overlaps(A, B) is want_overlaps
+    assert alg.touches(A, B) is want_touches
+
+
+def test_overlaps_touches_random_star_parity():
+    from geomesa_spark.geom.vectorized import (
+        areal_overlaps_batch,
+        areal_touches_batch,
+    )
+
+    rng = np.random.default_rng(27)
+    rights = [
+        from_wkt(_star(0, 0, rng.uniform(2, 5, size=9), rot=rng.uniform(0, 3))),
+        from_wkt(HOLED),
+        from_wkt(BIG),
+    ]
+    lefts = []
+    for _ in range(80):
+        cx, cy = rng.uniform(-4, 8, size=2)
+        lefts.append(
+            from_wkt(_star(cx, cy, rng.uniform(0.4, 3.0, size=7), rot=rng.uniform(0, 3)))
+        )
+    n_ov = 0
+    for B in rights:
+        got_o = areal_overlaps_batch(lefts, B)
+        want_o = np.array([alg.overlaps(A, B) for A in lefts])
+        assert (got_o == want_o).all(), np.nonzero(got_o != want_o)
+        got_t = areal_touches_batch(lefts, B)
+        want_t = np.array([alg.touches(A, B) for A in lefts])
+        assert (got_t == want_t).all(), np.nonzero(got_t != want_t)
+        n_ov += int(want_o.sum())
+    assert n_ov > 20, "overlaps fixture must be non-vacuous"
+
+
+@pytest.mark.parametrize("predicate", ["overlaps", "touches", "crosses"])
+def test_overlaps_touches_join_row_parity(spark, predicate):
+    """overlaps/touches/crosses joins route through the batch deciders with
+    row-SET parity vs the kernel (crosses is vacuously empty for areal
+    pairs — asserted non-vacuous for the other two)."""
+    rng = np.random.default_rng(14)
+    left_rows, lgeos = [], {}
+    for i in range(80):
+        cx, cy = rng.uniform(-2.0, 2.0, size=2)
+        w = _star(cx, cy, rng.uniform(0.2, 1.2, size=7), rot=rng.uniform(0, 3))
+        left_rows.append(_poly_doc(f"L{i:03d}", w))
+        lgeos[f"L{i:03d}"] = from_wkt(w)
+    right_rows, rgeos = [], {}
+    for i in range(10):
+        cx, cy = rng.uniform(-1.5, 1.5, size=2)
+        w = _star(cx, cy, rng.uniform(0.6, 1.8, size=9), rot=rng.uniform(0, 3))
+        right_rows.append(_poly_doc(f"R{i:02d}", w))
+        rgeos[f"R{i:02d}"] = from_wkt(w)
+    left = index_docs(spark.createDataFrame(pd.DataFrame(left_rows), schema=DOCS_SCHEMA))
+    right = index_docs(spark.createDataFrame(pd.DataFrame(right_rows), schema=DOCS_SCHEMA))
+    fn = getattr(alg, predicate)
+    got = {
+        (r.doc_id, r.doc_id_r)
+        for r in spatial_join(left, right, predicate=predicate)
+        .select("doc_id", "doc_id_r")
+        .collect()
+    }
+    want = {
+        (li, ri)
+        for li, lg in lgeos.items()
+        for ri, rg in rgeos.items()
+        if fn(lg, rg)
+    }
+    if predicate == "overlaps":
+        assert len(want) > 10
+    assert got == want
