@@ -782,11 +782,11 @@ def oracle_sql() -> dict[str, str]:
             )
             select cast(8 as bigint) as tile_z, tile_x, tile_y, n_docs from base
             union all
-            select 7, tile_x // 2, tile_y // 2, sum(n_docs) from base group by 2, 3
+            select 7, tile_x // 2, tile_y // 2, cast(sum(n_docs) as bigint) from base group by 2, 3
             union all
-            select 6, tile_x // 4, tile_y // 4, sum(n_docs) from base group by 2, 3
+            select 6, tile_x // 4, tile_y // 4, cast(sum(n_docs) as bigint) from base group by 2, 3
             union all
-            select 5, tile_x // 8, tile_y // 8, sum(n_docs) from base group by 2, 3
+            select 5, tile_x // 8, tile_y // 8, cast(sum(n_docs) as bigint) from base group by 2, 3
         """,
         "density_grid": f"""
             select {O.grid_i_sql(lon, -180.0, 180.0, 256)} as i,

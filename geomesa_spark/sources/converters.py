@@ -202,7 +202,24 @@ def read_avro(
             F.col(media_col) if media_col else None,
         )
     except Exception as e:  # jar absent -> pure-Python fallback
-        if "Failed to find data source" not in str(e):
+        # Spark's wording varies across versions ("Failed to find data
+        # source" vs "Failed to find the data source"); the error class is
+        # the stable signal, with a case-insensitive substring fallback.
+        klass = ""
+        get_klass = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if callable(get_klass):
+            try:
+                klass = get_klass() or ""
+            except Exception:
+                klass = ""
+        msg = str(e).lower()
+        jar_absent = (
+            "DATA_SOURCE_NOT_FOUND" in klass
+            or ("data source" in msg and "avro" in msg and "find" in msg)
+        )
+        if not jar_absent:
             raise
 
     import pandas as pd
