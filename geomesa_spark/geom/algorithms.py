@@ -41,6 +41,15 @@ def _orient(ax, ay, bx, by, cx, cy) -> float:
     return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
 
+def _near_pt(px, py, qx, qy) -> bool:
+    """Scale-relative coordinate equality: computed intersection points land
+    ulps off the exact vertex they hit, and exact == would then misclassify
+    a touch at a line ENDPOINT as an interior contact (a spurious 'crosses').
+    Both the scalar and the batch kernels use this same tolerance."""
+    scale = max(1.0, abs(px), abs(py), abs(qx), abs(qy))
+    return abs(px - qx) <= _EPS * scale and abs(py - qy) <= _EPS * scale
+
+
 def _on_segment(px, py, ax, ay, bx, by) -> bool:
     if abs(_orient(ax, ay, bx, by, px, py)) > _EPS * max(
         1.0, abs(ax), abs(ay), abs(bx), abs(by), abs(px), abs(py)
@@ -90,8 +99,16 @@ def _seg_params(a, b, segs):
                         t = ((px - ax) * dx + (py - ay) * dy) / L2
                         if -1e-12 <= t <= 1 + 1e-12:
                             ts.append(min(max(t, 0.0), 1.0))
-    ts = sorted(set(ts))
-    return [t for t in ts if 1e-12 < t < 1 - 1e-12]
+    # merge near-equal params: one crossing can split the segment twice at
+    # ulp-different t (adjacent edges through a shared vertex, doubled
+    # out-and-back geometry) — the micro-subsegment between them would
+    # classify as a spurious 1-dim contact
+    merged: list[float] = []
+    for t in sorted(set(ts)):
+        if merged and t - merged[-1] <= 1e-12:
+            continue
+        merged.append(t)
+    return [t for t in merged if 1e-12 < t < 1 - 1e-12]
 
 
 def _point_in_ring(px, py, ring: np.ndarray) -> int:
@@ -212,7 +229,7 @@ def locate(px: float, py: float, g: Geometry) -> int:
     if t in (LINESTRING, MULTILINESTRING):
         bpts = _line_boundary_points(g)
         for bx, by in bpts:
-            if px == bx and py == by:
+            if _near_pt(px, py, bx, by):
                 return BOUNDARY
         for ax, ay, bx, by in _line_segments(g):
             if _on_segment(px, py, ax, ay, bx, by):
@@ -307,6 +324,13 @@ def _classify_segments_vs(g_segsrc: Geometry, other: Geometry):
         a = np.asarray(arr)
         for i in range(len(a) - 1):
             p0, p1 = a[i, :2], a[i + 1, :2]
+            if p0[0] == p1[0] and p0[1] == p1[1]:
+                # zero-length segment (duplicated vertex): a 0-dim feature,
+                # not a 1-dim piece — classifying its "midpoint" would
+                # fabricate a spurious has_in. Its point still contributes
+                # through touch_pts below.
+                touch_pts.append((float(p0[0]), float(p0[1])))
+                continue
             ts = _seg_params(p0, p1, osegs)
             # split at other's 0-dim features lying on this segment too
             dx, dy = p1[0] - p0[0], p1[1] - p0[1]
@@ -316,7 +340,12 @@ def _classify_segments_vs(g_segsrc: Geometry, other: Geometry):
                     t = ((qx - p0[0]) * dx + (qy - p0[1]) * dy) / L2
                     if 1e-12 < t < 1 - 1e-12:
                         ts.append(t)
-            ts = [0.0] + sorted(set(ts)) + [1.0]
+            uniq: list[float] = []
+            for t in sorted(set(ts)):
+                if uniq and t - uniq[-1] <= 1e-12:
+                    continue
+                uniq.append(t)
+            ts = [0.0] + uniq + [1.0]
             for j in range(len(ts) - 1):
                 t0, t1 = ts[j], ts[j + 1]
                 mx = p0[0] + (p1[0] - p0[0]) * (t0 + t1) / 2
@@ -385,19 +414,24 @@ def relate(a: Geometry, b: Geometry) -> str:
         setmax(loc, 0, "0")
 
     # boundary point sets (lines) for interior/boundary distinction of lines
-    a_bpts = {(float(x), float(y)) for x, y in _line_boundary_points(a)}
-    b_bpts = {(float(x), float(y)) for x, y in _line_boundary_points(b)}
+    # — membership is eps-tolerant (_near_pt): split points computed by the
+    # segment-intersection math land ulps off the exact endpoint they hit
+    a_bpts = [(float(x), float(y)) for x, y in _line_boundary_points(a)]
+    b_bpts = [(float(x), float(y)) for x, y in _line_boundary_points(b)]
+
+    def _in_bpts(px, py, bpts) -> bool:
+        return any(_near_pt(px, py, qx, qy) for qx, qy in bpts)
 
     def _a_side(px, py) -> int:
         """Is (px,py) interior(0) or boundary(1) of A's linear/areal part?"""
         if _polygons_of(a) and not _lines_of(a):
             return 1  # polygon boundary work is its boundary
-        return 1 if (px, py) in a_bpts else 0
+        return 1 if _in_bpts(px, py, a_bpts) else 0
 
     def _b_side(px, py) -> int:
         if _polygons_of(b) and not _lines_of(b):
             return 1
-        return 1 if (px, py) in b_bpts else 0
+        return 1 if _in_bpts(px, py, b_bpts) else 0
 
     a_is_areal = bool(_polygons_of(a))
     b_is_areal = bool(_polygons_of(b))
@@ -421,7 +455,7 @@ def relate(a: Geometry, b: Geometry) -> str:
             loc = locate(px, py, b)
             side_b = _b_side(px, py) if loc == BOUNDARY else loc
             side_a = arow if not a_is_areal else 1
-            if not a_is_areal and (px, py) in a_bpts:
+            if not a_is_areal and _in_bpts(px, py, a_bpts):
                 side_a = 1
             if loc == INTERIOR:
                 setmax(side_a, 0, "0")
@@ -445,7 +479,7 @@ def relate(a: Geometry, b: Geometry) -> str:
         for px, py in pts:
             loc = locate(px, py, a)
             side_b = brow if not b_is_areal else 1
-            if not b_is_areal and (px, py) in b_bpts:
+            if not b_is_areal and _in_bpts(px, py, b_bpts):
                 side_b = 1
             if loc == INTERIOR:
                 setmax(0, side_b, "0")

@@ -351,6 +351,367 @@ def areal_within_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------- mixed-dimension ops
+# Vectorized join-refine predicates for LINEAL geometries (LineString /
+# MultiLineString) against areal or lineal partners — the batch analog of
+# algorithms._classify_segments_vs: split every left segment at its
+# intersections with the partner's segments (one chunked S x E broadcast for
+# the WHOLE batch), classify sub-segment midpoints and touch points with a
+# vectorized locate that mirrors the scalar kernel's exact eps conventions,
+# then assemble the DE-9IM cells each predicate needs. Closes the last
+# per-pair-Python refine tail in spatial joins (roads x parcels shapes).
+
+from .core import LINESTRING, MULTILINESTRING, MULTIPOLYGON, POLYGON
+
+_INT, _BND, _EXT = alg.INTERIOR, alg.BOUNDARY, alg.EXTERIOR
+
+
+def _near_pt_batch(px, py, qx, qy) -> np.ndarray:
+    """Vectorized algorithms._near_pt: scale-relative coordinate equality of
+    n points vs ONE point."""
+    scale = np.maximum(
+        max(1.0, abs(qx), abs(qy)), np.maximum(np.abs(px), np.abs(py))
+    )
+    eps = alg._EPS * scale
+    return (np.abs(px - qx) <= eps) & (np.abs(py - qy) <= eps)
+
+
+def _on_segment_batch(px, py, ax, ay, bx, by) -> np.ndarray:
+    """Vectorized algorithms._on_segment for n points vs ONE segment, with
+    the scalar's exact scale-relative collinearity eps."""
+    scale = np.maximum(
+        max(1.0, abs(ax), abs(ay), abs(bx), abs(by)),
+        np.maximum(np.abs(px), np.abs(py)),
+    )
+    o = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    return (
+        (np.abs(o) <= alg._EPS * scale)
+        & (px >= min(ax, bx) - alg._EPS)
+        & (px <= max(ax, bx) + alg._EPS)
+        & (py >= min(ay, by) - alg._EPS)
+        & (py <= max(ay, by) + alg._EPS)
+    )
+
+
+def _point_in_ring_batch(px, py, ring: np.ndarray) -> np.ndarray:
+    """Vectorized algorithms._point_in_ring: locate code (0/1/2) per point.
+    Boundary wins over crossing parity, as in the scalar (which returns
+    BOUNDARY before finishing the crossing count)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    on = np.zeros(len(px), dtype=bool)
+    inside = np.zeros(len(px), dtype=bool)
+    for i in range(len(ring) - 1):
+        ax, ay = float(ring[i, 0]), float(ring[i, 1])
+        bx, by = float(ring[i + 1, 0]), float(ring[i + 1, 1])
+        on |= _on_segment_batch(px, py, ax, ay, bx, by)
+        if by != ay:
+            cond = (ay > py) != (by > py)
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            inside ^= cond & (px < xint)
+    return np.where(on, _BND, np.where(inside, _INT, _EXT)).astype(np.int8)
+
+
+def _locate_in_polygon_batch(px, py, rings) -> np.ndarray:
+    """Vectorized algorithms._locate_in_polygon (shell + holes)."""
+    loc = _point_in_ring_batch(px, py, np.asarray(rings[0]))
+    interior = loc == _INT
+    if interior.any():
+        for hole in rings[1:]:
+            idx = np.nonzero(interior)[0]
+            hl = _point_in_ring_batch(px[idx], py[idx], np.asarray(hole))
+            loc[idx[hl == _BND]] = _BND
+            loc[idx[hl == _INT]] = _EXT
+            interior = loc == _INT
+            if not interior.any():
+                break
+    return loc
+
+
+def locate_batch(px, py, g: Geometry) -> np.ndarray:
+    """Vectorized algorithms.locate for areal / lineal targets: per point
+    0 interior / 1 boundary / 2 exterior with union semantics for multis."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    t = g.gtype
+    if t in (POLYGON, MULTIPOLYGON):
+        best = np.full(len(px), _EXT, dtype=np.int8)
+        for rings in alg._polygons_of(g):
+            best = np.minimum(best, _locate_in_polygon_batch(px, py, rings))
+            if not (best > _INT).any():
+                break
+        return best
+    if t in (LINESTRING, MULTILINESTRING):
+        # scalar order: boundary-endpoint match wins, then on-segment
+        # (eps-tolerant like algorithms._near_pt: computed split points
+        # land ulps off the exact endpoint they hit)
+        bnd = np.zeros(len(px), dtype=bool)
+        for bx, by in alg._line_boundary_points(g):
+            bnd |= _near_pt_batch(px, py, float(bx), float(by))
+        on = np.zeros(len(px), dtype=bool)
+        for ax, ay, bx, by in alg._line_segments(g):
+            on |= _on_segment_batch(px, py, float(ax), float(ay), float(bx), float(by))
+        return np.where(bnd, _BND, np.where(on, _INT, _EXT)).astype(np.int8)
+    raise ValueError(f"locate_batch: unsupported geometry type {t}")
+
+
+_LINEAL_FLAGS = (
+    "in1", "on1", "out1",  # sub-segment midpoints: interior/boundary/exterior
+    "pti_i", "ptb_i", "pte_i",  # non-endpoint touch pts by partner locate
+    "pti_b", "ptb_b", "pte_b",  # line-boundary-endpoint touch pts
+)
+
+
+def _classify_lineal_batch(lines: list[Geometry], other: Geometry) -> dict:
+    """Batch analog of algorithms._classify_segments_vs for LINEAL lefts vs
+    ONE partner (areal or lineal): per left, has_in/has_on/has_out over
+    split sub-segment midpoints PLUS the located touch/vertex points split
+    by line-endpoint membership — everything relate() needs for the join
+    predicates, computed with one chunked S x E parameter broadcast and
+    vectorized ray casts instead of per-segment Python."""
+    n = len(lines)
+    res = {k: np.zeros(n, dtype=bool) for k in _LINEAL_FLAGS}
+    seg_parts, seg_owner = [], []
+    vert_parts, vert_owner, vert_end = [], [], []
+    bpts_by_owner: dict[int, np.ndarray] = {}
+    for i, g in enumerate(lines):
+        bp = alg._line_boundary_points(g)
+        bpts_by_owner[i] = bp
+        for a in alg._lines_of(g):
+            a = np.asarray(a, dtype=np.float64)[:, :2]
+            if len(a) < 2:
+                continue
+            segs = np.hstack([a[:-1], a[1:]])
+            # zero-length segments (duplicated vertices) are 0-dim features:
+            # classifying their "midpoint" would fabricate a spurious 1-dim
+            # contact. Their points still contribute via the vertex list.
+            live = (segs[:, 0] != segs[:, 2]) | (segs[:, 1] != segs[:, 3])
+            if live.any():
+                seg_parts.append(segs[live])
+                seg_owner.append(np.full(int(live.sum()), i, dtype=np.int64))
+            vert_parts.append(a)
+            vert_owner.append(np.full(len(a), i, dtype=np.int64))
+            vend = np.zeros(len(a), dtype=bool)
+            for qx, qy in bp:
+                vend |= _near_pt_batch(a[:, 0], a[:, 1], float(qx), float(qy))
+            vert_end.append(vend)
+    if not seg_parts:
+        return res
+    S = np.concatenate(seg_parts)
+    so = np.concatenate(seg_owner)
+    V = np.concatenate(vert_parts)
+    vo = np.concatenate(vert_owner)
+    ve = np.concatenate(vert_end)
+    nseg = len(S)
+
+    # ---- split parameters: vectorized algorithms._seg_params over all
+    # (left segment, partner segment) pairs, chunked to bound the broadcast
+    be = alg._line_segments(other)
+    ps_parts = [np.empty(0, dtype=np.int64)]
+    pt_parts = [np.empty(0, dtype=np.float64)]
+    E = len(be)
+    if E:
+        b1x, b1y = be[:, 0][None, :], be[:, 1][None, :]
+        b2x, b2y = be[:, 2][None, :], be[:, 3][None, :]
+        d1x, d1y = b2x - b1x, b2y - b1y
+        bscale = np.maximum(np.abs(b1x), np.abs(b1y))
+        chunk = max(1, int(2_000_000 // E))
+        for s0 in range(0, nseg, chunk):
+            sc = S[s0 : s0 + chunk]
+            ax, ay = sc[:, 0:1], sc[:, 1:2]
+            bx, by = sc[:, 2:3], sc[:, 3:4]
+            dx, dy = bx - ax, by - ay
+            denom = dx * d1y - dy * d1x
+            scale = np.maximum(
+                1.0,
+                np.maximum(
+                    np.maximum(np.abs(ax), np.abs(ay)),
+                    np.maximum(np.abs(bx), np.abs(by)),
+                ),
+            )
+            eps = alg._EPS * np.maximum(scale, bscale)
+            nonpar = np.abs(denom) > eps
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((b1x - ax) * d1y - (b1y - ay) * d1x) / denom
+                u = ((b1x - ax) * dy - (b1y - ay) * dx) / denom
+            valid = (
+                nonpar
+                & (t >= -1e-12) & (t <= 1 + 1e-12)
+                & (u >= -1e-12) & (u <= 1 + 1e-12)
+            )
+            si, ei = np.nonzero(valid)
+            ps_parts.append(si.astype(np.int64) + s0)
+            pt_parts.append(np.clip(t[si, ei], 0.0, 1.0))
+            # parallel-collinear branch: project partner endpoints onto a->b
+            o1 = dx * (b1y - ay) - dy * (b1x - ax)
+            o2 = dx * (b2y - ay) - dy * (b2x - ax)
+            L2 = dx * dx + dy * dy
+            col = (~nonpar) & (np.abs(o1) <= eps) & (np.abs(o2) <= eps) & (L2 > 0)
+            if col.any():
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t1 = ((b1x - ax) * dx + (b1y - ay) * dy) / L2
+                    t2 = ((b2x - ax) * dx + (b2y - ay) * dy) / L2
+                for tt in (t1, t2):
+                    v2 = col & (tt >= -1e-12) & (tt <= 1 + 1e-12)
+                    si, ei = np.nonzero(v2)
+                    ps_parts.append(si.astype(np.int64) + s0)
+                    pt_parts.append(np.clip(tt[si, ei], 0.0, 1.0))
+    ps = np.concatenate(ps_parts)
+    pt = np.concatenate(pt_parts)
+    keep = (pt > 1e-12) & (pt < 1 - 1e-12)
+    ps, pt = ps[keep], pt[keep]
+    if len(ps):
+        uniq = np.unique(np.stack([ps.astype(np.float64), pt], axis=1), axis=0)
+        ps = uniq[:, 0].astype(np.int64)
+        pt = uniq[:, 1]
+        # merge near-equal params within a segment (scalar _seg_params rule):
+        # one crossing can split a segment twice at ulp-different t — the
+        # micro-subsegment between them would classify as a spurious contact
+        if len(ps) > 1:
+            keep2 = np.ones(len(ps), dtype=bool)
+            keep2[1:] = ~(
+                (ps[1:] == ps[:-1]) & ((pt[1:] - pt[:-1]) <= 1e-12)
+            )
+            ps, pt = ps[keep2], pt[keep2]
+
+    # ---- sub-segment midpoints (0/1 sentinels + sorted interior splits)
+    allseg = np.concatenate([np.arange(nseg), np.arange(nseg), ps])
+    allt = np.concatenate([np.zeros(nseg), np.ones(nseg), pt])
+    order = np.lexsort((allt, allseg))
+    allseg, allt = allseg[order], allt[order]
+    same = allseg[:-1] == allseg[1:]
+    segi = allseg[:-1][same]
+    tm = (allt[:-1][same] + allt[1:][same]) / 2.0
+    mx = S[segi, 0] + (S[segi, 2] - S[segi, 0]) * tm
+    my = S[segi, 1] + (S[segi, 3] - S[segi, 1]) * tm
+    mloc = locate_batch(mx, my, other)
+    mo = so[segi]
+    for code, key in ((_INT, "in1"), (_BND, "on1"), (_EXT, "out1")):
+        hit = mloc == code
+        if hit.any():
+            np.logical_or.at(res[key], mo[hit], True)
+
+    # ---- touch points: interior split points + every vertex, with the
+    # scalar's exact endpoint-set membership for the boundary/interior split
+    if len(ps):
+        spx = S[ps, 0] + (S[ps, 2] - S[ps, 0]) * pt
+        spy = S[ps, 1] + (S[ps, 3] - S[ps, 1]) * pt
+        spo = so[ps]
+        spe = np.zeros(len(ps), dtype=bool)
+        for i in np.unique(spo):
+            bp = bpts_by_owner[int(i)]
+            if len(bp):
+                m = spo == i
+                acc = np.zeros(int(m.sum()), dtype=bool)
+                for qx, qy in bp:
+                    acc |= _near_pt_batch(spx[m], spy[m], float(qx), float(qy))
+                spe[m] = acc
+        Px = np.concatenate([spx, V[:, 0]])
+        Py = np.concatenate([spy, V[:, 1]])
+        Po = np.concatenate([spo, vo])
+        Pe = np.concatenate([spe, ve])
+    else:
+        Px, Py, Po, Pe = V[:, 0], V[:, 1], vo, ve
+    ploc = locate_batch(Px, Py, other)
+    for code, key_i, key_b in (
+        (_INT, "pti_i", "pti_b"),
+        (_BND, "ptb_i", "ptb_b"),
+        (_EXT, "pte_i", "pte_b"),
+    ):
+        for endflag, key in ((False, key_i), (True, key_b)):
+            hit = (ploc == code) & (Pe == endflag)
+            if hit.any():
+                np.logical_or.at(res[key], Po[hit], True)
+    return res
+
+
+def lineal_predicate_batch(
+    lines: list[Geometry],
+    other: Geometry,
+    predicate: str,
+    lineal_side: str = "left",
+) -> np.ndarray:
+    """Join predicates for a batch of LINEAL geometries vs ONE partner.
+
+    lineal_side="left": pred(line_i, other) with other areal or lineal.
+    lineal_side="right": pred(other, line_i) with other AREAL (the
+    polygons-join-lines direction, grouped by the polygon side).
+
+    DE-9IM cells from the classification flags (f = flags of line vs other):
+      II = in1|pti_i, IB = on1|ptb_i, IE = out1|pte_i,
+      BI = pti_b, BB = ptb_b, BE = pte_b — and intersects/within/crosses/
+      touches/contains/covers read exactly the cells algorithms.relate
+      would produce (the B-direction pass adds nothing for these cells:
+      every isolated contact point is a split point or vertex of the line,
+      so the A-pass already locates it)."""
+    n = len(lines)
+    f = _classify_lineal_batch(lines, other)
+    II = f["in1"] | f["pti_i"]
+    IB = f["on1"] | f["ptb_i"]
+    IE = f["out1"] | f["pte_i"]
+    BI = f["pti_b"]
+    BB = f["ptb_b"]
+    BE = f["pte_b"]
+    inter = II | IB | BI | BB
+    other_areal = bool(alg._polygons_of(other))
+    if predicate == "intersects":
+        return inter
+    if predicate == "touches":
+        return inter & ~II
+    if lineal_side == "right":
+        # pred(areal other, line_i)
+        if predicate == "contains":
+            return II & ~IE & ~BE
+        if predicate == "covers":
+            return inter & ~IE & ~BE
+        if predicate == "crosses":
+            return II & IE
+        # within/overlaps: a 2-D interior never fits inside a 1-D closure
+        return np.zeros(n, dtype=bool)
+    # pred(line_i, other)
+    if predicate == "within":
+        return II & ~IE & ~BE
+    if predicate == "crosses":
+        if other_areal:
+            return II & IE  # dim(line) < dim(area): II and IE non-empty
+        # line x line: II must be exactly dim 0 (isolated interior contacts,
+        # no collinear overlap)
+        return f["pti_i"] & ~f["in1"]
+    if predicate == "overlaps":
+        if other_areal:
+            return np.zeros(n, dtype=bool)  # equal-dim only
+        # line x line: II dim 1 and each side has interior outside the other;
+        # EI needs the reversed classification — only on the few candidates
+        out = np.zeros(n, dtype=bool)
+        for i in np.nonzero(f["in1"] & IE)[0]:
+            rf = _classify_lineal_batch([other], lines[i])
+            out[i] = bool(rf["out1"][0] | rf["pte_i"][0])
+        return out
+    if predicate in ("contains", "covers"):
+        if other_areal:
+            return np.zeros(n, dtype=bool)  # a line never covers an area
+        # line x line containment: reversed classification per candidate
+        # (cheap bounds prefilter: other must fit in the candidate's bounds)
+        out = np.zeros(n, dtype=bool)
+        ob = other.bounds()
+        for i in range(n):
+            lb = lines[i].bounds()
+            if ob[0] < lb[0] or ob[1] < lb[1] or ob[2] > lb[2] or ob[3] > lb[3]:
+                continue
+            rf = _classify_lineal_batch([other], lines[i])
+            rII = rf["in1"][0] | rf["pti_i"][0]
+            rIB = rf["on1"][0] | rf["ptb_i"][0]
+            rIE = rf["out1"][0] | rf["pte_i"][0]
+            rBI = rf["pti_b"][0]
+            rBB = rf["ptb_b"][0]
+            rBE = rf["pte_b"][0]
+            if predicate == "contains":
+                out[i] = bool(rII & ~rIE & ~rBE)
+            else:
+                out[i] = bool((rII | rIB | rBI | rBB) & ~rIE & ~rBE)
+        return out
+    raise ValueError(f"lineal_predicate_batch: unsupported predicate {predicate}")
+
+
 def predicate_many(wkbs_a, wkbs_b, pred_name: str) -> np.ndarray:
     """Row-wise DE-9IM predicate over two WKB sequences; object array with
     None for null inputs (reference nullableUDF semantics)."""

@@ -37,6 +37,8 @@ from ..geom.vectorized import (
     areal_overlaps_batch,
     areal_touches_batch,
     areal_within_batch,
+    lineal_predicate_batch,
+    locate_batch,
     points_from_wkb,
     points_in_polygon,
 )
@@ -171,18 +173,20 @@ def _rect_pair_predicate(predicate: str, A, B) -> bool | None:
     return None
 
 
-def _pairwise_predicate_udf(predicate: str):
-    """Vectorized exact predicate over (left_wkb, right_wkb) pairs.
+def _pairwise_predicate_fn(predicate: str):
+    """The raw batch function behind _pairwise_predicate_udf — exposed so
+    tests can drive the exact refine logic on pandas Series without a Spark
+    round trip.
 
     Fast paths:
     - point left rows vs few distinct right polygons: one numpy ray-cast per
       distinct polygon over all its points;
     - solid-rectangle x solid-rectangle pairs (parcel/bbox/tile workloads):
       pure bounds arithmetic, no per-pair geometry calls — rect-ness and
-      bounds are computed ONCE per distinct geometry and cached."""
-    from pyspark.sql.types import BooleanType
-
-    boundary_ok = predicate in ("intersects", "covers", "dwithin")
+      bounds are computed ONCE per distinct geometry and cached;
+    - lineal x areal / lineal x lineal / areal x lineal pairs: batched
+      segment-split classification kernels grouped by the non-lineal (or
+      right) partner."""
     fn = getattr(alg, predicate)
 
     def pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
@@ -214,10 +218,16 @@ def _pairwise_predicate_udf(predicate: str):
         # NOTE: 'covers' is deliberately NOT in the fast path — for a point
         # left row, points_in_polygon answers "right covers left", but the
         # predicate is "left covers right" (inverted). Like 'contains', covers
-        # takes the generic path.
-        if predicate in ("intersects", "within") and left_is_pt.any():
+        # takes the generic path. touches/crosses for point lefts read a
+        # single vectorized locate per distinct right (crosses is vacuously
+        # false for a 0-dim left: II and IE cannot both be non-empty).
+        lineal_types = (gcore.LINESTRING, gcore.MULTILINESTRING)
+        areal_types = (gcore.POLYGON, gcore.MULTIPOLYGON)
+        if (
+            predicate in ("intersects", "within", "touches", "crosses")
+            and left_is_pt.any()
+        ):
             # group point rows by right geometry -> one vectorized pass each
-            rser = pd.Series(rbytes, dtype=object)
             idx_pt = np.nonzero(left_is_pt)[0]
             groups: dict[bytes, list[int]] = {}
             for i in idx_pt:
@@ -229,11 +239,24 @@ def _pairwise_predicate_udf(predicate: str):
             for rb, idxs in groups.items():
                 g = geo(rb)
                 ii = np.asarray(idxs)
-                mask = points_in_polygon(
-                    pts[ii, 0], pts[ii, 1],
-                    g,
-                    boundary_ok=(predicate == "intersects"),
-                ) if alg._polygons_of(g) else None
+                mask = None
+                if predicate in ("intersects", "within") and alg._polygons_of(g):
+                    mask = points_in_polygon(
+                        pts[ii, 0], pts[ii, 1],
+                        g,
+                        boundary_ok=(predicate == "intersects"),
+                    )
+                elif g.gtype in areal_types or g.gtype in lineal_types:
+                    if predicate == "crosses":
+                        mask = np.zeros(len(ii), dtype=bool)
+                    else:
+                        loc = locate_batch(pts[ii, 0], pts[ii, 1], g)
+                        if predicate == "intersects":
+                            mask = loc != alg.EXTERIOR
+                        elif predicate == "within":
+                            mask = loc == alg.INTERIOR
+                        else:  # touches: on the boundary, not the interior
+                            mask = loc == alg.BOUNDARY
                 if mask is None:
                     for i in idxs:
                         out[i] = bool(fn(geo(lbytes[i]), g))
@@ -243,12 +266,28 @@ def _pairwise_predicate_udf(predicate: str):
             rest = np.nonzero(~left_is_pt)[0]
         else:
             rest = np.arange(n)
-        # non-rect areal x areal pairs: EVERY join predicate now batches by
-        # distinct right geometry and decides with vectorized ray casts +
-        # proper-crossing + interior-evidence probes (geom.vectorized.
-        # *_batch) — per-pair Python remains only for mixed-dimension pairs
+        # non-rect areal x areal pairs batch by distinct right geometry into
+        # the vectorized ray-cast/crossing kernels; lineal x areal, lineal x
+        # lineal and areal x lineal pairs batch through the segment-split
+        # classification kernels (lineal side concatenated, ONE chunked S x E
+        # parameter broadcast per group) — per-pair Python remains only for
+        # geometry collections, multipoints and degenerate (segment-less)
+        # lines
         areal_groups: dict[bytes, list[int]] = {}
-        areal_types = (gcore.POLYGON, gcore.MULTIPOLYGON)
+        # keyed ("l"|"r", partner bytes): "l" = lineal LEFT grouped by right
+        # partner; "r" = lineal RIGHT grouped by left polygon (the batch runs
+        # over whichever side carries the lines)
+        mixed_groups: dict[tuple[str, bytes], list[int]] = {}
+        seg_ok: dict[bytes, bool] = {}
+
+        def has_segs(b):
+            v = seg_ok.get(b)
+            if v is None:
+                v = any(len(a) >= 2 for a in alg._lines_of(geo(b)))
+                if len(seg_ok) < 8192:
+                    seg_ok[b] = v
+            return v
+
         batchable = predicate in (
             "intersects", "contains", "within", "covers",
             "overlaps", "touches", "crosses",
@@ -265,14 +304,38 @@ def _pairwise_predicate_udf(predicate: str):
                     if v is not None:
                         out[i] = v
                         continue
-            if (
-                batchable
-                and geo(lbytes[i]).gtype in areal_types
-                and geo(rbytes[i]).gtype in areal_types
-            ):
-                areal_groups.setdefault(rbytes[i], []).append(i)
-                continue
+            if batchable:
+                lt = geo(lbytes[i]).gtype
+                rt = geo(rbytes[i]).gtype
+                if lt in areal_types and rt in areal_types:
+                    areal_groups.setdefault(rbytes[i], []).append(i)
+                    continue
+                if (
+                    lt in lineal_types
+                    and has_segs(lbytes[i])
+                    and (
+                        rt in areal_types
+                        or (rt in lineal_types and has_segs(rbytes[i]))
+                    )
+                ):
+                    mixed_groups.setdefault(("l", rbytes[i]), []).append(i)
+                    continue
+                if lt in areal_types and rt in lineal_types and has_segs(rbytes[i]):
+                    mixed_groups.setdefault(("r", lbytes[i]), []).append(i)
+                    continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+        for (side, key), idxs in mixed_groups.items():
+            lines = [
+                geo(lbytes[i] if side == "l" else rbytes[i]) for i in idxs
+            ]
+            verdict = lineal_predicate_batch(
+                lines,
+                geo(key),
+                predicate,
+                lineal_side="left" if side == "l" else "right",
+            )
+            for k, i in enumerate(idxs):
+                out[i] = bool(verdict[k])
         for rb_key, idxs in areal_groups.items():
             Ls = [geo(lbytes[i]) for i in idxs]
             R = geo(rb_key)
@@ -296,7 +359,15 @@ def _pairwise_predicate_udf(predicate: str):
                 out[i] = bool(verdict[k])
         return pd.Series(out, dtype=object)
 
-    return F.pandas_udf(pred, BooleanType())
+    return pred
+
+
+def _pairwise_predicate_udf(predicate: str):
+    """Arrow pandas UDF over (left_wkb, right_wkb) pairs — see
+    _pairwise_predicate_fn for the batching strategy."""
+    from pyspark.sql.types import BooleanType
+
+    return F.pandas_udf(_pairwise_predicate_fn(predicate), BooleanType())
 
 
 def _with_envelope(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
@@ -485,6 +556,94 @@ def spatial_join(
     raise ValueError(f"unsupported how={how}")
 
 
+_POLAR_NORTH, _POLAR_SOUTH = 2_000_000_000, -2_000_000_000  # sentinel jcy
+
+
+def _cell_struct(x, y):
+    return F.struct(x.alias("jcx"), y.alias("jcy"))
+
+
+def _distance_cell_cover(meters: float, lx, ly):
+    """Array<struct(jcx,jcy)> of grid cells a LEFT distance_join row must
+    probe: (2k+1) x 3 cells with k = ceil(dlon/cell) — 9 at mid-latitudes —
+    or ONE polar sentinel for pole-touching rows. Module-level so the
+    explode factor is assertable in tests (test_distance_join)."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+
+    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
+    cell = max(d_deg, 1e-4)
+    n_lon = int(math.ceil(360.0 / cell))
+    cx = F.floor((lx + 180.0) / F.lit(cell)).cast("long")
+    cy = F.floor((ly + 90.0) / F.lit(cell)).cast("long")
+    # exact disc lon half-width at this latitude (spherical-cap bbox rule);
+    # pole-touching rows never reach this branch (sentinel path below)
+    clat = F.cos(F.radians(ly))
+    dlon = F.degrees(
+        F.asin(
+            F.least(F.lit(1.0), F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat)
+        )
+    )
+    # ring-clamped lon neighbor count: beyond half the ring the pmod wrap
+    # adds nothing (loss-free bound at ~n_lon cells)
+    k = F.least(F.ceil(dlon / F.lit(cell)), F.lit(n_lon // 2 + 1)).cast("int")
+    normal_cells = F.flatten(
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(-k, k), lambda d: F.pmod(cx + d, F.lit(n_lon))
+                )
+            ),
+            lambda jx: F.transform(
+                F.sequence(cy - 1, cy + 1), lambda jy: _cell_struct(jx, jy)
+            ),
+        )
+    )
+    north_l = ly + F.lit(d_deg) >= F.lit(90.0)
+    south_l = ly - F.lit(d_deg) <= F.lit(-90.0)
+
+    def sent(jy):
+        return F.array(_cell_struct(F.lit(-1).cast("long"), F.lit(jy).cast("long")))
+
+    return (
+        F.when(north_l, sent(_POLAR_NORTH))
+        .when(south_l, sent(_POLAR_SOUTH))
+        .otherwise(normal_cells)
+    )
+
+
+def _distance_cell_cover_right(meters: float, rx, ry):
+    """Array<struct(jcx,jcy)> for a RIGHT distance_join row: its own grid
+    cell, plus each polar sentinel it is reachable from (within 2*d_deg of
+    that pole — the only rows a pole-touching left can match)."""
+    import math
+
+    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+
+    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
+    cell = max(d_deg, 1e-4)
+    n_lon = int(math.ceil(360.0 / cell))
+    r_normal = _cell_struct(
+        F.pmod(F.floor((rx + 180.0) / F.lit(cell)).cast("long"), F.lit(n_lon)),
+        F.floor((ry + 90.0) / F.lit(cell)).cast("long"),
+    )
+    return F.filter(
+        F.array(
+            r_normal,
+            F.when(
+                ry + F.lit(2.0 * d_deg) >= F.lit(90.0),
+                _cell_struct(F.lit(-1).cast("long"), F.lit(_POLAR_NORTH).cast("long")),
+            ),
+            F.when(
+                ry - F.lit(2.0 * d_deg) <= F.lit(-90.0),
+                _cell_struct(F.lit(-1).cast("long"), F.lit(_POLAR_SOUTH).cast("long")),
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+
+
 def distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -501,21 +660,29 @@ def distance_join(
 
     Plan: both sides key on a lat/lon grid whose cell width is the angular
     radius; the LEFT side explodes to the latitude-aware neighbor cells
-    (exact asin(sin r/cos lat) lon bound + one cell of slack both axes),
-    the RIGHT keeps its single cell, so each qualifying pair meets in
-    EXACTLY one bucket (no dedup); one shuffle equi-join, exact haversine
-    refine, all columns codegen'd — no Python in the join at all.
+    (exact asin(sin r/cos lat) lon bound, ceil(dlon/cell) lon cells and +-1
+    lat cells — |dlat| <= d_deg <= cell, so one lat cell of slack is exact,
+    and |floor(u1)-floor(u2)| <= k whenever |u1-u2| <= k makes
+    k = ceil(dlon/cell) exact for the lon axis: a 3x3 cover at
+    mid-latitudes, vs the 5x5 the first version shipped), the RIGHT keeps
+    its single cell, so each qualifying pair meets in EXACTLY one bucket
+    (no dedup); one shuffle equi-join, exact haversine refine, all columns
+    codegen'd — no Python in the join at all.
+
+    Pole handling: a left disc that reaches a pole would need the FULL lon
+    ring (up to 2*ceil(180/cell)+1 cells — millions for metre-scale radii,
+    an executor-OOM skew risk). Those rows instead emit a single polar
+    sentinel bucket (jcx=-1, impossible for pmod cells); right rows within
+    2*d_deg of a pole — the only ones a pole-touching left can match —
+    additionally emit that sentinel. Each qualifying pair still meets
+    exactly once: a pole-touching left emits exactly ONE sentinel (north
+    wins when the disc spans both poles, only possible at d_deg >= 90), a
+    non-polar left never emits one, and a right emits each sentinel at
+    most once.
 
     Returns left columns + right columns (right renamed `r_<name>` on
-    clash) + dist_m. Polar caveat as the streaming join: |lat| > 85 deg is
-    clamped (documented)."""
-    import math
-
-    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+    clash) + dist_m."""
     from .knn import haversine_col
-
-    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
-    cell = max(d_deg, 1e-4)
 
     overlap = set(left.columns) & set(right.columns)
     R = right.select(
@@ -526,44 +693,20 @@ def distance_join(
 
     lx, ly = F.col(left_lon), F.col(left_lat)
     rx, ry = F.col(r_lon), F.col(r_lat)
-    L = left.withColumn("_cx", F.floor((lx + 180.0) / F.lit(cell)).cast("long")).withColumn(
-        "_cy", F.floor((ly + 90.0) / F.lit(cell)).cast("long")
-    )
-    # exact disc lon bound incl. poles (disc_window_deg rule): a disc
-    # touching a pole reaches EVERY longitude — those rows explode to the
-    # full lon ring (bounded: only points within the angular radius of a
-    # pole pay it)
-    clat = F.cos(F.radians(ly))
-    dlon = F.when(
-        F.abs(ly) + F.lit(d_deg) >= F.lit(90.0), F.lit(180.0)
-    ).otherwise(
-        F.degrees(
-            F.asin(
-                F.least(F.lit(1.0), F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat)
-            )
-        )
-    )
-    k = (F.ceil(dlon / F.lit(cell)) + F.lit(1)).cast("int")
-    # the lon axis is a RING: cell ids wrap modulo ceil(360/cell), so a
-    # pair straddling the antimeridian still meets; array_distinct keeps
-    # each neighbor cell once even when a polar full-ring explode wraps
-    # onto itself (exactly-one-bucket per pair preserved)
-    n_lon = int(math.ceil(360.0 / cell))
-    jcx_arr = F.array_distinct(
-        F.transform(
-            F.sequence(-k, k), lambda d: F.pmod(F.col("_cx") + d, F.lit(n_lon))
-        )
-    )
+    l_cells = _distance_cell_cover(meters, lx, ly)
     L = (
-        L.withColumn("jcx", F.explode(jcx_arr))
-        .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
-        .withColumn("jcy", F.col("_cy") + F.col("_dy"))
-        .drop("_cx", "_cy", "_dy")
+        left.withColumn("_jc", F.explode(l_cells))
+        .withColumn("jcx", F.col("_jc.jcx"))
+        .withColumn("jcy", F.col("_jc.jcy"))
+        .drop("_jc")
     )
-    Rk = R.withColumn(
-        "jcx",
-        F.pmod(F.floor((rx + 180.0) / F.lit(cell)).cast("long"), F.lit(n_lon)),
-    ).withColumn("jcy", F.floor((ry + 90.0) / F.lit(cell)).cast("long"))
+    r_cells = _distance_cell_cover_right(meters, rx, ry)
+    Rk = (
+        R.withColumn("_jc", F.explode(r_cells))
+        .withColumn("jcx", F.col("_jc.jcx"))
+        .withColumn("jcy", F.col("_jc.jcy"))
+        .drop("_jc")
+    )
     dist = haversine_col(lx, ly, rx, ry)
     return (
         L.join(Rk, ["jcx", "jcy"])

@@ -425,74 +425,45 @@ def stream_stream_proximity_join(
     bounds for state cleanup; the equality key here is the proximity grid
     cell: cell width >= the search distance, LEFT rows explode to the
     latitude-aware neighbor cells that could hold a match (exact
-    asin(sin r / cos lat) lon bound; pole-touching discs take the full lon
-    ring; lon cell ids WRAP at the antimeridian), RIGHT rows keep their
-    single cell, so each qualifying pair matches in EXACTLY one (jcx, jcy)
-    bucket — the wrap uses a distinct neighbor array, so even a full-ring
-    polar explode lists each cell once. Exact haversine + time-range
-    filter after the keyed join. Watermarks on both sides bound the join
-    state."""
-    import math
-
-    from ..geom.algorithms import EARTH_MEAN_RADIUS_M
+    asin(sin r / cos lat) lon bound; pole-touching discs route through a
+    polar sentinel bucket rather than a full lon ring; lon cell ids WRAP
+    at the antimeridian), RIGHT rows keep their single cell plus any polar
+    sentinel they are reachable from, so each qualifying pair matches in
+    EXACTLY one (jcx, jcy) bucket (the dedup proof lives on the shared
+    cover, spatial_join._distance_cell_cover). Exact haversine +
+    time-range filter after the keyed join. Watermarks on both sides
+    bound the join state."""
     from ..operators.knn import haversine_col
 
-    # cell width derives from the SAME radius as haversine_col (R mean) —
-    # a mismatched 111,320 m/deg constant made cells ~0.11% smaller than
-    # the true angular reach, so a pair just under `meters` apart could sit
-    # 2 lat cells apart while the explode only covered -1..1. One extra
-    # cell of slack in BOTH axes below makes the cover provable regardless
-    # of where the pair lands relative to cell boundaries.
-    d_deg = math.degrees(meters / EARTH_MEAN_RADIUS_M)
-    cell = max(d_deg, 1e-4)
     win_secs = _duration_secs(time_window)
 
-    n_lon = int(math.ceil(360.0 / cell))
-
     def cells(df: DataFrame, side: str, explode_neighbors: bool) -> DataFrame:
-        x, y = F.col(lon_col), F.col(lat_col)
-        # lon cell ids wrap modulo ceil(360/cell): the lon axis is a RING,
-        # so antimeridian-straddling pairs share a bucket
-        cx = F.pmod(F.floor((x + F.lit(180.0)) / F.lit(cell)).cast("long"), F.lit(n_lon))
-        cy = F.floor((y + F.lit(90.0)) / F.lit(cell)).cast("long")
+        # shared provable cell covers with the batch distance_join
+        # (spatial_join._distance_cell_cover): the exploding side probes
+        # (2k+1) x 3 latitude-aware neighbor cells — or ONE polar sentinel
+        # when its disc touches a pole, instead of a metre-scale full lon
+        # ring that would inflate stream-join state by millions of rows —
+        # and the other side keeps its single cell plus any polar sentinel
+        # it is reachable from. Lon cells wrap modulo ceil(360/cell), so
+        # antimeridian-straddling pairs share a bucket.
+        from ..operators.spatial_join import (
+            _distance_cell_cover,
+            _distance_cell_cover_right,
+        )
+
         out = df.withWatermark(time_col, watermark)
-        renamed = out.select(
-            *[F.col(c).alias(f"{side}_{c}") for c in df.columns], cx.alias("_cx"), cy.alias("_cy")
-        )
-        if not explode_neighbors:
-            return renamed.withColumnRenamed("_cx", "jcx").withColumnRenamed(
-                "_cy", "jcy"
-            )
-        # lon-neighbor span grows with latitude (cells narrow in meters);
-        # use the exact disc lon bound asin(sin r / cos lat) — dlat/cos(lat)
-        # under-covers away from the equator — plus one cell of slack; lat
-        # neighbors get the same slack (dy in -2..2). Discs touching a pole
-        # reach every longitude: those rows take the full (distinct) ring.
-        ly = F.col(f"{side}_{lat_col}")
-        clat = F.cos(F.radians(ly))
-        dlon = F.when(
-            F.abs(ly) + F.lit(d_deg) >= F.lit(90.0), F.lit(180.0)
-        ).otherwise(
-            F.degrees(
-                F.asin(
-                    F.least(
-                        F.lit(1.0),
-                        F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat,
-                    )
-                )
-            )
-        )
-        k = (F.ceil(dlon / F.lit(cell)) + F.lit(1)).cast("int")
-        jcx_arr = F.array_distinct(
-            F.transform(
-                F.sequence(-k, k), lambda d: F.pmod(F.col("_cx") + d, F.lit(n_lon))
-            )
+        renamed = out.select(*[F.col(c).alias(f"{side}_{c}") for c in df.columns])
+        x, y = F.col(f"{side}_{lon_col}"), F.col(f"{side}_{lat_col}")
+        cover = (
+            _distance_cell_cover(meters, x, y)
+            if explode_neighbors
+            else _distance_cell_cover_right(meters, x, y)
         )
         return (
-            renamed.withColumn("jcx", F.explode(jcx_arr))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-2), F.lit(2))))
-            .withColumn("jcy", F.col("_cy") + F.col("_dy"))
-            .drop("_cx", "_cy", "_dy")
+            renamed.withColumn("_jc", F.explode(cover))
+            .withColumn("jcx", F.col("_jc.jcx"))
+            .withColumn("jcy", F.col("_jc.jcy"))
+            .drop("_jc")
         )
 
     L = cells(left, "l", explode_neighbors=True)

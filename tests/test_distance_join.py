@@ -64,3 +64,66 @@ def test_distance_join_plan_is_pure_column(spark, tables):
     plan = distance_join(L, R, METERS)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_distance_join_explode_factor(spark):
+    """Round-5 fan-out trim: the left cover is 3x3=9 cells at the equator
+    (k=1), bounded by 3x(2k+1) at high latitudes, and exactly ONE polar
+    sentinel for pole-touching rows — never the 5x5=25 the first version
+    shipped, never a full lon ring."""
+    from geomesa_spark.operators.spatial_join import _distance_cell_cover
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"pid": "eq", "x": 10.0, "y": 0.0},
+                {"pid": "mid", "x": -100.0, "y": 45.0},
+                {"pid": "high", "x": 30.0, "y": 75.0},
+                {"pid": "npole", "x": 0.0, "y": 89.9999},
+                {"pid": "spole", "x": 120.0, "y": -90.0},
+            ]
+        )
+    )
+    sizes = {
+        r.pid: r.n
+        for r in df.select(
+            "pid", F.size(_distance_cell_cover(METERS, F.col("x"), F.col("y"))).alias("n")
+        ).collect()
+    }
+    assert sizes["eq"] == 9, sizes  # k=1: dlon == d_deg at the equator
+    # cos(45) ~ .707 -> dlon ~ 1.41*d_deg -> k=2 -> 5x3; cos(75) -> k=4 -> 9x3
+    assert sizes["mid"] == 15 and sizes["high"] == 27, sizes
+    assert sizes["npole"] == 1 and sizes["spole"] == 1, sizes  # sentinels
+
+
+def test_distance_join_tiny_radius_near_pole(spark):
+    """The ADVICE OOM scenario: meters=100 (cell ~9e-5 deg) with a point
+    near the pole. The old full-ring explode materialized ~4M cells per
+    such row; the sentinel path emits ONE cell and still finds exactly the
+    qualifying pairs."""
+    from geomesa_spark.operators.spatial_join import _distance_cell_cover
+
+    lpts = [(0.0, 89.99999), (45.0, 89.9999995), (10.0, 50.0)]
+    rpts = [(180.0, 89.99999), (-90.0, 89.999999), (10.0005, 50.0), (11.0, 50.0)]
+    L = spark.createDataFrame(_mk("L", lpts))
+    R = spark.createDataFrame(_mk("R", rpts))
+    meters = 100.0
+    # pole-touching rows collapse to one sentinel cell
+    n_cells = (
+        L.filter(F.col("y") > 89.0)
+        .select(F.size(_distance_cell_cover(meters, F.col("x"), F.col("y"))).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in n_cells), n_cells
+    got = {
+        (r.pid, r.r_pid)
+        for r in distance_join(L, R, meters).select("pid", "r_pid").collect()
+    }
+    want = {
+        (f"L{i}", f"R{j}")
+        for i, (lx, lyy) in enumerate(lpts)
+        for j, (rx, ry) in enumerate(rpts)
+        if haversine(lx, lyy, rx, ry) <= meters
+    }
+    assert ("L0", "R0") in want and ("L2", "R2") in want  # non-vacuous
+    assert got == want, (got, want)
