@@ -90,13 +90,23 @@ def _pil_decode(content: bytes):
 
 def _parse_header(content: bytes) -> tuple[int, int, int]:
     if content is None or not content.startswith(_MAGIC):
-        real = _pil_decode(content) if content else None
-        if real is not None:
-            return real
+        if content:
+            from .png import PNG_SIGNATURE, decode_png
+
+            if content.startswith(PNG_SIGNATURE):
+                # real codec path, pure stdlib+numpy — no Pillow needed
+                import zlib
+
+                w, h, px = decode_png(bytes(content))
+                return w, h, zlib.crc32(px.tobytes())
+            real = _pil_decode(content)
+            if real is not None:
+                return real
         raise NotImplementedError(
-            "real media decoding requires an image library (Pillow) not "
-            "present in this environment — when installed, _pil_decode "
-            "handles PNG/JPEG content transparently"
+            "real media decoding beyond PNG requires an image library "
+            "(Pillow) not present in this environment — when installed, "
+            "_pil_decode handles JPEG and other formats transparently; "
+            "PNG decodes via the pure-python codec (multimodal/png.py)"
         )
     w, h, seed = struct.unpack_from("<III", content, len(_MAGIC))
     return w, h, seed

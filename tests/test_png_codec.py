@@ -1,0 +1,160 @@
+"""Pure-python PNG codec (round-5 item #4): real-format decode without
+Pillow. Roundtrips through spec-compliant PNG byte streams for every
+scanline filter type and color layout, a pinned golden blob, CRC
+verification, and the unconditional sibling of the env-conditional PIL
+test: decode_image_meta over REAL PNG content."""
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.multimodal.png import PNG_SIGNATURE, decode_png, encode_png
+
+
+def _rand_px(rng, h, w, channels):
+    a = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    return a[:, :, 0] if channels == 1 else a
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_every_filter_and_layout(filter_type, channels):
+    rng = np.random.default_rng(filter_type * 10 + channels)
+    px = _rand_px(rng, 13, 17, channels)
+    data = encode_png(px, filter_type=filter_type)
+    assert data.startswith(PNG_SIGNATURE)
+    w, h, got = decode_png(data)
+    assert (w, h) == (17, 13)
+    want = px[:, :, None] if px.ndim == 2 else px
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_roundtrip_mixed_filters_per_row():
+    rng = np.random.default_rng(99)
+    px = _rand_px(rng, 25, 9, 3)
+    fts = [int(f) for f in rng.integers(0, 5, size=25)]
+    w, h, got = decode_png(encode_png(px, filter_type=fts))
+    assert (got == px).all()
+
+
+def test_golden_2x2_rgb():
+    """Hand-pinned golden: a 2x2 RGB PNG (filter 0) built field by field —
+    decode must reproduce the exact pixel values."""
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = b"\x00" + px[0].tobytes() + b"\x00" + px[1].tobytes()
+    idat = zlib.compress(raw)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    blob = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    w, h, got = decode_png(blob)
+    assert (w, h) == (2, 2)
+    assert (got == px).all()
+
+
+def test_palette_expansion():
+    """Color type 3: indices expand through PLTE to RGB."""
+    plte = np.array([[10, 20, 30], [200, 100, 50], [0, 0, 0]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, got = decode_png(blob)
+    assert (got == plte[idx]).all()
+
+
+def test_crc_corruption_raises():
+    data = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    # flip a byte inside the IDAT payload (after sig + IHDR chunk)
+    data[8 + 25 + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_unsupported_features_raise():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(blob)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+
+
+def test_decode_image_meta_real_png(spark):
+    """The unconditional sibling of the env-conditional PIL test: REAL
+    (non-synthetic-header) PNG content decodes through the same
+    decode_image_meta plumbing — no Pillow in this environment."""
+    from geomesa_spark.multimodal.media import MEDIA_SCHEMA, decode_image_meta
+
+    rng = np.random.default_rng(7)
+    rows = []
+    goldens = {}
+    for i in range(6):
+        w, h = 5 + i, 3 + 2 * i
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_png(px, filter_type=i % 5)
+        ref = f"png://{i}"
+        rows.append(
+            {
+                "media_ref": ref,
+                "media_type": "image/png",
+                "content": blob,
+                "width": w,
+                "height": h,
+                "duration_ms": 0,
+            }
+        )
+        goldens[ref] = (w, h, zlib.crc32(px.tobytes()))
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = {
+        r.media_ref: (r.decoded_w, r.decoded_h, r.checksum)
+        for r in decode_image_meta(df).collect()
+    }
+    for ref, (w, h, crc) in goldens.items():
+        dw, dh, ck = out[ref]
+        assert (dw, dh) == (w, h), ref
+        assert ck == int(np.int64(crc * 2654435761 % (1 << 31))), ref
