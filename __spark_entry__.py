@@ -273,6 +273,46 @@ def q_dwithin_proximity(spark, sf_dir):
     )
 
 
+# tube/route corridor fixtures (events span 2024-01): three track vertices
+# spread across the month with 5-day half-windows, a 3-leg route with a
+# bearing gate on a deterministically derived heading column
+TUBE_TRACK = [
+    (-76.5, 38.5, "2024-01-05 12:00:00"),
+    (-20.0, 42.0, "2024-01-15 00:00:00"),
+    (60.0, -10.0, "2024-01-25 06:00:00"),
+]
+TUBE_METERS = 5_000_000.0
+TUBE_WINDOW_S = 432_000.0  # 5 days
+ROUTE_PTS = [(-80.0, 30.0), (-40.0, 45.0), (10.0, 10.0), (60.0, -20.0)]
+ROUTE_METERS = 1_000_000.0
+ROUTE_TOL_DEG = 60.0
+HEADING_SQL = "cast((event_id * 31) % 360 as double)"
+
+
+def q_tube_select_corridor(spark, sf_dir):
+    """TubeSelectProcess analog (SURVEY 2.6): events within a buffered,
+    time-binned corridor around a 3-vertex track."""
+    _init(spark)
+    e = _events_pts(spark, sf_dir)
+    out = processes.tube_select(e, TUBE_TRACK, TUBE_METERS, TUBE_WINDOW_S)
+    return out.select("event_id")
+
+
+def q_route_bearing(spark, sf_dir):
+    """RouteSearchProcess analog (SURVEY 2.6): events along a route whose
+    heading matches the local segment bearing within tolerance."""
+    _init(spark)
+    e = _events_pts(spark, sf_dir).withColumn("heading", F.expr(HEADING_SQL))
+    out = processes.route_search(
+        e,
+        ROUTE_PTS,
+        ROUTE_METERS,
+        heading_tolerance_deg=ROUTE_TOL_DEG,
+        heading_col="heading",
+    )
+    return out.select("event_id")
+
+
 def q_tile_assignment_z8(spark, sf_dir):
     _init(spark)
     return tile_counts(_docs_pts(spark, sf_dir), 8).select(
@@ -654,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_geodesic": q_knn_geodesic,
         "knn_join_table": q_knn_join_table,
         "dwithin_proximity": q_dwithin_proximity,
+        "tube_select_corridor": q_tube_select_corridor,
+        "route_bearing": q_route_bearing,
         "tile_assignment_z8": q_tile_assignment_z8,
         "tile_pyramid": q_tile_pyramid,
         "density_grid": q_density_grid,
@@ -769,6 +811,8 @@ def oracle_sql() -> dict[str, str]:
             select event_id, round({hav}, 6) as dist_r6
             from events where {hav} <= 500000.0
         """,
+        "tube_select_corridor": _tube_select_oracle(),
+        "route_bearing": _route_bearing_oracle(),
         "tile_assignment_z8": f"""
             select {O.tile_x_sql(lon, 8)} as tile_x, {O.tile_y_sql(lat, 8)} as tile_y,
                    count(*) as n_docs
@@ -960,6 +1004,46 @@ def oracle_sql() -> dict[str, str]:
         "ann_join_lsh_topk": _ann_join_lsh_oracle(),
         "convexhull_by_type": _convexhull_oracle(),
     }
+
+
+def _tube_select_oracle() -> str:
+    """TubeSelect corridor: OR over track vertices of (haversine disc AND
+    time window). Mirrors processes.tube_select exactly — Spark's
+    unix_timestamp truncates to whole seconds, hence floor(epoch(ts))."""
+    elon, elat = O.EVENT_LON, O.EVENT_LAT
+    conds = []
+    for lon, lat, iso in TUBE_TRACK:
+        h = O.haversine_sql(elon, elat, repr(lon), repr(lat))
+        conds.append(
+            f"({h} <= {TUBE_METERS!r} and "
+            f"abs(cast(floor(epoch(ts)) as bigint) - epoch(timestamp '{iso}'))"
+            f" <= {TUBE_WINDOW_S!r})"
+        )
+    return "select event_id from events where " + " or ".join(conds)
+
+
+def _route_bearing_oracle() -> str:
+    """RouteSearch with bearing gate: OR over segments of (haversine disc
+    around the midpoint with radius meters + seg_len/2 AND heading within
+    tolerance of the segment bearing). Radius and bearing are python-
+    computed full-precision literals shared with the Spark side; the
+    fmod(fmod(x,360)+360,360) chain is DuckDB's pmod."""
+    import math as _math
+
+    from geomesa_spark.geom.algorithms import haversine as _hav
+
+    conds = []
+    for (x1, y1), (x2, y2) in zip(ROUTE_PTS[:-1], ROUTE_PTS[1:]):
+        mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+        radius = ROUTE_METERS + float(_hav(x1, y1, x2, y2)) / 2
+        bearing = _math.degrees(_math.atan2(x2 - x1, y2 - y1)) % 360
+        h = O.haversine_sql(O.EVENT_LON, O.EVENT_LAT, repr(mx), repr(my))
+        diff = (
+            f"abs(fmod(fmod({HEADING_SQL} - {bearing!r} + 1.8e2, 3.6e2)"
+            f" + 3.6e2, 3.6e2) - 1.8e2)"
+        )
+        conds.append(f"({h} <= {radius!r} and {diff} <= {ROUTE_TOL_DEG!r})")
+    return "select event_id from events where " + " or ".join(conds)
 
 
 def _convexhull_oracle() -> str:

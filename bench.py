@@ -179,21 +179,45 @@ def run_queries(spark) -> dict[str, float]:
     qs["spatial_pip_filter"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # best-of-2 for every heavy query: this host's bursty CPU steal makes a
+    # single timing undecidable (the same query has measured 2x apart within
+    # one session, BENCH.md). Any query whose first run exceeds 2 s is run
+    # again and the min reported; both raw times land in query_runs so a
+    # regression vs a tenancy spike is decidable from the JSON alone.
     out: dict[str, float] = {}
-    for name in names:
+    runs: dict[str, list[float]] = {}
+
+    def timed(job) -> float:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
-    out["ann_join_synth_200k"] = round(ann_join_synth_job(spark), 3)
-    out["minhash_synth_100k"] = round(minhash_synth_job(spark), 3)
-    return out
+        job()
+        return round(time.time() - t0, 3)
+
+    for name in names:
+        def job(name=name):
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        t1 = timed(job)
+        if t1 > 2.0:
+            t2 = timed(job)
+            runs[name] = [t1, t2]
+            out[name] = min(t1, t2)
+        else:
+            out[name] = t1
+    for probe_name, probe in (
+        ("ann_join_synth_200k", ann_join_synth_job),
+        ("minhash_synth_100k", minhash_synth_job),
+    ):
+        t1 = round(probe(spark), 3)
+        t2 = round(probe(spark), 3)
+        runs[probe_name] = [t1, t2]
+        out[probe_name] = min(t1, t2)
+    return out, runs
 
 
 def main():
     scaling = "--scaling" in sys.argv
     spark = make_spark(CPUS)
-    queries = run_queries(spark)
+    queries, query_runs = run_queries(spark)
     # headline is best-of-2: this sandbox is a shared VM with bursty CPU
     # steal (identical runs vary up to ~2x, BENCH.md controls); the best of
     # two back-to-back runs measures the ENGINE, not a tenancy spike. Both
@@ -214,6 +238,7 @@ def main():
         "cpus": CPUS,
         "n_docs": n_docs,
         "synth_join_runs": join_times,
+        "query_runs": query_runs,
     }
     spark.stop()
 
