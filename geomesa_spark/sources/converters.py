@@ -269,37 +269,13 @@ def read_avro(
     )
 
 
-def read_geojson_lines(
-    spark: SparkSession,
-    path: str,
-    id_field: str = "id",
-    time_field: str = "ts",
-    text_field: str | None = None,
-) -> DataFrame:
-    """Newline-delimited GeoJSON Features -> docs. Geometry is converted
-    GeoJSON->WKB->WKT inside one Arrow batch pass (the geometry kernel's
-    from_geojson); ids/times/props come from `properties` via pure Columns.
-    Features without an id fall back to a content hash (stable)."""
+def _geojson_to_wkt_udf():
+    """Arrow-batch GeoJSON-geometry-string -> WKT (bad geometries -> null)."""
+    import pandas as pd
     from pyspark.sql.types import StringType
 
     from ..geom.geojson import from_geojson
     from ..geom.wkt import to_wkt
-
-    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
-    geom_json = F.get_json_object(F.col("value"), "$.geometry")
-    props = F.get_json_object(F.col("value"), f"$.properties.{time_field}")
-    fid = F.coalesce(
-        F.get_json_object(F.col("value"), "$.id"),
-        F.get_json_object(F.col("value"), f"$.properties.{id_field}"),
-        F.sha2(F.col("value"), 256),
-    )
-    text = (
-        F.get_json_object(F.col("value"), f"$.properties.{text_field}")
-        if text_field
-        else None
-    )
-
-    import pandas as pd
 
     def gj_to_wkt(s):  # no hints (local-import annotations trap)
         out = []
@@ -313,5 +289,90 @@ def read_geojson_lines(
                 out.append(None)
         return pd.Series(out, dtype=object)
 
-    wkt = F.pandas_udf(gj_to_wkt, StringType())(geom_json)
+    return F.pandas_udf(gj_to_wkt, StringType())
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    id_path: str = "$.id",
+    wkt_path: str | None = None,
+    geojson_geom_path: str | None = "$.geometry",
+    time_path: str = "$.ts",
+    text_path: str | None = None,
+    media_path: str | None = None,
+    record_path: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Configurable JSON-path extraction into the docs schema — the
+    geomesa-convert-json analog (arbitrary JsonPath per attribute,
+    geomesa-convert/geomesa-convert-json). Paths use Spark's
+    get_json_object JsonPath subset ($.a.b, $.a[0].c), evaluated JVM-side
+    (whole-stage codegen, no Python); geometry comes either from
+    `wkt_path` (a WKT string attribute) or `geojson_geom_path` (a GeoJSON
+    geometry object, converted in one Arrow batch pass).
+
+    `record_path` iterates a collection INSIDE each document (the
+    converter framework's feature-path, e.g. "$.features" for a
+    FeatureCollection): the array splats to one record per row via
+    from_json(array<string>) + explode — still pure Columns.
+    `multiline=True` reads whole files (one JSON document per file)
+    instead of JSON-lines. Missing ids fall back to a content hash."""
+    if multiline:
+        raw = spark.read.text(path, wholetext=True)
+    else:
+        raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    rec = F.col("value")
+    if record_path:
+        arr = F.from_json(
+            F.get_json_object(F.col("value"), record_path), "array<string>"
+        )
+        raw = raw.select(F.explode(arr).alias("_rec"))
+        rec = F.col("_rec")
+
+    def jp(p):
+        return F.get_json_object(rec, p)
+
+    if wkt_path:
+        wkt = jp(wkt_path)
+    elif geojson_geom_path:
+        wkt = _geojson_to_wkt_udf()(jp(geojson_geom_path))
+    else:
+        raise ValueError("one of wkt_path / geojson_geom_path is required")
+    fid = F.coalesce(jp(id_path), F.sha2(rec, 256))
+    return _to_docs(
+        raw,
+        fid,
+        wkt,
+        F.try_to_timestamp(jp(time_path)),
+        jp(text_path) if text_path else None,
+        jp(media_path) if media_path else None,
+    )
+
+
+def read_geojson_lines(
+    spark: SparkSession,
+    path: str,
+    id_field: str = "id",
+    time_field: str = "ts",
+    text_field: str | None = None,
+) -> DataFrame:
+    """Newline-delimited GeoJSON Features -> docs. Geometry is converted
+    GeoJSON->WKB->WKT inside one Arrow batch pass (the geometry kernel's
+    from_geojson); ids/times/props come from `properties` via pure Columns.
+    Features without an id fall back to a content hash (stable)."""
+    raw = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    geom_json = F.get_json_object(F.col("value"), "$.geometry")
+    props = F.get_json_object(F.col("value"), f"$.properties.{time_field}")
+    fid = F.coalesce(
+        F.get_json_object(F.col("value"), "$.id"),
+        F.get_json_object(F.col("value"), f"$.properties.{id_field}"),
+        F.sha2(F.col("value"), 256),
+    )
+    text = (
+        F.get_json_object(F.col("value"), f"$.properties.{text_field}")
+        if text_field
+        else None
+    )
+    wkt = _geojson_to_wkt_udf()(geom_json)
     return _to_docs(raw, fid, wkt, F.try_to_timestamp(props), text)

@@ -162,3 +162,106 @@ def test_xml_roundtrip(spark, tmp_path):
     idx = index_docs(docs)
     got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
     assert got == {"x1", "x3"}
+
+
+def test_json_path_roundtrip(spark, tmp_path):
+    """read_json (geomesa-convert-json analog): arbitrary JsonPath per
+    attribute — nested properties, array indices, GeoJSON geometry objects
+    — through the standard index job + planner."""
+    from geomesa_spark.sources.converters import read_json
+
+    recs = [
+        {
+            "meta": {"id": "j1", "when": "2016-01-02T10:00:00"},
+            "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+            "tags": ["alpha", "beta"],
+        },
+        {
+            "meta": {"id": "j2", "when": "2016-01-03T10:00:00"},
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[1, 1], [4, 1], [4, 4], [1, 4], [1, 1]]],
+            },
+            "tags": ["gamma", "delta"],
+        },
+        {
+            "meta": {"id": "j3", "when": "2016-01-04T10:00:00"},
+            "geometry": {"type": "Point", "coordinates": [120.0, 70.0]},
+            "tags": ["epsilon", "zeta"],
+        },
+    ]
+    p = tmp_path / "recs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    docs = read_json(
+        spark,
+        str(p),
+        id_path="$.meta.id",
+        time_path="$.meta.when",
+        text_path="$.tags[1]",
+    )
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"j1", "j2", "j3"}
+    # span-sequence invariant holds
+    assert [s["kind"] for s in rows["j1"].spans] == ["text", "geo", "time"]
+    assert [s["offset"] for s in rows["j1"].spans] == [0, 1, 2]
+    assert rows["j1"].spans[0]["text"] == "beta"  # array-index path
+    assert rows["j2"].spans[1]["text"].startswith("POLYGON")
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert got == {"j1", "j2"}
+    ts = {r.doc_id: r.ts for r in idx.select("doc_id", "ts").collect()}
+    assert ts["j3"] is not None and ts["j3"].day == 4
+
+
+def test_json_record_path_collection(spark, tmp_path):
+    """record_path splats a FeatureCollection-style array inside one
+    document into one doc per element (the converter feature-path), with a
+    WKT geometry attribute and a content-hash id fallback."""
+    from geomesa_spark.sources.converters import read_json
+
+    doc = {
+        "kind": "batch",
+        "features": [
+            {"id": "c1", "wkt": "POINT (2 2)", "ts": "2016-01-02T00:00:00"},
+            {"id": "c2", "wkt": "POINT (50 50)", "ts": "2016-01-03T00:00:00"},
+            {"wkt": "POINT (3 3)", "ts": "2016-01-04T00:00:00"},  # no id
+        ],
+    }
+    p = tmp_path / "collection.json"
+    p.write_text(json.dumps(doc))
+    docs = read_json(
+        spark,
+        str(p),
+        id_path="$.id",
+        wkt_path="$.wkt",
+        geojson_geom_path=None,
+        time_path="$.ts",
+        record_path="$.features",
+        multiline=True,
+    )
+    rows = docs.collect()
+    assert len(rows) == 3
+    ids = {r.doc_id for r in rows}
+    assert {"c1", "c2"} <= ids
+    assert len(ids) == 3  # the id-less record got a stable hash id
+    idx = index_docs(docs)
+    got = {r.doc_id for r in spatial_filter(idx, BOX).select("doc_id").collect()}
+    assert "c1" in got and len(got) == 2  # c1 + hashed (3 3); c2 outside
+
+
+def test_json_bad_rows_do_not_kill_ingest(spark, tmp_path):
+    """ANSI-safety: malformed geometry / unparseable timestamps map to
+    null spans, not job failure (try_to_timestamp + null-safe geometry)."""
+    from geomesa_spark.sources.converters import read_json
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"meta": {"id": "ok"}, "geometry": {"type": "Point", "coordinates": [1, 1]}, "ts": "2016-01-02T00:00:00"}\n'
+        '{"meta": {"id": "badgeom"}, "geometry": {"type": "Nope"}, "ts": "2016-01-02T00:00:00"}\n'
+        '{"meta": {"id": "badts"}, "geometry": {"type": "Point", "coordinates": [2, 2]}, "ts": "not a time"}\n'
+    )
+    docs = read_json(spark, str(p), id_path="$.meta.id", time_path="$.ts")
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(rows) == {"ok", "badgeom", "badts"}
+    assert rows["badgeom"].spans[1]["text"] == ""  # null geom -> empty span
+    assert rows["badts"].spans[2]["text"] == ""  # unparseable ts -> empty
