@@ -69,3 +69,45 @@ def test_attr_scan_reads_one_bucket(spark, attr_path):
     m = re.search(r"partition count:? (\d+)", plan)
     if m:  # plan-format dependent; row parity above is the hard gate
         assert int(m.group(1)) <= 2
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_attr_scan_extents_keeps_centroid_outside_bbox(spark, tmp_path):
+    """Extent whose envelope overlaps the bbox but centroid lies outside:
+    geom_kind='extents' must return it (no centroid-z2 conjunct)."""
+    import pandas as pd
+
+    from geomesa_spark.sources.attr_index import (
+        attr_equality_scan,
+        with_z2,
+        write_attr_indexed,
+    )
+
+    # extent [40,80]x[0,10]: centroid (60,5); bbox [30, -5, 45, 15] overlaps
+    # the extent but NOT the centroid
+    pdf = pd.DataFrame(
+        {
+            "row_id": [1, 2],
+            "user_id": [7, 7],
+            "x": [60.0, -100.0],  # centroid (z2 key source)
+            "y": [5.0, -50.0],
+            "minx": [40.0, -100.0],
+            "maxx": [80.0, -100.0],
+            "miny": [0.0, -50.0],
+            "maxy": [10.0, -50.0],
+        }
+    )
+    path = str(tmp_path / "extents_by_user")
+    write_attr_indexed(with_z2(spark.createDataFrame(pdf)), path, "user_id")
+    bbox = (30.0, -5.0, 45.0, 15.0)
+    got = {
+        r.row_id
+        for r in attr_equality_scan(
+            spark, path, "user_id", 7, bbox, geom_kind="extents"
+        ).collect()
+    }
+    assert got == {1}
+    with pytest.raises(ValueError):
+        attr_equality_scan(spark, path, "user_id", 7, bbox, geom_kind="bogus")

@@ -165,3 +165,18 @@ def test_collection_intersection_componentwise():
     D = alg.difference(GC, box)
     # the point (1,1) is inside box -> removed; polygon loses the overlap
     assert alg.area(D) == pytest.approx(4.0 - 2.25)
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_line_difference_no_ulp_fragmentation():
+    from geomesa_spark.geom.core import LINESTRING
+
+    # 0.1 + (0.3 - 0.1) != 0.3 in binary floats — the interior vertex used
+    # to fragment the result into a MultiLineString
+    a = from_wkt("LINESTRING (0.1 0, 0.3 0, 0.7 0)")
+    b = from_wkt("LINESTRING (5 5, 6 6)")  # disjoint
+    d = alg.difference(a, b)
+    assert d.gtype == LINESTRING, d.type_name
+    assert len(d.coords) == 3

@@ -211,3 +211,45 @@ def test_synth_texts_planted_pairs_found(spark):
         (f"d{i - 7:08d}", f"d{i:08d}") for i in range(7, 2000) if i % 20 == 7
     }
     assert got == want, (len(got), len(want))
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_ngram_bands32_available_for_high_recall(spark):
+    """The documented high-recall configuration (bands=32, r=4) must be
+    accepted and still find an obvious near-duplicate pair."""
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "text": [base, base + "!", "completely different content here"],
+            "lang": ["en", "en", "en"],
+        }
+    )
+    pairs = ngram_jaccard_pairs(
+        spark.createDataFrame(pdf), threshold=0.8, bands=32
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("a", "b")}
+
+
+def test_dedup_components_nonconvergence_handling(spark):
+    from geomesa_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],
+        "id_a string, id_b string",
+    )
+    # explicit fallback="raise" fails loudly instead of returning wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iter=2, fallback="raise").collect()
+    # the default falls back to the diameter-independent star formulation
+    labels = dedup_components(chain, max_iter=2)
+    got = {(r.id, r.component) for r in labels.collect()}
+    assert got == {(f"n{i:02d}", "n00") for i in range(13)}
+    # and with enough rounds plain propagation converges to the same answer
+    labels = dedup_components(chain, max_iter=30, fallback="raise")
+    comps = {r.component for r in labels.collect()}
+    assert comps == {"n00"}

@@ -198,3 +198,33 @@ def test_geohash_roundtrip_many():
         x, y = geohash_decode_point(ghs[i])
         assert abs(x - lons[i]) < 0.01
         assert abs(y - lats[i]) < 0.01
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+@pytest.mark.parametrize("max_ranges", [1, 2, 4, 8, 16, 60])
+def test_xz2_tight_budget_never_abandons_frontier(max_ranges):
+    """Every stored element intersecting the window must fall in SOME range,
+    no matter how small the budget (budget trades precision, not recall)."""
+    from geomesa_spark.index.xz2 import XZ2SFC
+
+    sfc = XZ2SFC(g=12)
+    window = (-40.0, -20.0, 10.0, 25.0)
+    ranges = sfc.ranges([window], max_ranges=max_ranges)
+
+    def covered(code):
+        return any(r.lower <= code <= r.upper for r in ranges)
+
+    # a lattice of small elements inside / crossing the window
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        cx = rng.uniform(-42, 12)
+        cy = rng.uniform(-22, 27)
+        w, h = rng.uniform(0.01, 2.0), rng.uniform(0.01, 2.0)
+        el = (cx, cy, cx + w, cy + h)
+        intersects = not (
+            el[2] < window[0] or window[2] < el[0] or el[3] < window[1] or window[3] < el[1]
+        )
+        if intersects:
+            assert covered(sfc.index(*el)), (max_ranges, el)

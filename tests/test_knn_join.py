@@ -95,3 +95,65 @@ def test_knn_join_max_radius_truncates(spark, docs):
         docs, qdf, k=5, start_radius_m=1_000.0, max_radius_m=2_000.0
     ).collect()
     assert len(out) < 5
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_disc_window_exact_lon_bound():
+    import math
+
+    from geomesa_spark.geom.algorithms import EARTH_MEAN_RADIUS_M
+    from geomesa_spark.operators.knn import disc_window_deg
+
+    # at lat 60, radius 1000 km: naive dlat/cos(lat) = 17.986 deg but the
+    # true disc reaches asin(sin(r)/cos(lat)) = 18.21 deg of longitude
+    dlat, dlon = disc_window_deg(60.0, 1_000_000.0)
+    r = 1_000_000.0 / EARTH_MEAN_RADIUS_M
+    naive = math.degrees(r) / math.cos(math.radians(60.0))
+    exact = math.degrees(math.asin(math.sin(r) / math.cos(math.radians(60.0))))
+    assert dlon == pytest.approx(exact)
+    assert dlon > naive
+    # a point at the disc's widest longitude must be inside the window:
+    # the bearing-90deg geodesic endpoint sits at lon offset `exact`
+    assert haversine(0.0, 60.0, exact, 60.0) > 1_000_000.0 * 0.999  # sanity
+
+
+def test_disc_window_pole_touch_full_lon():
+    from geomesa_spark.operators.knn import _query_windows, disc_window_deg
+
+    dlat, dlon = disc_window_deg(85.0, 1_000_000.0)
+    assert dlon == 180.0
+    ws = _query_windows([("q", 0.0, 85.0)], 1_000_000.0)
+    assert len(ws) == 1
+    _, (x0, y0, x1, y1) = ws[0]
+    assert (x0, x1) == (-180.0, 180.0)
+    # (180, 88) is 778 km from (0, 85) over the pole
+    assert haversine(0.0, 85.0, 180.0, 88.0) < 1_000_000.0
+    assert x0 <= 180.0 <= x1 and y0 <= 88.0 <= y1
+
+
+def test_knn_join_transpolar_neighbor(spark):
+    """knn_join with a pole-touching disc must find the trans-polar doc and
+    must NOT mark the query done with wrong nearer-looking neighbors."""
+    from geomesa_spark.sources.docs import index_points_df
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["far_lon", "near_pole", "equator"],
+            "lon": [180.0, 10.0, 0.0],
+            "lat": [88.0, 80.0, 0.0],
+        }
+    )
+    docs = index_points_df(spark.createDataFrame(pdf), "lon", "lat")
+    queries = spark.createDataFrame(
+        [("q0", 0.0, 85.0)], "query_id string, q_lon double, q_lat double"
+    )
+    out = knn_join(
+        docs, queries, k=2, start_radius_m=1_000_000.0, max_radius_m=1_000_000.0
+    )
+    got = {(r.doc_id, round(r.dist_m)) for r in out.collect()}
+    d_far = round(haversine(0.0, 85.0, 180.0, 88.0))
+    d_np = round(haversine(0.0, 85.0, 10.0, 80.0))
+    assert {g[0] for g in got} == {"far_lon", "near_pole"}, got
+    assert got == {("far_lon", d_far), ("near_pole", d_np)}

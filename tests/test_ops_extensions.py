@@ -392,8 +392,13 @@ def test_media_plumbing(spark):
 def test_media_real_format_raises(spark):
     from geomesa_spark.multimodal.media import _parse_header
 
-    with pytest.raises(NotImplementedError):
+    # PNG now decodes for real (pure-python codec) — a truncated PNG is a
+    # decode error, not an unimplemented format
+    with pytest.raises(ValueError):
         _parse_header(b"\x89PNG\r\n\x1a\n....")
+    # non-PNG real formats still raise the honest not-implemented marker
+    with pytest.raises(NotImplementedError):
+        _parse_header(b"\xff\xd8\xff\xe0\x00\x10JFIF")
 
 
 def test_join_docs_media(spark):
@@ -523,3 +528,31 @@ def test_ivf_trained_recall(spark, embeddings):
     assert r8 == 1.0  # probing every cell == exact
     assert r2 <= r8
     assert recall(4) >= 0.5  # codebook is useful, not degenerate
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_proximity_search_antimeridian_and_pole(spark):
+    """proximity_search windows split at the ±180 seam and go full-ring at
+    pole touch — same seam handling as distance_join/knn windows."""
+    import pandas as pd
+
+    from geomesa_spark.operators.processes import proximity_search
+    from geomesa_spark.sources.docs import index_points_df
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["seam", "pole", "far"],
+            "lon": [-179.9995, 180.0, 0.0],
+            "lat": [10.0, 89.9, 0.0],
+        }
+    )
+    docs = index_points_df(spark.createDataFrame(pdf), "lon", "lat")
+    got = {
+        r.doc_id
+        for r in proximity_search(
+            docs, [(179.9995, 10.0), (0.0, 89.95)], 100_000.0
+        ).collect()
+    }
+    assert got == {"seam", "pole"}, got

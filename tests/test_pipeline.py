@@ -179,3 +179,97 @@ def test_spatial_join_semi_anti(spark, join_sides):
     assert semi_ids == inner_ids
     assert semi_ids | anti_ids == {r.doc_id for r in left.select("doc_id").collect()}
     assert not (semi_ids & anti_ids)
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def _advice_doc(doc_id, wkt, iso="2016-01-02T00:00:00.000Z"):
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": "text", "text": "body", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": wkt, "media_ref": "", "offset": 1},
+            {"kind": "time", "text": iso, "media_ref": "", "offset": 2},
+        ],
+    }
+
+
+def test_extent_row_across_cell_boundary_not_pruned(spark):
+    """Query POLYGON((20 0, 22.4 0, 22.4 5, 20 5, 20 0)) covers coarse cell
+    192 only; an intersecting polygon with envelope [22.2,23.0]x[2.25,2.75]
+    has its CENTER in cell 193. Centroid-cell pruning silently dropped it;
+    the MULTI_CELL sentinel keeps it."""
+    from geomesa_spark.sources.docs import DOCS_SCHEMA, MULTI_CELL
+
+    poly = "POLYGON ((22.2 2.25, 22.2 2.75, 23.0 2.75, 23.0 2.25, 22.2 2.25))"
+    inside = "POINT (21.0 2.0)"  # sanity row that was never at risk
+    outside = "POINT (60.0 60.0)"
+    pdf = pd.DataFrame(
+        [_advice_doc("d-straddle", poly), _advice_doc("d-in", inside), _advice_doc("d-out", outside)]
+    )
+    docs = index_docs(spark.createDataFrame(pdf, schema=DOCS_SCHEMA))
+    # the straddling polygon spans two coarse cells -> MULTI_CELL sentinel
+    cells = {r.doc_id: r.cell for r in docs.select("doc_id", "cell").collect()}
+    assert cells["d-straddle"] == MULTI_CELL
+    got = {
+        r.doc_id
+        for r in spatial_filter(docs, "POLYGON((20 0, 22.4 0, 22.4 5, 20 5, 20 0))")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == {"d-straddle", "d-in"}
+
+
+def test_index_docs_survives_malformed_time_spans(spark):
+    """One malformed/empty time span must yield NULL ts, not kill the whole
+    index job under ANSI mode (found via converter try_to_timestamp rows)."""
+    from geomesa_spark.sources.docs import DOCS_SCHEMA
+
+    rows = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (1 1)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "2016-01-02T00:00:00.000Z", "media_ref": "", "offset": 2}]},
+        {"doc_id": "empty_ts", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (2 2)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "", "media_ref": "", "offset": 2}]},
+        {"doc_id": "garbage_ts", "spans": [
+            {"kind": "text", "text": "b", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": "POINT (3 3)", "media_ref": "", "offset": 1},
+            {"kind": "time", "text": "not-a-time", "media_ref": "", "offset": 2}]},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=DOCS_SCHEMA)
+    out = {r.doc_id: r for r in index_docs(df).select("doc_id", "ts", "x").collect()}
+    assert out["ok"].ts is not None and out["ok"].x == 1.0
+    assert out["empty_ts"].ts is None and out["empty_ts"].x == 2.0
+    assert out["garbage_ts"].ts is None and out["garbage_ts"].x == 3.0
+
+
+def test_points_geom_kind_refine_parity_and_pruning(spark):
+    """plan(geom_kind='points') must (a) return identical rows to the mixed
+    refine on an all-points table, (b) keep geom_wkb's producing UDF out of
+    the plan, and (c) reject unknown kinds."""
+    from geomesa_spark.sources.docs import index_points_df
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"p{i}" for i in range(400)],
+            "lon": [((i * 7919) % 360) - 180.0 + 0.5 for i in range(400)],
+            "lat": [((i * 104729) % 180) - 90.0 + 0.25 for i in range(400)],
+        }
+    )
+    d = index_points_df(spark.createDataFrame(pdf), "lon", "lat")
+    pentagon = "POLYGON ((-30 -20, 30 -20, 45 10, 0 35, -45 10, -30 -20))"
+    for pred in ("contains", "intersects", "within", "covers"):
+        fast = {r.doc_id for r in spatial_filter(d, pentagon, pred, geom_kind="points").collect()}
+        mixed = {r.doc_id for r in spatial_filter(d, pentagon, pred).collect()}
+        assert fast == mixed, pred
+    assert len(fast) > 5
+    out = spatial_filter(d, pentagon, "contains", geom_kind="points").select("doc_id")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one python eval (the ray cast); the makePoint WKB UDF pruned
+    assert p.count("ArrowEvalPython") == 1, p
+    with pytest.raises(ValueError):
+        plan(pentagon, "contains", geom_kind="bogus")

@@ -1,0 +1,138 @@
+"""Spatial-join path regressions: fast-path directionality, reference-cell
+dedupe clamps, the solid-rectangle bounds fast path, and conf guards.
+Consolidated from the per-round advice-regression files (round-5 hygiene);
+join row-parity suites live in test_areal_*_batch / test_mixed_dim_batch."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geomesa_spark.geom import algorithms as alg
+from geomesa_spark.geom.wkt import from_wkt
+from geomesa_spark.operators.spatial_join import (
+    _rect_info,
+    _rect_pair_predicate,
+    _shuffle_partitions,
+    spatial_join,
+)
+from geomesa_spark.sources.docs import DOCS_SCHEMA, index_docs
+
+
+def _doc(doc_id, wkt, iso="2016-01-02T00:00:00.000Z"):
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": "text", "text": "body", "media_ref": "", "offset": 0},
+            {"kind": "geo", "text": wkt, "media_ref": "", "offset": 1},
+            {"kind": "time", "text": iso, "media_ref": "", "offset": 2},
+        ],
+    }
+
+
+def test_point_left_covers_is_directional(spark):
+    """covers(point, polygon) is False for an interior point (a point cannot
+    cover an areal geometry); the join fast path must not invert it."""
+    left = index_docs(
+        spark.createDataFrame(pd.DataFrame([_doc("L-pt", "POINT (1 1)")]), schema=DOCS_SCHEMA)
+    )
+    right = index_docs(
+        spark.createDataFrame(
+            pd.DataFrame([_doc("R-poly", "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))")]),
+            schema=DOCS_SCHEMA,
+        )
+    )
+    got = spatial_join(left, right, predicate="covers", broadcast=True).count()
+    assert got == 0
+    # the reverse direction (polygon covers its interior point) must hold
+    got_rev = spatial_join(right, left, predicate="covers", broadcast=True).count()
+    assert got_rev == 1
+
+
+def test_ref_cell_clamp_below_world_bounds(spark):
+    """Overlapping geometries whose envelope-intersection corner lies below
+    the world bounds must still produce exactly ONE joined pair."""
+    left = index_docs(
+        spark.createDataFrame(
+            pd.DataFrame([_doc("L", "POLYGON ((-185 -95, -185 -85, -175 -85, -175 -95, -185 -95))")]),
+            schema=DOCS_SCHEMA,
+        )
+    )
+    right = index_docs(
+        spark.createDataFrame(
+            pd.DataFrame([_doc("R", "POLYGON ((-184 -94, -184 -86, -176 -86, -176 -94, -184 -94))")]),
+            schema=DOCS_SCHEMA,
+        )
+    )
+    rows = spatial_join(left, right, predicate="intersects", broadcast=True).count()
+    assert rows == 1
+
+
+def test_rect_pair_predicate_matches_kernel():
+    """The join's solid-rect bounds fast path must agree with the geometry
+    kernel on every supported predicate over random rect pairs (including
+    touching, nested, disjoint and identical cases)."""
+
+    def box(x0, y0, x1, y1):
+        return from_wkt(
+            f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    rng = np.random.default_rng(13)
+    rects = []
+    for _ in range(40):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        rects.append((x0, y0, x0 + rng.uniform(0.5, 4), y0 + rng.uniform(0.5, 4)))
+    # deliberate exact-touch / nested / equal cases
+    rects += [(0, 0, 2, 2), (2, 0, 4, 2), (0, 2, 2, 4), (0.5, 0.5, 1.5, 1.5), (0, 0, 2, 2)]
+    preds = ["intersects", "within", "contains", "covers", "overlaps", "touches", "crosses"]
+    for i in range(0, len(rects), 3):
+        for j in range(len(rects)):
+            A, B = rects[i], rects[j]
+            ga, gb = box(*A), box(*B)
+            for p in preds:
+                got = _rect_pair_predicate(p, A, B)
+                want = bool(getattr(alg, p)(ga, gb))
+                assert got == want, (p, A, B, got, want)
+
+
+@pytest.mark.parametrize(
+    "wkt,expect_rect",
+    [
+        ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", True),  # ccw rect
+        ("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))", True),  # cw rect
+        ("POLYGON ((1 1, 0 1, 0 0, 1 0, 1 1))", True),  # rotated start corner
+        # doubled-corner triangle: all vertices on corners, NOT a rectangle
+        ("POLYGON ((0 0, 1 0, 1 1, 1 1, 0 0))", False),
+        # corner bowtie: 4 distinct corners, diagonal edges
+        ("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))", False),
+        # corner triangle with repeated start
+        ("POLYGON ((0 0, 1 0, 0 1, 1 1, 0 0))", False),  # non-adjacent order
+    ],
+)
+def test_rect_info_rejects_degenerate_corner_rings(wkt, expect_rect):
+    is_rect, bounds = _rect_info(from_wkt(wkt))
+    assert is_rect is expect_rect
+    if expect_rect:
+        assert bounds == (0.0, 0.0, 1.0, 1.0)
+
+
+def test_salt_probe_tolerates_auto_shuffle_partitions(spark):
+    """Spark 4 rejects setting the conf to "auto" locally, so exercise the
+    extracted guard with a stand-in session shaped like a deployment where
+    the conf reads back non-numeric."""
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Sess:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert _shuffle_partitions(_Sess()) == 7
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

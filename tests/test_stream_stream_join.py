@@ -345,3 +345,155 @@ def test_geofence_transitions(spark, tmp_path):
         assert got == want2, got
     finally:
         q.stop()
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def _boundary_pairs():
+    """Adversarial pairs at ~0.9999 * radius, snapped just below cell
+    boundaries, lat- and lon-aligned, across latitudes."""
+    import math
+
+    from geomesa_spark.geom.algorithms import EARTH_MEAN_RADIUS_M
+
+    cell = math.degrees(1000.0 / EARTH_MEAN_RADIUS_M)
+    t0 = _dt.datetime(2016, 1, 2, 12, 0, 0)
+    lrows, rrows = [], []
+    i = 0
+    for lat_base in (0.0, 45.0, 60.05, 75.0):
+        # lat-aligned: left just below a lat cell boundary, right 999.9 m
+        # north (each pair 3 deg of lon apart so pairs never cross-match)
+        lon_base = 10.0 + 3.0 * i
+        yb = math.floor((lat_base + 90.0) / cell) * cell - 90.0
+        y_l = yb - 1e-7
+        y_r = y_l + math.degrees(999.9 / EARTH_MEAN_RADIUS_M)
+        lrows.append({"pid": f"L{i}", "ts": t0, "x": lon_base, "y": y_l})
+        rrows.append({"pid": f"R{i}", "ts": t0, "x": lon_base, "y": y_r})
+        i += 1
+        # lon-aligned: left just below a lon cell boundary, right ~999.9 m east
+        lon_base = 10.0 + 3.0 * i
+        dlon = math.degrees(
+            2.0
+            * math.asin(
+                math.sin(999.9 / (2.0 * EARTH_MEAN_RADIUS_M))
+                / math.cos(math.radians(lat_base))
+            )
+        )
+        xb = math.floor((lon_base + 180.0) / cell) * cell - 180.0
+        x_l = xb - 1e-7
+        lrows.append({"pid": f"L{i}", "ts": t0, "x": x_l, "y": lat_base})
+        rrows.append({"pid": f"R{i}", "ts": t0, "x": x_l + dlon, "y": lat_base})
+        i += 1
+    # antimeridian-straddling pair (~90 m apart across the ±180 seam)
+    lrows.append({"pid": f"L{i}", "ts": t0, "x": 179.9996, "y": -20.0})
+    rrows.append({"pid": f"R{i}", "ts": t0, "x": -179.9996, "y": -20.0})
+    i += 1
+    # polar pair: disc touches the pole, partner on the far lon side
+    lrows.append({"pid": f"L{i}", "ts": t0, "x": 0.0, "y": 89.997})
+    rrows.append({"pid": f"R{i}", "ts": t0, "x": 180.0, "y": 89.996})
+    i += 1
+    # one clearly-out pair as a negative control
+    lrows.append({"pid": f"L{i}", "ts": t0, "x": -120.0, "y": 10.0})
+    rrows.append({"pid": f"R{i}", "ts": t0, "x": -119.0, "y": 10.0})
+    return lrows, rrows
+
+
+def test_stream_stream_cell_cover_near_radius(spark, tmp_path):
+    lrows, rrows = _boundary_pairs()
+    want = {
+        (l["pid"], r["pid"])
+        for l in lrows
+        for r in rrows
+        if haversine(l["x"], l["y"], r["x"], r["y"]) <= 1000.0
+    }
+    assert len(want) == 10, want  # all boundary pairs qualify, control doesn't
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf = spark.createDataFrame(pd.DataFrame(lrows))
+    rdf = spark.createDataFrame(pd.DataFrame(rrows))
+    ldf.coalesce(1).write.mode("overwrite").parquet(ldir)
+    rdf.coalesce(1).write.mode("overwrite").parquet(rdir)
+    pairs = stream_stream_proximity_join(
+        spark.readStream.schema(ldf.schema).parquet(ldir),
+        spark.readStream.schema(rdf.schema).parquet(rdir),
+        meters=1000.0,
+        time_window="2 minutes",
+        watermark="1 hour",
+    ).select("l_pid", "r_pid")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ss_boundary")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = set()
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = {
+                (r.l_pid, r.r_pid)
+                for r in spark.sql("select * from ss_boundary").collect()
+            }
+            if got == want:
+                break
+            time.sleep(2)
+        assert got == want, (sorted(want - got), sorted(got - want))
+    finally:
+        q.stop()
+
+
+def test_sessionize_tracks_custom_column_names(spark, tmp_path):
+    """Non-default time/lon/lat/key column names must work end-to-end (the
+    stateful fn previously hard-coded ts/x/y and raised KeyError)."""
+    from geomesa_spark.streaming.stream import sessionize_tracks
+
+    t0 = _dt.datetime.now()
+    rows = [
+        {
+            "device": "dev-1",
+            "event_time": t0 + _dt.timedelta(seconds=i * 0.01),
+            "lon": float(i),
+            "lat": float(i) / 2.0,
+        }
+        for i in range(10)
+    ]
+    static = spark.createDataFrame(pd.DataFrame(rows))
+    srcdir = str(tmp_path / "sess_src")
+    static.coalesce(1).write.mode("overwrite").parquet(srcdir)
+    src = spark.readStream.schema(static.schema).parquet(srcdir)
+    sess = sessionize_tracks(
+        src,
+        gap="2 seconds",
+        watermark="10 seconds",
+        key_col="device",
+        time_col="event_time",
+        lon_col="lon",
+        lat_col="lat",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_custom_cols")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(q.exception())
+            got = spark.sql(
+                "select * from sessions_custom_cols where n_points > 0"
+            ).collect()
+            if got:
+                break
+            time.sleep(2)
+        assert len(got) == 1 and got[0].user_id == "dev-1" and got[0].n_points == 10
+        assert got[0].track_meters > 0
+    finally:
+        q.stop()

@@ -126,3 +126,45 @@ def test_xz3_pushdown_end_to_end(spark):
     assert len(got_pre) < docs.count(), "xz3 prefilter must prune something"
     got = {r.doc_id for r in docs.filter(pred & exact).collect()}
     assert got == want
+
+
+# --------- regressions folded from the round-advice files (round-5 hygiene)
+
+
+def test_xz3_sfc_closed_upper_bound_on_cell_boundary():
+    """Element stored exactly at the mid-bin time-cell boundary; a query
+    window whose maxt equals that boundary must cover the stored code
+    (closed upper bound, no epsilon shrink)."""
+    sfc = XZ3SFC()
+    per = SECONDS_PER["week"]
+    t = per / 2.0  # an octree time-cell boundary at every level
+    x, y = 10.0, 20.0
+    code = sfc.index(x, y, t, x, y, t)
+    ranges = sfc.ranges([(x - 1, y - 1, 0.0, x + 1, y + 1, t)], max_ranges=200)
+    assert any(r.lower <= code <= r.upper for r in ranges)
+
+
+def test_xz3_predicate_includes_interval_upper_boundary(spark):
+    """Planner-level: doc timestamp == interval upper bound == time-cell
+    boundary -> the (week_bin, xz3) pushdown predicate must keep the row."""
+    import pandas as pd
+
+    from geomesa_spark.plans.planner import xz3_predicate
+
+    sfc = XZ3SFC()
+    per = SECONDS_PER["week"]
+    b = 2400
+    t_in_bin = per / 2.0
+    x, y = 10.0, 20.0
+    code = sfc.index(x, y, t_in_bin, x, y, t_in_bin)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d0"], "week_bin": [b], "xz3": [code]})
+    )
+    t_abs = b * per + t_in_bin
+    interval = (
+        pd.Timestamp(t_abs - 3600, unit="s"),
+        pd.Timestamp(t_abs, unit="s"),  # upper bound EXACTLY on the boundary
+    )
+    cond = xz3_predicate([(x - 1, y - 1, x + 1, y + 1)], interval)
+    assert cond is not None
+    assert df.filter(cond).count() == 1
