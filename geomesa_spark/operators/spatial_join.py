@@ -585,9 +585,18 @@ def _distance_cell_cover(meters: float, lx, ly):
             F.least(F.lit(1.0), F.lit(math.sin(meters / EARTH_MEAN_RADIUS_M)) / clat)
         )
     )
-    # ring-clamped lon neighbor count: beyond half the ring the pmod wrap
-    # adds nothing (loss-free bound at ~n_lon cells)
-    k = F.least(F.ceil(dlon / F.lit(cell)), F.lit(n_lon // 2 + 1)).cast("int")
+    # lon neighbor count: ceil(dlon/cell) is exact for non-wrapping pairs
+    # (|u1-u2| <= k implies |floor(u1)-floor(u2)| <= k), but the cell ring
+    # spans n_lon*cell >= 360 deg — the wrap from cell n_lon-1 to cell 0
+    # jumps a PHANTOM gap of up to one cell, so a pair straddling the
+    # antimeridian can sit k+1 ring-cells apart. Rows whose window touches
+    # the seam take the +1; mid-longitude rows keep the tight cover.
+    # Clamped at half the ring (beyond it the pmod wrap adds nothing).
+    k0 = F.ceil(dlon / F.lit(cell))
+    seam = (cx <= k0) | (cx >= F.lit(n_lon - 1) - k0)
+    k = F.least(
+        k0 + F.when(seam, F.lit(1)).otherwise(F.lit(0)), F.lit(n_lon // 2 + 1)
+    ).cast("int")
     normal_cells = F.flatten(
         F.transform(
             F.array_distinct(

@@ -96,6 +96,30 @@ def test_distance_join_explode_factor(spark):
     assert sizes["npole"] == 1 and sizes["spole"] == 1, sizes  # sentinels
 
 
+def test_distance_join_seam_phantom_gap(spark):
+    """The cell ring spans ceil(360/cell)*cell >= 360 deg, so the wrap jumps
+    a phantom gap of up to one cell: a high-latitude pair straddling the
+    antimeridian near the exact dlon bound sits k+1 ring-cells apart (the
+    sf0.01 gate caught doc 341 x event 2655 at 99.4 km exactly like this).
+    Seam-adjacent rows must take the +1 lon slack."""
+    lpts = [(-176.21, -84.11)]
+    rpts = [(175.05, -84.15), (174.0, -84.2)]
+    L = spark.createDataFrame(_mk("L", lpts))
+    R = spark.createDataFrame(_mk("R", rpts))
+    got = {
+        (r.pid, r.r_pid)
+        for r in distance_join(L, R, 100_000.0).select("pid", "r_pid").collect()
+    }
+    want = {
+        (f"L{i}", f"R{j}")
+        for i, (lx, lyy) in enumerate(lpts)
+        for j, (rx, ry) in enumerate(rpts)
+        if haversine(lx, lyy, rx, ry) <= 100_000.0
+    }
+    assert ("L0", "R0") in want
+    assert got == want, (got, want)
+
+
 def test_distance_join_tiny_radius_near_pole(spark):
     """The ADVICE OOM scenario: meters=100 (cell ~9e-5 deg) with a point
     near the pole. The old full-ring explode materialized ~4M cells per
