@@ -204,6 +204,85 @@ def tile_counts(df: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def render_tile_pngs(
+    df: DataFrame,
+    zoom: int,
+    tile_px: int = 256,
+    vmax: int | None = None,
+    lon_col: str = "x",
+    lat_col: str = "y",
+) -> DataFrame:
+    """Grayscale density heatmap PNG tiles at a slippy zoom level — the
+    engine's analog of the WMS tile rendering the reference feeds from
+    DensityScan through GeoServer, rendered DISTRIBUTED end to end.
+
+    Plan: pixel indices come from the SAME mercator Column math as tile
+    assignment evaluated at zoom + log2(tile_px) (global pixel id >> bits =
+    tile id, & mask = in-tile pixel), ONE shuffle to (tile, pixel) counts
+    with map-side partial aggregation, then one applyInPandas per tile that
+    fills the tile_px x tile_px array and encodes the PNG with the
+    pure-stdlib codec (multimodal.png.encode_png). Pixel value =
+    min(255, round(255 * count / vmax)); vmax=None normalizes per tile
+    (heatmap default), a fixed vmax gives a comparable global scale (and
+    vmax=255 makes pixel == count for small counts, the test identity).
+
+    Returns (tile_z int, tile_x long, tile_y long, png binary) — write to
+    any sink, or decode with multimodal.png.decode_png."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..multimodal.png import encode_png
+
+    bits = int(tile_px).bit_length() - 1
+    if 2**bits != tile_px:
+        raise ValueError("tile_px must be a power of two")
+    gx = tile_x(F.col(lon_col), zoom + bits)
+    gy = tile_y(F.col(lat_col), zoom + bits)
+    mask = tile_px - 1
+    counts = (
+        df.filter(F.col(lon_col).isNotNull())
+        .select(
+            F.shiftright(gx, bits).alias("tile_x"),
+            F.shiftright(gy, bits).alias("tile_y"),
+            gx.bitwiseAND(F.lit(mask)).alias("px"),
+            gy.bitwiseAND(F.lit(mask)).alias("py"),
+        )
+        .groupBy("tile_x", "tile_y", "px", "py")
+        .agg(F.count("*").alias("n"))
+    )
+    out_schema = StructType(
+        [
+            StructField("tile_z", IntegerType()),
+            StructField("tile_x", LongType()),
+            StructField("tile_y", LongType()),
+            StructField("png", BinaryType()),
+        ]
+    )
+
+    def render(key, pdf):
+        arr = np.zeros((tile_px, tile_px), dtype=np.float64)
+        arr[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["n"].to_numpy()
+        m = float(vmax) if vmax else float(arr.max() or 1.0)
+        pix = np.minimum(255.0, np.round(255.0 * arr / m)).astype(np.uint8)
+        return pd.DataFrame(
+            [
+                {
+                    "tile_z": zoom,
+                    "tile_x": int(key[0]),
+                    "tile_y": int(key[1]),
+                    "png": encode_png(pix),
+                }
+            ]
+        )
+
+    return counts.groupBy("tile_x", "tile_y").applyInPandas(render, schema=out_schema)
+
+
 def tile_pyramid(df: DataFrame, zoom_max: int, zoom_min: int = 0) -> DataFrame:
     """Full tile-count PYRAMID zoom_min..zoom_max from ONE pass over the
     data: counts at zoom_max (the only shuffle that touches rows), then each

@@ -158,3 +158,47 @@ def test_decode_image_meta_real_png(spark):
         dw, dh, ck = out[ref]
         assert (dw, dh) == (w, h), ref
         assert ck == int(np.int64(crc * 2654435761 % (1 << 31))), ref
+
+
+def test_render_tile_pngs_distributed(spark):
+    """Distributed density->PNG tiles: pixel indices share the tile
+    mercator math, counts render losslessly at vmax=255, and the tile set
+    matches tile_counts."""
+    from geomesa_spark.index.tiles import lonlat_to_tile
+    from geomesa_spark.operators.density import render_tile_pngs, tile_counts
+
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-170, 170, 4000)
+    lats = rng.uniform(-80, 80, 4000)
+    df = spark.createDataFrame(pd.DataFrame({"x": lons, "y": lats}))
+    zoom, P = 2, 16
+    tiles = {
+        (r.tile_x, r.tile_y): r
+        for r in render_tile_pngs(df, zoom, tile_px=P, vmax=255).collect()
+    }
+    # tile set identical to the count aggregation's
+    want_tiles = {
+        (r.tile_x, r.tile_y): r.n_docs for r in tile_counts(df, zoom).collect()
+    }
+    assert set(tiles) == set(want_tiles)
+    # manual per-pixel truth via the numpy tile kernel at pixel resolution
+    bits = P.bit_length() - 1
+    gx, gy = lonlat_to_tile(lons, lats, zoom + bits)
+    import collections
+
+    truth = collections.Counter(zip(gx, gy))
+    total = 0
+    for (tx, ty), row in tiles.items():
+        w, h, pix = decode_png(bytes(row.png))
+        assert (w, h) == (P, P) and row.tile_z == zoom
+        for py in range(P):
+            for px in range(P):
+                want = truth.get((tx * P + px, ty * P + py), 0)
+                got = int(pix[py, px, 0])
+                assert got == min(255, want), (tx, ty, px, py, got, want)
+                total += got
+    assert total == 4000  # lossless at vmax=255 with small counts
+    # conservation vs the count aggregation per tile
+    for (tx, ty), n in want_tiles.items():
+        _, _, pix = decode_png(bytes(tiles[(tx, ty)].png))
+        assert int(pix.sum()) == n, (tx, ty)
