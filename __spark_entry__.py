@@ -320,6 +320,41 @@ def q_tile_assignment_z8(spark, sf_dir):
     )
 
 
+def q_tile_render_png(spark, sf_dir):
+    """Distributed density->PNG heatmap tiles, decoded BACK to per-pixel
+    rows so the whole render path — mercator pixel math, per-tile
+    applyInPandas render, the pure-python PNG encoder AND decoder — sits
+    inside the hash-checked gate. vmax=255 makes pixel value == count, so
+    the oracle is a plain per-pixel group-by on the same tile math."""
+    _init(spark)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from geomesa_spark.multimodal.png import decode_png
+    from geomesa_spark.operators.density import render_tile_pngs
+
+    zoom, P = 3, 16
+    tiles = render_tile_pngs(_docs_pts(spark, sf_dir), zoom, tile_px=P, vmax=255)
+    out_schema = StructType(
+        [StructField(c, LongType()) for c in ("tile_x", "tile_y", "px", "py", "v")]
+    )
+
+    def unpack(batches):
+        for pdf in batches:
+            rows = {c: [] for c in ("tile_x", "tile_y", "px", "py", "v")}
+            for tx, ty, png in zip(pdf["tile_x"], pdf["tile_y"], pdf["png"]):
+                _, _, pix = decode_png(bytes(png))
+                ys, xs = (pix[:, :, 0] > 0).nonzero()
+                for yy, xx in zip(ys, xs):
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["px"].append(int(xx))
+                    rows["py"].append(int(yy))
+                    rows["v"].append(int(pix[yy, xx, 0]))
+            yield pd.DataFrame(rows, dtype="int64")
+
+    return tiles.mapInPandas(unpack, schema=out_schema)
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile-count PYRAMID zoom 8..5 from one pass over the data: base
     counts at z8, each parent level the 4-child sum by integer halving of
@@ -698,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_bearing": q_route_bearing,
         "tile_assignment_z8": q_tile_assignment_z8,
         "tile_pyramid": q_tile_pyramid,
+        "tile_render_png": q_tile_render_png,
         "density_grid": q_density_grid,
         "density_weighted": q_density_weighted,
         "density_polygonize": q_density_polygonize,
@@ -831,6 +867,16 @@ def oracle_sql() -> dict[str, str]:
             select 6, tile_x // 4, tile_y // 4, cast(sum(n_docs) as bigint) from base group by 2, 3
             union all
             select 5, tile_x // 8, tile_y // 8, cast(sum(n_docs) as bigint) from base group by 2, 3
+        """,
+        "tile_render_png": f"""
+            with px as (
+              select {O.tile_x_sql(lon, 7)} as gx, {O.tile_y_sql(lat, 7)} as gy
+              from documents
+            )
+            select gx // 16 as tile_x, gy // 16 as tile_y,
+                   gx % 16 as px, gy % 16 as py,
+                   cast(least(count(*), 255) as bigint) as v
+            from px group by 1, 2, 3, 4
         """,
         "density_grid": f"""
             select {O.grid_i_sql(lon, -180.0, 180.0, 256)} as i,
