@@ -121,12 +121,25 @@ def _exact_jaccard_udf(k: int = 3):
     from pyspark.sql.types import DoubleType
 
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        # candidate pairs share documents (one doc pairs with many), so
+        # memoize the shingle set per distinct text within the batch
+        cache: dict = {}
+
+        def sh(t):
+            s = cache.get(t)
+            if s is None:
+                s = _shingle_set(t, k)
+                if len(cache) < 65536:
+                    cache[t] = s
+            return s
+
         out = np.full(len(a), np.nan)
-        for i in range(len(a)):
-            ta, tb = a.iloc[i], b.iloc[i]
+        av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+        for i in range(len(av)):
+            ta, tb = av[i], bv[i]
             if ta is None or tb is None:
                 continue
-            sa, sb = _shingle_set(ta, k), _shingle_set(tb, k)
+            sa, sb = sh(ta), sh(tb)
             out[i] = len(sa & sb) / len(sa | sb)
         s = pd.Series(out)
         return s.where(~np.isnan(out), None).astype(object)
