@@ -636,6 +636,11 @@ def lineal_predicate_batch(
     lineal_side="right": pred(other, line_i) with other AREAL (the
     polygons-join-lines direction, grouped by the polygon side).
 
+    PRECONDITION: every lineal geometry involved must have at least one
+    live (non-zero-length) segment — a LINESTRING of identical points is
+    effectively 0-dim and classifies as empty here; the join routes such
+    rows to the scalar kernel (spatial_join has_segs guard).
+
     DE-9IM cells from the classification flags (f = flags of line vs other):
       II = in1|pti_i, IB = on1|ptb_i, IE = out1|pte_i,
       BI = pti_b, BB = ptb_b, BE = pte_b — and intersects/within/crosses/

@@ -281,9 +281,18 @@ def _pairwise_predicate_fn(predicate: str):
         seg_ok: dict[bytes, bool] = {}
 
         def has_segs(b):
+            # require a LIVE (non-zero-length) segment: a LINESTRING of
+            # identical points is effectively 0-dim and must take the
+            # scalar path (the batch kernel drops degenerate segments)
             v = seg_ok.get(b)
             if v is None:
-                v = any(len(a) >= 2 for a in alg._lines_of(geo(b)))
+                v = any(
+                    len(a) >= 2
+                    and bool(
+                        (np.asarray(a)[:-1, :2] != np.asarray(a)[1:, :2]).any()
+                    )
+                    for a in alg._lines_of(geo(b))
+                )
                 if len(seg_ok) < 8192:
                     seg_ok[b] = v
             return v

@@ -317,3 +317,54 @@ def test_mixed_batch_50k_scale_shape():
         assert bool(got_w[i]) == alg.within(lines[i], P), i
     # loose wall guard only to catch an accidental per-pair regression
     assert elapsed < 120, elapsed
+
+
+def test_refine_fn_lattice_sweep_incl_degenerate_lines():
+    """The join refine function (not just the kernels) agrees with the
+    scalar predicates over fp-adversarial lattice fixtures INCLUDING
+    degenerate zero-length 'lines' of identical points — those must route
+    to the scalar path (live-segment guard), where the batch kernel would
+    classify them as empty."""
+    from geomesa_spark.geom.wkb import to_wkb
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(1234)
+    bad = []
+    for step in (0.1, 0.7):
+        lines = []
+        while len(lines) < 25:
+            pts = rng.integers(0, 5, size=(int(rng.integers(2, 6)), 2)) * step - 1.0
+            g = from_wkt(
+                "LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+            )
+            if any(len(a) >= 2 for a in alg._lines_of(g)):
+                lines.append(g)
+        # force degenerate members (identical points)
+        lines.append(from_wkt(f"LINESTRING ({step:.10g} {step:.10g}, {step:.10g} {step:.10g})"))
+        polys = []
+        while len(polys) < 3:
+            x0, y0 = rng.integers(0, 3, 2) * step - 1.0
+            w, h = rng.integers(1, 4, 2) * step
+            polys.append(
+                from_wkt(
+                    f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+                    f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+                    f"{x0:.10g} {y0:.10g}))"
+                )
+            )
+        rights = polys + lines[:4]
+        for p in PREDICATES:
+            fn = _pairwise_predicate_fn(p)
+            ref = getattr(alg, p)
+            lw, rw, pairs = [], [], []
+            for lg in lines:
+                for R in rights:
+                    lw.append(bytes(to_wkb(lg)))
+                    rw.append(bytes(to_wkb(R)))
+                    pairs.append((lg, R))
+            got = fn(pd.Series(lw, dtype=object), pd.Series(rw, dtype=object))
+            got_rev = fn(pd.Series(rw, dtype=object), pd.Series(lw, dtype=object))
+            for (lg, R), g1, g2 in zip(pairs, got, got_rev):
+                if bool(g1) != ref(lg, R) or bool(g2) != ref(R, lg):
+                    bad.append((p, step))
+    assert not bad, bad[:5]
