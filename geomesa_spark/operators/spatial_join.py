@@ -279,6 +279,20 @@ def _pairwise_predicate_fn(predicate: str):
         # over whichever side carries the lines)
         mixed_groups: dict[tuple[str, bytes], list[int]] = {}
         seg_ok: dict[bytes, bool] = {}
+        area_ok: dict[bytes, bool] = {}
+
+        def pos_area(b):
+            # degenerate zero-area polygons (a point or segment dressed as
+            # a POLYGON) have empty interiors — the batch kernels' probe
+            # logic and the scalar relate disagree on them, so they take
+            # the scalar path (same posture as the lineal live-segment
+            # guard)
+            v = area_ok.get(b)
+            if v is None:
+                v = alg.area(geo(b)) > 0.0
+                if len(area_ok) < 8192:
+                    area_ok[b] = v
+            return v
 
         def has_segs(b):
             # require a LIVE (non-zero-length) segment: a LINESTRING of
@@ -316,20 +330,30 @@ def _pairwise_predicate_fn(predicate: str):
             if batchable:
                 lt = geo(lbytes[i]).gtype
                 rt = geo(rbytes[i]).gtype
-                if lt in areal_types and rt in areal_types:
+                if (
+                    lt in areal_types
+                    and rt in areal_types
+                    and pos_area(lbytes[i])
+                    and pos_area(rbytes[i])
+                ):
                     areal_groups.setdefault(rbytes[i], []).append(i)
                     continue
                 if (
                     lt in lineal_types
                     and has_segs(lbytes[i])
                     and (
-                        rt in areal_types
+                        (rt in areal_types and pos_area(rbytes[i]))
                         or (rt in lineal_types and has_segs(rbytes[i]))
                     )
                 ):
                     mixed_groups.setdefault(("l", rbytes[i]), []).append(i)
                     continue
-                if lt in areal_types and rt in lineal_types and has_segs(rbytes[i]):
+                if (
+                    lt in areal_types
+                    and pos_area(lbytes[i])
+                    and rt in lineal_types
+                    and has_segs(rbytes[i])
+                ):
                     mixed_groups.setdefault(("r", lbytes[i]), []).append(i)
                     continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))

@@ -368,3 +368,46 @@ def test_refine_fn_lattice_sweep_incl_degenerate_lines():
                 if bool(g1) != ref(lg, R) or bool(g2) != ref(R, lg):
                     bad.append((p, step))
     assert not bad, bad[:5]
+
+
+def test_refine_fn_degenerate_polygon_sweep():
+    """Zero-area 'polygons' (a point or segment dressed as a POLYGON) have
+    empty interiors — the areal batch kernels and the scalar relate
+    disagree on them, so they must route to the scalar path (positive-area
+    guard). Lattice rectangles with width/height 0 and collinear triangles
+    sweep all predicates through the refine function."""
+    from geomesa_spark.geom.wkb import to_wkb
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(77)
+    bad = []
+    for step in (0.1, 1.0):
+        polys = []
+        for _ in range(20):
+            x0, y0 = rng.integers(0, 4, 2) * step - 1.0
+            w, h = rng.integers(0, 3, 2) * step  # 0 width/height allowed
+            polys.append(
+                f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+                f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+                f"{x0:.10g} {y0:.10g}))"
+            )
+        for _ in range(6):
+            pts = rng.integers(0, 4, size=(3, 2)) * step - 1.0
+            ring = ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+            first = f"{pts[0][0]:.10g} {pts[0][1]:.10g}"
+            polys.append(f"POLYGON (({ring}, {first}))")
+        gs = [from_wkt(w) for w in polys]
+        for p in PREDICATES:
+            fn = _pairwise_predicate_fn(p)
+            ref = getattr(alg, p)
+            lw, rw, pairs = [], [], []
+            for a in gs:
+                for b in gs:
+                    lw.append(bytes(to_wkb(a)))
+                    rw.append(bytes(to_wkb(b)))
+                    pairs.append((a, b))
+            got = fn(pd.Series(lw, dtype=object), pd.Series(rw, dtype=object))
+            for (a, b), g1 in zip(pairs, got):
+                if bool(g1) != ref(a, b):
+                    bad.append((p, step))
+    assert not bad, bad[:5]
