@@ -456,8 +456,9 @@ def spatial_join(
     """Spatial join two DataFrames on an exact geometry predicate.
 
     Returns left columns + right columns (right ones suffixed `_r` on name
-    clash). `how`: inner | left_semi | left_anti (reference supports inner
-    only, SQLRules.scala:316).
+    clash). `how`: inner | left (outer, null right columns for unmatched
+    lefts) | left_semi | left_anti (the reference supports inner only,
+    SQLRules.scala:316).
     """
     if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches"):
         raise ValueError(f"unsupported predicate {predicate}")
@@ -586,6 +587,20 @@ def spatial_join(
         key = left_key or left.columns[0]
         keys = result.select(key).dropDuplicates()
         return left.join(keys, on=key, how=how)
+    if how == "left":
+        # left-outer: matching pairs + one null-right row per unmatched
+        # left (beyond the reference's inner-only join planner). The
+        # unmatched side is an anti join on the left key — no second
+        # spatial pass.
+        key = left_key or left.columns[0]
+        keys = result.select(key).dropDuplicates()
+        missing = left.join(keys, on=key, how="left_anti")
+        for f in result.schema.fields:
+            if f.name not in missing.columns:
+                missing = missing.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        return result.unionByName(missing.select(result.columns))
     raise ValueError(f"unsupported how={how}")
 
 

@@ -136,3 +136,39 @@ def test_salt_probe_tolerates_auto_shuffle_partitions(spark):
     assert _shuffle_partitions(spark) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_left_outer_spatial_join(spark):
+    """how='left': matching pairs plus exactly one null-right row per
+    unmatched left, with the inner rows identical to how='inner'."""
+    left = index_docs(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    _doc("in1", "POINT (1 1)"),
+                    _doc("in2", "POINT (1.5 1.5)"),
+                    _doc("out1", "POINT (50 50)"),
+                    _doc("out2", "POINT (-60 10)"),
+                ]
+            ),
+            schema=DOCS_SCHEMA,
+        )
+    )
+    right = index_docs(
+        spark.createDataFrame(
+            pd.DataFrame([_doc("R", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")]),
+            schema=DOCS_SCHEMA,
+        )
+    )
+    out = spatial_join(left, right, predicate="intersects", how="left", broadcast=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {"in1", "in2", "out1", "out2"}
+    assert out.count() == 4
+    assert rows["in1"].doc_id_r == "R" and rows["in2"].doc_id_r == "R"
+    assert rows["out1"].doc_id_r is None and rows["out2"].doc_id_r is None
+    inner = spatial_join(left, right, predicate="intersects", broadcast=True)
+    assert {(r.doc_id, r.doc_id_r) for r in inner.collect()} == {
+        ("in1", "R"), ("in2", "R"),
+    }
+    with pytest.raises(ValueError):
+        spatial_join(left, right, how="full")
