@@ -151,3 +151,37 @@ def test_distance_join_tiny_radius_near_pole(spark):
     }
     assert ("L0", "R0") in want and ("L2", "R2") in want  # non-vacuous
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("meters", [2_000_000.0, 11_000_000.0])
+def test_distance_join_large_radius_polar_regimes(spark, meters):
+    """Large radii exercise the polar sentinel paths hard: at 2,000 km many
+    rows are pole-touching; at 11,000 km d_deg >= 90 (a disc can span both
+    poles — every left collapses to one sentinel, every right emits both).
+    Brute parity AND no-duplicate-pairs in each regime."""
+    rng = np.random.default_rng(23)
+    n = 120
+    lon_l = rng.uniform(-180, 180, n)
+    lat_l = rng.uniform(-90, 90, n)
+    lon_r = rng.uniform(-180, 180, n)
+    lat_r = rng.uniform(-90, 90, n)
+    lat_l[:12] = rng.uniform(85, 90, 12)
+    lat_l[12:24] = rng.uniform(-90, -85, 12)
+    lat_r[:12] = rng.uniform(85, 90, 12)
+    lat_r[12:24] = rng.uniform(-90, -85, 12)
+    L = spark.createDataFrame(_mk("L", list(zip(lon_l, lat_l))))
+    R = spark.createDataFrame(_mk("R", list(zip(lon_r, lat_r))))
+    rows = [
+        (r.pid, r.r_pid)
+        for r in distance_join(L, R, meters).select("pid", "r_pid").collect()
+    ]
+    got = set(rows)
+    assert len(rows) == len(got), "duplicate pairs"
+    want = {
+        (f"L{i}", f"R{j}")
+        for i in range(n)
+        for j in range(n)
+        if haversine(lon_l[i], lat_l[i], lon_r[j], lat_r[j]) <= meters
+    }
+    assert len(want) > 100
+    assert got == want
