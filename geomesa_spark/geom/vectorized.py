@@ -717,6 +717,64 @@ def lineal_predicate_batch(
     raise ValueError(f"lineal_predicate_batch: unsupported predicate {predicate}")
 
 
+def multipoint_predicate_batch(
+    mps: list[Geometry],
+    other: Geometry,
+    predicate: str,
+    points_side: str = "left",
+) -> np.ndarray:
+    """Join predicates for a batch of MULTIPOINT geometries vs ONE areal or
+    lineal partner: every DE-9IM cell a 0-dim geometry contributes reduces
+    to counts of its member points locating interior/boundary/exterior of
+    the partner — ONE vectorized locate over the batch's concatenated
+    points. points_side="left" evaluates pred(mp_i, other);
+    points_side="right" evaluates pred(other, mp_i).
+
+    PRECONDITION: each multipoint has >= 1 point; partner non-degenerate
+    (the join's guards route everything else to the scalar kernel)."""
+    n = len(mps)
+    pts_parts, owners = [], []
+    for i, g in enumerate(mps):
+        p = alg._points_of(g)
+        pts_parts.append(p)
+        owners.append(np.full(len(p), i, dtype=np.int64))
+    P = np.concatenate(pts_parts) if pts_parts else np.empty((0, 2))
+    own = np.concatenate(owners) if owners else np.empty(0, dtype=np.int64)
+    has_int = np.zeros(n, dtype=bool)
+    has_bnd = np.zeros(n, dtype=bool)
+    has_ext = np.zeros(n, dtype=bool)
+    if len(P):
+        loc = locate_batch(P[:, 0], P[:, 1], other)
+        for code, acc in ((_INT, has_int), (_BND, has_bnd), (_EXT, has_ext)):
+            hit = loc == code
+            if hit.any():
+                np.logical_or.at(acc, own[hit], True)
+    inter = has_int | has_bnd
+    if predicate == "intersects":
+        return inter
+    if predicate == "touches":
+        # interiors disjoint but they meet: only boundary contacts
+        return ~has_int & has_bnd
+    if predicate == "crosses":
+        # dim(points)=0 < dim(partner): II and IE (point in interior AND
+        # point in exterior) — identical cells both directions
+        return has_int & has_ext
+    if points_side == "left":
+        if predicate == "within":
+            return has_int & ~has_ext
+        # contains/covers/overlaps: a 0-dim geometry never covers a 1/2-dim
+        # partner; overlaps needs equal dims
+        return np.zeros(n, dtype=bool)
+    # points_side == "right": pred(partner, mp_i)
+    if predicate == "contains":
+        return has_int & ~has_ext
+    if predicate == "covers":
+        return inter & ~has_ext
+    if predicate in ("within", "overlaps"):
+        return np.zeros(n, dtype=bool)
+    raise ValueError(f"multipoint_predicate_batch: unsupported {predicate}")
+
+
 def predicate_many(wkbs_a, wkbs_b, pred_name: str) -> np.ndarray:
     """Row-wise DE-9IM predicate over two WKB sequences; object array with
     None for null inputs (reference nullableUDF semantics)."""

@@ -39,6 +39,7 @@ from ..geom.vectorized import (
     areal_within_batch,
     lineal_predicate_batch,
     locate_batch,
+    multipoint_predicate_batch,
     points_from_wkb,
     points_in_polygon,
 )
@@ -315,6 +316,12 @@ def _pairwise_predicate_fn(predicate: str):
             "intersects", "contains", "within", "covers",
             "overlaps", "touches", "crosses",
         )
+
+        def _mp_partner_ok(pb, pt_type):
+            return (pt_type in areal_types and pos_area(pb)) or (
+                pt_type in lineal_types and has_segs(pb)
+            )
+
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
@@ -356,17 +363,40 @@ def _pairwise_predicate_fn(predicate: str):
                 ):
                     mixed_groups.setdefault(("r", lbytes[i]), []).append(i)
                     continue
+                # MULTIPOINT vs areal/lineal: one vectorized locate over
+                # the member points decides every predicate
+                if (
+                    lt == gcore.MULTIPOINT
+                    and len(alg._points_of(geo(lbytes[i])))
+                    and _mp_partner_ok(rbytes[i], rt)
+                ):
+                    mixed_groups.setdefault(("pl", rbytes[i]), []).append(i)
+                    continue
+                if (
+                    rt == gcore.MULTIPOINT
+                    and len(alg._points_of(geo(rbytes[i])))
+                    and _mp_partner_ok(lbytes[i], lt)
+                ):
+                    mixed_groups.setdefault(("pr", lbytes[i]), []).append(i)
+                    continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
         for (side, key), idxs in mixed_groups.items():
-            lines = [
-                geo(lbytes[i] if side == "l" else rbytes[i]) for i in idxs
-            ]
-            verdict = lineal_predicate_batch(
-                lines,
-                geo(key),
-                predicate,
-                lineal_side="left" if side == "l" else "right",
-            )
+            batch_src = lbytes if side in ("l", "pl") else rbytes
+            members = [geo(batch_src[i]) for i in idxs]
+            if side in ("l", "r"):
+                verdict = lineal_predicate_batch(
+                    members,
+                    geo(key),
+                    predicate,
+                    lineal_side="left" if side == "l" else "right",
+                )
+            else:
+                verdict = multipoint_predicate_batch(
+                    members,
+                    geo(key),
+                    predicate,
+                    points_side="left" if side == "pl" else "right",
+                )
             for k, i in enumerate(idxs):
                 out[i] = bool(verdict[k])
         for rb_key, idxs in areal_groups.items():

@@ -411,3 +411,61 @@ def test_refine_fn_degenerate_polygon_sweep():
                 if bool(g1) != ref(a, b):
                     bad.append((p, step))
     assert not bad, bad[:5]
+
+
+def test_refine_fn_multipoint_sweep():
+    """MULTIPOINT vs areal/lineal partners batch through ONE vectorized
+    locate over member points (multipoint_predicate_batch) — parity vs the
+    scalar kernel on lattice fixtures, both directions, all predicates."""
+    from geomesa_spark.geom.wkb import to_wkb
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(55)
+    bad = []
+    for step in (0.5, 0.7):
+        mps = []
+        for _ in range(25):
+            k = int(rng.integers(1, 6))
+            pts = rng.integers(0, 5, size=(k, 2)) * step - 1.0
+            mps.append(
+                from_wkt(
+                    "MULTIPOINT ("
+                    + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+                    + ")"
+                )
+            )
+        partners = []
+        for _ in range(4):
+            x0, y0 = rng.integers(0, 3, 2) * step - 1.0
+            w, h = rng.integers(1, 4, 2) * step
+            partners.append(
+                from_wkt(
+                    f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+                    f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+                    f"{x0:.10g} {y0:.10g}))"
+                )
+            )
+        for _ in range(3):
+            pts = rng.integers(0, 5, size=(3, 2)) * step - 1.0
+            partners.append(
+                from_wkt(
+                    "LINESTRING ("
+                    + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+                    + ")"
+                )
+            )
+        for p in PREDICATES:
+            fn = _pairwise_predicate_fn(p)
+            ref = getattr(alg, p)
+            lw, rw, pairs = [], [], []
+            for a in mps:
+                for b in partners:
+                    lw.append(bytes(to_wkb(a)))
+                    rw.append(bytes(to_wkb(b)))
+                    pairs.append((a, b))
+            got = fn(pd.Series(lw, dtype=object), pd.Series(rw, dtype=object))
+            got_rev = fn(pd.Series(rw, dtype=object), pd.Series(lw, dtype=object))
+            for (a, b), g1, g2 in zip(pairs, got, got_rev):
+                if bool(g1) != ref(a, b) or bool(g2) != ref(b, a):
+                    bad.append((p, step))
+    assert not bad, bad[:5]
