@@ -166,6 +166,9 @@ def run_queries(spark) -> dict[str, float]:
         "ann_join_topk",
         "ann_join_lsh_topk",
         "tile_pyramid",
+        "tile_render_png",
+        "tube_select_corridor",
+        "route_bearing",
         "attr_bbox_filter",
         "convexhull_by_type",
     ]
