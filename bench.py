@@ -89,30 +89,86 @@ def synth_join_job(spark, n_docs: int, n_polys: int) -> tuple[int, float]:
     return n_docs, dt
 
 
-def ann_join_synth_job(spark, n_corpus: int = 200_000, n_queries: int = 1_000) -> float:
+def ann_join_synth_job(spark, n_corpus: int = 200_000, n_queries: int = 1_000,
+                       stages: dict | None = None) -> float:
     """Batch-ANN scale probe: 200k synthetic 64-dim vectors x 1k queries
     through the IVF cell equi-join (k=10, nprobe=4, 64-centroid literal
     codebook). The gate embeddings table is only 500 rows; this measures
     the operator at a shape where the matmuls and the cell shuffle
-    actually dominate."""
+    actually dominate.
+
+    When `stages` is passed, sub-stage wall times are recorded into it
+    BEFORE the measured end-to-end run (synth = generate+count both sides,
+    assign = corpus IVF cell assignment only), so the next regression
+    decomposes from the JSON without a bisection (VERDICT r5 #5). The
+    headline time remains the untouched full-pipeline run."""
     from pyspark.sql import functions as F
 
     from geomesa_spark.operators.similarity import (
         ann_join,
+        ivf_assign_udf,
         random_codebook,
         synth_embeddings,
     )
+
+    C = random_codebook(64, 64, seed=7)
+    if stages is not None:
+        t = time.time()
+        synth_embeddings(spark, n_corpus).count()
+        synth_embeddings(spark, n_queries, partitions=8).count()
+        stages.setdefault("synth", []).append(round(time.time() - t, 3))
+        t = time.time()
+        synth_embeddings(spark, n_corpus).select(
+            ivf_assign_udf(C)(F.col("embedding")).alias("_cell")
+        ).filter(F.col("_cell").isNotNull()).count()
+        stages.setdefault("assign", []).append(round(time.time() - t, 3))
 
     t0 = time.time()
     corpus = synth_embeddings(spark, n_corpus)
     queries = synth_embeddings(spark, n_queries, partitions=8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    C = random_codebook(64, 64, seed=7)
     out = ann_join(corpus, queries, k=10, nprobe=4, centroids=C)
     n = out.count()
     assert n == 10 * n_queries, n
     return time.time() - t0
+
+
+def mixed_dim_synth_job(spark, n_lines: int = 200_000, n_polys: int = 5_000) -> float:
+    """Mixed-dimension join scale probe: 200k synthetic 4-vertex LINESTRINGs
+    x ~5k polygons, INTERSECTS, through the grid join + batched lineal
+    refine (geom/vectorized.lineal_predicate_batch) — the round-5 refactor's
+    recorded scale number (VERDICT r5 #3). Same persist-then-join shape as
+    the headline synth_join."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.spatial_join import spatial_join
+    from geomesa_spark.sources.docs import (
+        index_docs,
+        synth_docs_distributed,
+        synth_lines_distributed,
+    )
+
+    t0 = time.time()
+    cpus = spark.sparkContext.defaultParallelism
+    lines = index_docs(
+        synth_lines_distributed(spark, n_lines, partitions=max(8, cpus))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lines.count()
+    polys = index_docs(
+        synth_docs_distributed(spark, n_polys * 10, partitions=8).filter(
+            F.col("doc_id").substr(-1, 1) == "3"  # keep the polygon rows
+        )
+    ).cache()
+    polys.count()
+    joined = spatial_join(lines, polys, predicate="intersects", bits=6, salt=8)
+    n = joined.count()
+    dt = time.time() - t0
+    lines.unpersist()
+    polys.unpersist()
+    assert n > 0, "mixed-dim probe join must be non-trivial"
+    return dt
 
 
 def minhash_synth_job(spark, n_docs: int = 100_000) -> float:
@@ -132,7 +188,7 @@ def minhash_synth_job(spark, n_docs: int = 100_000) -> float:
     return time.time() - t0
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -182,11 +238,13 @@ def run_queries(spark) -> dict[str, float]:
     qs["spatial_pip_filter"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
-    # best-of-2 for every heavy query: this host's bursty CPU steal makes a
-    # single timing undecidable (the same query has measured 2x apart within
-    # one session, BENCH.md). Any query whose first run exceeds 2 s is run
-    # again and the min reported; both raw times land in query_runs so a
-    # regression vs a tenancy spike is decidable from the JSON alone.
+    # SELF-DECIDING timings under CPU steal (VERDICT r5 #2/#4): every query
+    # over 0.5 s runs at least twice, and when the two runs disagree by more
+    # than 1.5x a third run is taken — the reported number is the min over
+    # at least one plausible tenancy window. ALL raw runs land in
+    # query_runs so a regression vs a steal spike is decidable from the
+    # JSON alone; the session-level weather index (calibration job spread,
+    # recorded by main) separates hostile sessions from engine changes.
     out: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
@@ -195,40 +253,73 @@ def run_queries(spark) -> dict[str, float]:
         job()
         return round(time.time() - t0, 3)
 
+    def best_of(job, min_sec: float = 0.5, spread: float = 1.5, max_runs: int = 3):
+        ts = [timed(job)]
+        while (
+            len(ts) < max_runs
+            and ts[-1] > min_sec
+            and (len(ts) < 2 or max(ts) / max(min(ts), 1e-9) > spread)
+        ):
+            ts.append(timed(job))
+        return ts
+
     for name in names:
         def job(name=name):
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-        t1 = timed(job)
-        if t1 > 2.0:
-            t2 = timed(job)
-            runs[name] = [t1, t2]
-            out[name] = min(t1, t2)
-        else:
-            out[name] = t1
+        ts = best_of(job)
+        if len(ts) > 1:
+            runs[name] = ts
+        out[name] = min(ts)
+
+    ann_stages: dict[str, float] = {}
     for probe_name, probe in (
-        ("ann_join_synth_200k", ann_join_synth_job),
+        ("ann_join_synth_200k", lambda s: ann_join_synth_job(s, stages=ann_stages)),
         ("minhash_synth_100k", minhash_synth_job),
+        ("mixed_dim_synth", mixed_dim_synth_job),
     ):
-        t1 = round(probe(spark), 3)
-        t2 = round(probe(spark), 3)
-        runs[probe_name] = [t1, t2]
-        out[probe_name] = min(t1, t2)
+        ts = [round(probe(spark), 3), round(probe(spark), 3)]
+        if max(ts) / max(min(ts), 1e-9) > 1.5:
+            ts.append(round(probe(spark), 3))
+        runs[probe_name] = ts
+        out[probe_name] = min(ts)
+    runs["ann_join_synth_200k_stages"] = ann_stages
     return out, runs
+
+
+def calibration_job(spark) -> float:
+    """Fixed tiny JVM job (range + hash agg over 8M longs, one shuffle):
+    its wall time is dominated by available CPU, so the spread across the
+    session's calibration runs is a direct tenancy ("weather") index —
+    quiet session ~1.0-1.2x, hostile windows have measured >2x."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 8_000_000, 1, 32).select(
+        F.sum((F.col("id") * 2654435761) % 1000003)
+    ).collect()
+    return round(time.time() - t0, 3)
 
 
 def main():
     scaling = "--scaling" in sys.argv
     spark = make_spark(CPUS)
+    weather = [calibration_job(spark), calibration_job(spark)]
     queries, query_runs = run_queries(spark)
-    # headline is best-of-2: this sandbox is a shared VM with bursty CPU
+    weather.append(calibration_job(spark))
+    # headline is best-of-k: this sandbox is a shared VM with bursty CPU
     # steal (identical runs vary up to ~2x, BENCH.md controls); the best of
-    # two back-to-back runs measures the ENGINE, not a tenancy spike. Both
-    # raw times are reported.
+    # back-to-back runs measures the ENGINE, not a tenancy spike — a third
+    # run is taken when the first two disagree >1.5x. All raw times are
+    # reported.
     join_times = []
     for _ in range(2):
         n_docs, t = synth_join_job(spark, N_DOCS, N_POLYS)
         join_times.append(round(t, 3))
+    if max(join_times) / max(min(join_times), 1e-9) > 1.5:
+        n_docs, t = synth_join_job(spark, N_DOCS, N_POLYS)
+        join_times.append(round(t, 3))
+    weather.append(calibration_job(spark))
     t_join = min(join_times)
     queries["synth_join"] = t_join
     docs_per_sec = n_docs / t_join
@@ -242,6 +333,11 @@ def main():
         "n_docs": n_docs,
         "synth_join_runs": join_times,
         "query_runs": query_runs,
+        # tenancy weather: calibration-job times at session start, mid
+        # (after the gate queries), and end; spread >~1.5 marks a session
+        # whose absolute numbers should not be compared across rounds
+        "weather_runs": weather,
+        "weather_spread": round(max(weather) / max(min(weather), 1e-9), 2),
     }
     spark.stop()
 

@@ -460,3 +460,49 @@ def synth_docs_distributed(spark: SparkSession, n: int, partitions: int = 32) ->
     return df.select(
         F.format_string("doc-%08d", F.col("i")).alias("doc_id"), spans.alias("spans")
     )
+
+
+def synth_lines_distributed(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
+    """Deterministic interleaved-docs synthesis with LINESTRING geo spans —
+    the mixed-dimension join scale probe's line side (4-vertex zigzags of
+    ~0.3-1.2 deg extent). Same pure-Column construction as
+    synth_docs_distributed: no driver loop, scales with executors."""
+    df = spark.range(0, n, 1, partitions).withColumnRenamed("id", "i")
+    # base vertex confined to [-178, 178) x [-88, 88) so the <=0.6-deg steps
+    # never leave the valid lon/lat domain (no clamping branch in the plan)
+    lon = (F.col("i") * 6271 % 356000) / 1000.0 - 178.0
+    lat = (F.col("i") * 104729 % 176000) / 1000.0 - 88.0
+    dx1 = ((F.col("i") * 13 % 120) - 60) / 100.0   # [-0.6, 0.6)
+    dy1 = ((F.col("i") * 17 % 120) - 60) / 100.0
+    dx2 = ((F.col("i") * 19 % 120) - 60) / 100.0
+    dy2 = ((F.col("i") * 23 % 120) - 60) / 100.0
+    dx3 = ((F.col("i") * 29 % 120) - 60) / 100.0
+    dy3 = ((F.col("i") * 31 % 120) - 60) / 100.0
+    wkt = F.format_string(
+        "LINESTRING (%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f)",
+        lon, lat,
+        lon + dx1, lat + dy1,
+        lon + dx1 + dx2, lat + dy1 + dy2,
+        lon + dx1 + dx2 + dx3, lat + dy1 + dy2 + dy3,
+    )
+    ts = F.timestamp_seconds(F.lit(1451606400) + (F.col("i") * 48271 % 2678400))
+    iso = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.format_string("track %d body", F.col("i")).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("geo").alias("kind"), wkt.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("time").alias("kind"), iso.alias("text"),
+            F.lit("").alias("media_ref"), F.lit(2).alias("offset"),
+        ),
+    )
+    return df.select(
+        F.format_string("line-%08d", F.col("i")).alias("doc_id"), spans.alias("spans")
+    )
