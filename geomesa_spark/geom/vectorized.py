@@ -557,21 +557,32 @@ def _classify_lineal_batch(lines: list[Geometry], other: Geometry) -> dict:
                     pt_parts.append(np.clip(tt[si, ei], 0.0, 1.0))
     ps = np.concatenate(ps_parts)
     pt = np.concatenate(pt_parts)
-    keep = (pt > 1e-12) & (pt < 1 - 1e-12)
-    ps, pt = ps[keep], pt[keep]
     if len(ps):
         uniq = np.unique(np.stack([ps.astype(np.float64), pt], axis=1), axis=0)
         ps = uniq[:, 0].astype(np.int64)
         pt = uniq[:, 1]
-        # merge near-equal params within a segment (scalar _seg_params rule):
-        # one crossing can split a segment twice at ulp-different t — the
-        # micro-subsegment between them would classify as a spurious contact
+        # merge near-equal params within a segment against the LAST KEPT
+        # param (the scalar _seg_params rule: the chain t, t+1e-12, t+2e-12
+        # keeps {t, t+2e-12}); adjacent-pair differencing would collapse the
+        # whole chain to {t} — a by-construction batch-vs-scalar divergence
+        # (ADVICE r5). The python walk only runs over batches that actually
+        # contain sub-eps-adjacent params — rare.
         if len(ps) > 1:
-            keep2 = np.ones(len(ps), dtype=bool)
-            keep2[1:] = ~(
-                (ps[1:] == ps[:-1]) & ((pt[1:] - pt[:-1]) <= 1e-12)
-            )
-            ps, pt = ps[keep2], pt[keep2]
+            close = (ps[1:] == ps[:-1]) & ((pt[1:] - pt[:-1]) <= 1e-12)
+            if close.any():
+                keep2 = np.ones(len(ps), dtype=bool)
+                last_s, last_t = ps[0], pt[0]
+                for i in range(1, len(ps)):
+                    if ps[i] == last_s and pt[i] - last_t <= 1e-12:
+                        keep2[i] = False
+                    else:
+                        last_s, last_t = ps[i], pt[i]
+                ps, pt = ps[keep2], pt[keep2]
+        # endpoint filter AFTER the merge, matching the scalar's order: a
+        # kept param at t <= 1e-12 absorbs its sub-eps neighbors before
+        # being dropped itself
+        keep = (pt > 1e-12) & (pt < 1 - 1e-12)
+        ps, pt = ps[keep], pt[keep]
 
     # ---- sub-segment midpoints (0/1 sentinels + sorted interior splits)
     allseg = np.concatenate([np.arange(nseg), np.arange(nseg), ps])

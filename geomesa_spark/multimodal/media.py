@@ -171,16 +171,34 @@ def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content")
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real resize needs an imaging library. The fake path rewrites the
-    header dims (exercises binary-out UDF plumbing)."""
+    """Resize image blobs. PNG content is REALLY resized: decode via the
+    pure-python codec, nearest-neighbor resample, re-encode — output blobs
+    are valid PNGs at the new dimensions (previously this path prepended the
+    fake-format header onto the PNG tail, emitting a corrupt hybrid,
+    ADVICE r5). The synthetic fake-format path rewrites its header dims
+    (exercises binary-out UDF plumbing); other real formats (JPEG...) raise
+    NotImplementedError from _parse_header as before."""
     out_schema = df.schema
 
     def run(batches):
+        from .png import PNG_SIGNATURE, decode_png, encode_png
+
         for pdf in batches:
             out = []
             for b in pdf["content"]:
-                w, h, seed = _parse_header(bytes(b))
-                out.append(_MAGIC + struct.pack("<III", width, height, seed) + bytes(b)[20:])
+                bb = bytes(b)
+                if bb.startswith(PNG_SIGNATURE):
+                    w, h, px = decode_png(bb)
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    yi = np.minimum(np.arange(height) * h // height, h - 1)
+                    xi = np.minimum(np.arange(width) * w // width, w - 1)
+                    out.append(encode_png(px[yi][:, xi]))
+                else:
+                    w, h, seed = _parse_header(bb)
+                    out.append(
+                        _MAGIC + struct.pack("<III", width, height, seed) + bb[20:]
+                    )
             pdf["content"] = out
             pdf["width"] = width
             pdf["height"] = height

@@ -489,6 +489,15 @@ def spatial_join(
     clash). `how`: inner | left (outer, null right columns for unmatched
     lefts) | left_semi | left_anti (the reference supports inner only,
     SQLRules.scala:316).
+
+    `left_key` (default: the left DataFrame's first column) MUST be
+    row-unique on the left side for `how` = left / left_semi / left_anti:
+    those modes identify (un)matched left rows by an equi-(anti-)join on
+    this key, so a non-matching left row that SHARES a key with any
+    matching row is treated as matched (silently dropped from `left`'s
+    output, in the outer case). Deduplicate the left side or pass a truly
+    identifying column; the engine does not scan for duplicates because
+    that would cost a count-distinct pass over the full left input.
     """
     if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches"):
         raise ValueError(f"unsupported predicate {predicate}")
