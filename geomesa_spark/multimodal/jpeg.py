@@ -1,0 +1,616 @@
+"""Pure-python baseline JPEG codec (decode + test-grade encode).
+
+Clean-room implementation of baseline DCT JPEG from the public ITU-T T.81
+spec: SOF0 (baseline sequential, 8-bit), Huffman entropy coding, 1- or
+3-component scans, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
+restart intervals, 8- and 16-bit quantization tables. Progressive (SOF2),
+arithmetic coding, and 12-bit precision raise NotImplementedError with a
+clear message — honest failure, never silent corruption.
+
+Like the sibling PNG codec (png.py), this closes the "real media decode
+without an imaging library" gap for the second major raster format: the
+environment has no Pillow, and JPEG is the dominant format for real photo
+corpora. Decoding is numpy-vectorized where it counts (dequant + IDCT +
+upsample + color convert run as whole-plane array ops); only the Huffman
+symbol walk is per-symbol python, accelerated by a 16-bit lookahead table.
+
+The encoder exists to make decode testable end-to-end in this environment
+(roundtrips, subsampling, restart markers) and to keep resize_image honest
+for JPEG input; it emits spec Annex K Huffman tables and supports 4:4:4
+and 4:2:0. JPEG is lossy: roundtrip tests assert bounded error, exactness
+only where the math is exact (flat blocks, all-ones quant tables).
+
+Reference parity note: media decode is out of GeoMesa's scope entirely —
+this module serves the north-rule multimodal surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg", "JPEG_SIGNATURE"]
+
+JPEG_SIGNATURE = b"\xff\xd8\xff"
+
+# zigzag scan order: raster index of each successive zigzag position (T.81 fig 5)
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8x8 DCT-II basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); orthonormal,
+# so forward F = M B M^T and inverse B = M^T F M
+_x = np.arange(8)
+_M = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
+_M[0, :] /= np.sqrt(2.0)
+
+# ---- spec Annex K Huffman tables (BITS counts per code length 1..16, HUFFVAL)
+
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# spec Annex K quantization tables (quality-50 base, luminance / chrominance)
+_QT_L = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_C = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-style quality scaling of the Annex K tables (raster order)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QT_L * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QT_C * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+# ------------------------------------------------------------------ decoding
+
+
+def _build_lut(bits: list[int], vals: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical Huffman -> 16-bit lookahead table: peek 16 bits, one array
+    index gives (symbol, code length)."""
+    lut_sym = np.full(1 << 16, -1, dtype=np.int32)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for L in range(1, 17):
+        for _ in range(bits[L - 1]):
+            sym = vals[k]
+            k += 1
+            lo = code << (16 - L)
+            hi = (code + 1) << (16 - L)
+            lut_sym[lo:hi] = sym
+            lut_len[lo:hi] = L
+            code += 1
+        if code > (1 << L) - 1 + (1 if L < 16 else 0):
+            raise ValueError("over-subscribed Huffman table")
+        code <<= 1
+    return lut_sym, lut_len
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy bytes."""
+
+    __slots__ = ("d", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\x00\x00\x00"  # peek16 never runs off the end
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        sh = self.pos & 7
+        v = int.from_bytes(self.d[byte : byte + 3], "big")
+        return (v >> (8 - sh)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_scan_segment(br, order, luts, qts, preds, coef_sink):
+    """One restart segment: MCU-ordered block coefficient decode."""
+    for comp_i, bidx in order:
+        dc_sym, dc_len, ac_sym, ac_len = luts[comp_i]
+        block = np.zeros(64, dtype=np.int32)
+        # DC
+        v = br.peek16()
+        s = dc_sym[v]
+        if s < 0:
+            raise ValueError("corrupt JPEG: bad DC Huffman code")
+        br.skip(int(dc_len[v]))
+        diff = _extend(br.get(int(s)), int(s))
+        preds[comp_i] += diff
+        block[0] = preds[comp_i]
+        # AC
+        k = 1
+        while k < 64:
+            v = br.peek16()
+            rs = ac_sym[v]
+            if rs < 0:
+                raise ValueError("corrupt JPEG: bad AC Huffman code")
+            br.skip(int(ac_len[v]))
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            block[_ZZ[k]] = _extend(br.get(s), s)
+            k += 1
+        coef_sink[comp_i][bidx] = block
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode baseline JPEG bytes -> (width, height, pixels uint8).
+
+    pixels is (h, w) for grayscale scans and (h, w, 3) RGB (JFIF YCbCr
+    convention) for 3-component scans."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        m = data[i + 1]
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        (L,) = struct.unpack_from(">H", data, i + 2)
+        seg = data[i + 4 : i + 2 + L]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                full = np.zeros(64, dtype=np.int64)
+                full[_ZZ] = tbl  # stored zigzag -> raster
+                qt[tq] = full
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _build_lut(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / extended sequential)
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision unsupported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if m == 0xC2 else f"SOF{m - 0xC0}"
+            raise NotImplementedError(
+                f"only baseline sequential JPEG is supported (got {kind})"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp_i = next(
+                    j for j, cc in enumerate(frame["comps"]) if cc["id"] == cs
+                )
+                scomps.append((comp_i, tdta >> 4, tdta & 15))
+            ent_start = i + 2 + L
+            return _decode_entropy(
+                data, ent_start, frame, scomps, qt, huff, restart_interval
+            )
+        i += 2 + L
+    raise ValueError("no scan found")
+
+
+def _decode_entropy(data, start, frame, scomps, qt, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    # split entropy data into restart segments, destuffing each
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    # per-component (n_blocks, 64) coefficient stores + MCU block order
+    luts = {}
+    for comp_i, td, ta in scomps:
+        dc_sym, dc_len = huff[(0, td)]
+        ac_sym, ac_len = huff[(1, ta)]
+        luts[comp_i] = (dc_sym, dc_len, ac_sym, ac_len)
+    per_mcu = []  # [(comp_i, by, bx)] template within one MCU
+    for comp_i, _, _ in scomps:
+        c = comps[comp_i]
+        for by in range(c["v"]):
+            for bx in range(c["h"]):
+                per_mcu.append((comp_i, by, bx))
+    coef = {
+        comp_i: np.zeros(
+            (mcuy * comps[comp_i]["v"] * mcux * comps[comp_i]["h"], 64),
+            dtype=np.int32,
+        )
+        for comp_i, _, _ in scomps
+    }
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = {comp_i: 0 for comp_i, _, _ in scomps}
+    mcu_in_seg = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu_in_seg == restart_interval:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {k: 0 for k in preds}
+            mcu_in_seg = 0
+        my, mx = divmod(mcu, mcux)
+        order = []
+        for comp_i, by, bx in per_mcu:
+            c = comps[comp_i]
+            row = my * c["v"] + by
+            col = mx * c["h"] + bx
+            order.append((comp_i, row * (mcux * c["h"]) + col))
+        _decode_scan_segment(br, order, luts, qt, preds, coef)
+        mcu_in_seg += 1
+
+    # vectorized dequant + IDCT + assembly per component
+    planes = []
+    for comp_i, _, _ in scomps:
+        c = comps[comp_i]
+        q = qt[c["tq"]]
+        F = (coef[comp_i] * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
+        B = np.einsum("ur,nuv,vc->nrc", _M, F, _M, optimize=True)
+        px = np.clip(np.round(B) + 128, 0, 255).astype(np.uint8)
+        bw = mcux * c["h"]  # blocks per row
+        bh = mcuy * c["v"]
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution (pixel replication, JFIF-style)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return w, h, planes[0]
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component scan unsupported")
+    Y, Cb, Cr = (p.astype(np.float64) for p in planes)
+    R = Y + 1.402 * (Cr - 128.0)
+    G = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    Bl = Y + 1.772 * (Cb - 128.0)
+    rgb = np.clip(np.round(np.stack([R, G, Bl], axis=-1)), 0, 255).astype(np.uint8)
+    return w, h, rgb
+
+
+# ------------------------------------------------------------------ encoding
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def put(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nb += n
+        while self.nb >= 8:
+            b = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nb -= 8
+        self.acc &= (1 << self.nb) - 1
+
+    def flush(self) -> None:
+        if self.nb:
+            self.put(0x7F, 7 - ((self.nb - 1) % 8) + 1)  # pad with 1s
+        self.nb = 0
+        self.acc = 0
+
+
+def _codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    table = {}
+    code = 0
+    k = 0
+    for L in range(1, 17):
+        for _ in range(bits[L - 1]):
+            table[vals[k]] = (code, L)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """value -> (size, encoded magnitude bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_block(bw, block, qtbl, dc_codes, ac_codes, pred):
+    F = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    q = np.round(F.reshape(64) / qtbl).astype(np.int64)
+    zz = q[_ZZ]
+    diff = int(zz[0]) - pred
+    s, bitsv = _mag(diff)
+    c, L = dc_codes[s]
+    bw.put(c, L)
+    bw.put(bitsv, s)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, L = ac_codes[0xF0]  # ZRL
+            bw.put(c, L)
+            run -= 16
+        s, bitsv = _mag(v)
+        c, L = ac_codes[(run << 4) | s]
+        bw.put(c, L)
+        bw.put(bitsv, s)
+        run = 0
+    if last < 63:
+        c, L = ac_codes[0x00]  # EOB
+        bw.put(c, L)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: str = "4:4:4",
+    restart_interval: int = 0,
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as baseline
+    JPEG. `subsample`: '4:4:4' or '4:2:0' (3-component only).
+    `quant_tables`: optional (luma, chroma) raster-order 64-entry arrays —
+    pass all-ones tables for near-lossless roundtrip tests."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if quant_tables is not None:
+        ql = np.asarray(quant_tables[0], dtype=np.int64).reshape(64)
+        qc = np.asarray(quant_tables[1], dtype=np.int64).reshape(64)
+    else:
+        ql, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = px.astype(np.float64)
+        R, G, B = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = -0.168736 * R - 0.331264 * G + 0.5 * B + 128.0
+        Cr = 0.5 * R - 0.418688 * G - 0.081312 * B + 128.0
+        if subsample == "4:2:0":
+            samps = [(2, 2), (1, 1), (1, 1)]
+
+            def _down(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+                return (
+                    pp.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+                )
+
+            planes = [Y, _down(Cb), _down(Cr)]
+        elif subsample == "4:4:4":
+            samps = [(1, 1), (1, 1), (1, 1)]
+            planes = [Y, Cb, Cr]
+        else:
+            raise NotImplementedError(f"subsample {subsample}")
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pad each plane to its MCU-aligned block grid (edge padding)
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(
+            p,
+            ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+            mode="edge",
+        )
+        padded.append(np.clip(np.round(pp), 0, 255))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    # DQT (zigzag order on the wire)
+    for tq, tbl in ((0, ql),) + (() if gray else ((1, qc),)):
+        zz = tbl[_ZZ]
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([tq])
+        out += bytes(int(v) for v in zz)
+    # SOF0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tables = [(0, 0, _DC_L_BITS, _DC_L_VALS), (1, 0, _AC_L_BITS, _AC_L_VALS)]
+    if not gray:
+        tables += [(0, 1, _DC_C_BITS, _DC_C_VALS), (1, 1, _AC_C_BITS, _AC_C_VALS)]
+    for tc, th, bits, vals in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for ci in range(nc):
+        td_ta = 0 if (gray or ci == 0) else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _codes(_DC_L_BITS, _DC_L_VALS)
+    ac_l = _codes(_AC_L_BITS, _AC_L_VALS)
+    dc_c = _codes(_DC_C_BITS, _DC_C_VALS)
+    ac_c = _codes(_AC_C_BITS, _AC_C_VALS)
+    comp_codes = [
+        (dc_l, ac_l) if (gray or ci == 0) else (dc_c, ac_c) for ci in range(nc)
+    ]
+    comp_q = [ql if qsel[ci] == 0 else qc for ci in range(nc)]
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    mcu_in_seg = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu_in_seg == restart_interval:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * nc
+            mcu_in_seg = 0
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            sh, sv = samps[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    r0 = (my * sv + by) * 8
+                    c0 = (mx * sh + bx) * 8
+                    block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                    preds[ci] = _encode_block(
+                        bw, block, comp_q[ci], *comp_codes[ci], preds[ci]
+                    )
+        mcu_in_seg += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -99,14 +99,24 @@ def _parse_header(content: bytes) -> tuple[int, int, int]:
 
                 w, h, px = decode_png(bytes(content))
                 return w, h, zlib.crc32(px.tobytes())
+            if content.startswith(b"\xff\xd8"):
+                # real baseline-JPEG codec, pure numpy (multimodal/jpeg.py;
+                # progressive/arithmetic raise NotImplementedError cleanly)
+                import zlib
+
+                from .jpeg import decode_jpeg
+
+                w, h, px = decode_jpeg(bytes(content))
+                return w, h, zlib.crc32(px.tobytes())
             real = _pil_decode(content)
             if real is not None:
                 return real
         raise NotImplementedError(
-            "real media decoding beyond PNG requires an image library "
-            "(Pillow) not present in this environment — when installed, "
-            "_pil_decode handles JPEG and other formats transparently; "
-            "PNG decodes via the pure-python codec (multimodal/png.py)"
+            "real media decoding beyond PNG and baseline JPEG requires an "
+            "image library (Pillow) not present in this environment — when "
+            "installed, _pil_decode handles other formats transparently; "
+            "PNG and baseline JPEG decode via the pure-python codecs "
+            "(multimodal/png.py, multimodal/jpeg.py)"
         )
     w, h, seed = struct.unpack_from("<III", content, len(_MAGIC))
     return w, h, seed
@@ -134,7 +144,9 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                     ws.append(w)
                     hs.append(h)
                     cks.append(int(np.int64(seed * 2654435761 % (1 << 31))))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # unsupported format OR corrupt bytes -> null metadata;
+                    # at 100 TB one bad blob must never kill the job
                     ws.append(None)
                     hs.append(None)
                     cks.append(None)
@@ -162,7 +174,7 @@ def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content")
                     v = rng.normal(0, 1, dim).astype(np.float32)
                     v /= np.linalg.norm(v)
                     feats.append([float(x) for x in v])
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     feats.append(None)
             pdf["features"] = feats
             yield pdf
@@ -171,16 +183,25 @@ def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content")
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize image blobs. PNG content is REALLY resized: decode via the
-    pure-python codec, nearest-neighbor resample, re-encode — output blobs
-    are valid PNGs at the new dimensions (previously this path prepended the
-    fake-format header onto the PNG tail, emitting a corrupt hybrid,
-    ADVICE r5). The synthetic fake-format path rewrites its header dims
-    (exercises binary-out UDF plumbing); other real formats (JPEG...) raise
-    NotImplementedError from _parse_header as before."""
+    """Resize image blobs. PNG and baseline-JPEG content are REALLY
+    resized: decode via the pure-python codecs, nearest-neighbor resample,
+    re-encode — output blobs are valid files of the same format at the new
+    dimensions (previously the PNG path prepended the fake-format header
+    onto the PNG tail, emitting a corrupt hybrid, ADVICE r5). The synthetic
+    fake-format path rewrites its header dims (exercises binary-out UDF
+    plumbing); other real formats raise NotImplementedError from
+    _parse_header as before."""
     out_schema = df.schema
 
+    def _nn(px, h, w):
+        if px.ndim == 2:
+            px = px[:, :, None]
+        yi = np.minimum(np.arange(height) * h // height, h - 1)
+        xi = np.minimum(np.arange(width) * w // width, w - 1)
+        return px[yi][:, xi]
+
     def run(batches):
+        from .jpeg import decode_jpeg, encode_jpeg
         from .png import PNG_SIGNATURE, decode_png, encode_png
 
         for pdf in batches:
@@ -189,11 +210,11 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
                 bb = bytes(b)
                 if bb.startswith(PNG_SIGNATURE):
                     w, h, px = decode_png(bb)
-                    if px.ndim == 2:
-                        px = px[:, :, None]
-                    yi = np.minimum(np.arange(height) * h // height, h - 1)
-                    xi = np.minimum(np.arange(width) * w // width, w - 1)
-                    out.append(encode_png(px[yi][:, xi]))
+                    out.append(encode_png(_nn(px, h, w)))
+                elif bb.startswith(b"\xff\xd8"):
+                    w, h, px = decode_jpeg(bb)
+                    rp = _nn(px, h, w)
+                    out.append(encode_jpeg(rp[:, :, 0] if rp.shape[2] == 1 else rp))
                 else:
                     w, h, seed = _parse_header(bb)
                     out.append(

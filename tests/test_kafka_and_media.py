@@ -77,34 +77,38 @@ def test_pil_real_png_decode(spark):
 
 
 def test_real_format_decode_and_degrade(spark):
-    """PNG content decodes through the pure-python codec with NO Pillow
-    (round-5: the real-codec path is now proven in this environment);
-    other real formats (JPEG) still degrade to null metadata — an honest
-    stub, never a job failure."""
+    """PNG and baseline JPEG decode through the pure-python codecs with NO
+    Pillow (rounds 5/6); corrupt or unsupported blobs degrade to null
+    metadata — honest failure, never a job failure."""
+    import numpy as np
+
+    from geomesa_spark.multimodal.jpeg import encode_jpeg
     from geomesa_spark.multimodal.media import decode_image_meta
 
     png = base64.b64decode(
         "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
         "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
     )
-    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32
+    truncated_jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 32
+    real_jpeg = encode_jpeg(np.full((8, 12), 99, dtype=np.uint8))
     df = spark.createDataFrame(
         pd.DataFrame(
             {
-                "media_ref": ["m1", "m2"],
-                "media_type": ["image/png", "image/jpeg"],
-                "content": [png, jpeg],
+                "media_ref": ["m1", "m2", "m3"],
+                "media_type": ["image/png", "image/jpeg", "image/jpeg"],
+                "content": [png, truncated_jpeg, real_jpeg],
             }
         )
     )
     rows = {r.media_ref: r for r in decode_image_meta(df).collect()}
-    # the 1x1 PNG decodes for real now
+    # the 1x1 PNG decodes for real
     assert (rows["m1"].decoded_w, rows["m1"].decoded_h) == (1, 1)
     assert rows["m1"].checksum is not None
-    try:
-        import PIL  # noqa: F401
-    except ImportError:
-        assert rows["m2"].decoded_w is None and rows["m2"].checksum is None
+    # a real baseline JPEG decodes for real (round 6)
+    assert (rows["m3"].decoded_w, rows["m3"].decoded_h) == (12, 8)
+    assert rows["m3"].checksum is not None
+    # a truncated JPEG (no scan) degrades to null metadata
+    assert rows["m2"].decoded_w is None and rows["m2"].checksum is None
 
 
 def test_resize_real_png_roundtrip(spark):
