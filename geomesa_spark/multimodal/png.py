@@ -1,15 +1,16 @@
 """Pure-stdlib PNG codec: zlib inflate/deflate + scanline (un)filtering.
 
 Closes the "real media decode" gap without Pillow: `decode_png` handles
-8-bit grayscale / gray+alpha / RGB / RGBA / palette images with all five
-scanline filter types (None/Sub/Up/Average/Paeth, PNG spec §9), verifying
-chunk CRCs; `encode_png` writes spec-compliant files with a selectable
-filter per row (also usable as an image export sink). The reference treats
-media as opaque binary through its converters — this supplies the decode
-step its pipelines would delegate to an imaging library.
-
-Not supported (explicitly raised): bit depths other than 8, Adam7
-interlacing.
+every legal depth/color-type combination — grayscale at depths 1/2/4/8/16,
+palette at 1/2/4/8, gray+alpha / RGB / RGBA at 8/16, Adam7-interlaced or
+not — with all five scanline filter types (None/Sub/Up/Average/Paeth, PNG
+spec §9), verifying chunk CRCs; `encode_png` writes spec-compliant 8-bit
+files with a selectable filter per row (also usable as an image export
+sink). 16-bit samples are returned as their most-significant byte (the
+standard 16->8 reduction), keeping one uint8 pixel contract for the whole
+media surface. The reference treats media as opaque binary through its
+converters — this supplies the decode step its pipelines would delegate to
+an imaging library.
 """
 
 from __future__ import annotations
@@ -23,6 +24,18 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _CTYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+# Adam7 pass grid: (x offset, y offset, x step, y step) per pass — passes
+# 4 and 6 start at ROW 0 (spec §8.2 pattern matrix), not at their x offset
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -57,58 +70,98 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
     if ctype not in _CHANNELS:
         raise ValueError(f"PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth}")
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"sub-byte depth {depth} illegal for color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is illegal")
     channels = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG: decompressed size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels  # bytes per pixel at depth 8
-    p = 0
-    for row in range(h):
-        ft = raw[p]
-        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
-        p += stride + 1
-        if ft == 0:  # None
-            rec = line
-        elif ft == 1:  # Sub: per-byte-lane cumulative sum mod 256
-            rec = line.copy()
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
-        elif ft == 2:  # Up
-            rec = (line + prev) % 256
-        elif ft == 3:  # Average (sequential left-dependence)
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (line[i] + (left + int(prev[i])) // 2) % 256
-        elif ft == 4:  # Paeth
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                pa = abs(b - c)
-                pb = abs(a - c)
-                pc = abs(a + b - 2 * c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (line[i] + pred) % 256
+
+    def decode_pass(pw: int, ph: int, p: int) -> tuple[np.ndarray | None, int]:
+        """Unfilter + unpack one (sub-)image of pw x ph pixels starting at
+        byte offset p in `raw`; returns ((ph, pw, channels) uint8, new p)."""
+        if pw == 0 or ph == 0:
+            return None, p
+        bits_px = channels * depth
+        stride = (pw * bits_px + 7) // 8
+        bpp = max(1, (bits_px + 7) // 8)  # filter distance, spec §9
+        out = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for row in range(ph):
+            if p >= len(raw):
+                raise ValueError("PNG: truncated image data")
+            ft = raw[p]
+            line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+            p += stride + 1
+            if ft == 0:  # None
+                rec = line
+            elif ft == 1:  # Sub: per-byte-lane cumulative sum mod 256
+                rec = line.copy()
+                for lane in range(bpp):
+                    rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+            elif ft == 2:  # Up
+                rec = (line + prev) % 256
+            elif ft == 3:  # Average (sequential left-dependence)
+                rec = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    left = rec[i - bpp] if i >= bpp else 0
+                    rec[i] = (line[i] + (left + int(prev[i])) // 2) % 256
+            elif ft == 4:  # Paeth
+                rec = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pa = abs(b - c)
+                    pb = abs(a - c)
+                    pc = abs(a + b - 2 * c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) % 256
+            else:
+                raise ValueError(f"PNG filter type {ft}")
+            prev = rec
+            out[row] = rec.astype(np.uint8)
+        # bytes -> samples
+        if depth == 8:
+            smp = out[:, : pw * channels]
+        elif depth == 16:
+            # most-significant byte: the standard 16->8 reduction
+            smp = out[:, 0 : pw * channels * 2 : 2]
         else:
-            raise ValueError(f"PNG filter type {ft}")
-        prev = rec
-        out[row] = rec.astype(np.uint8)
-    px = out.reshape(h, w, channels)
+            bits = np.unpackbits(out, axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            smp = (
+                (bits.reshape(ph, -1, depth) * weights[None, None, :])
+                .sum(axis=2)[:, :pw]
+                .astype(np.uint8)
+            )
+        return smp.reshape(ph, pw, channels), p
+
+    if interlace == 1:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            sub, p = decode_pass(pw, ph, p)
+            if sub is not None:
+                px[y0::dy, x0::dx] = sub
+    elif interlace == 0:
+        px, p = decode_pass(w, h, 0)
+    else:
+        raise ValueError(f"PNG interlace method {interlace}")
+    if p != len(raw):
+        raise ValueError("PNG: decompressed size mismatch")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
         px = plte[px[:, :, 0]]
+    elif ctype == 0 and depth < 8:
+        px = (px.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return int(w), int(h), px
 
 

@@ -100,28 +100,110 @@ def test_crc_corruption_raises():
         decode_png(bytes(data))
 
 
-def test_unsupported_features_raise():
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
-
-    def chunk(typ, payload):
-        return (
-            struct.pack(">I", len(payload))
-            + typ
-            + payload
-            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
-        )
-
-    blob = (
-        PNG_SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
-        + chunk(b"IEND", b"")
+def _chunk(typ, payload):
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="depth"):
-        decode_png(blob)
+
+
+def _png(w, h, depth, ctype, raw, interlace=0, plte=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = _chunk(b"IHDR", ihdr)
+    if plte:
+        body += _chunk(b"PLTE", plte)
+    return (
+        PNG_SIGNATURE
+        + body
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_illegal_combos_raise():
+    # 16-bit palette is illegal per spec
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(_png(1, 1, 16, 3, b"\x00\x00\x00", plte=b"\x00\x00\x00"))
+    # sub-byte truecolor is illegal
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(_png(1, 1, 4, 2, b"\x00\x00\x00"))
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(_png(1, 1, 3, 0, b"\x00\x00"))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
+
+
+def test_16bit_gray_msb_and_sub_filter():
+    # 2x2 16-bit gray, Sub filter (bpp=2): samples 0x1234 0x5678 / 0xAB00 0xCD01
+    row1 = b"\x01" + b"\x12\x34" + bytes([(0x56 - 0x12) % 256, (0x78 - 0x34) % 256])
+    row2 = b"\x01" + b"\xab\x00" + bytes([(0xCD - 0xAB) % 256, (0x01 - 0x00) % 256])
+    w, h, px = decode_png(_png(2, 2, 16, 0, row1 + row2))
+    assert (w, h) == (2, 2)
+    assert px[:, :, 0].tolist() == [[0x12, 0x56], [0xAB, 0xCD]]
+
+
+def test_16bit_rgb_up_filter():
+    r1 = bytes([0x10, 0xFF, 0x20, 0x00, 0x30, 0x01])
+    raw = b"\x00" + r1 + b"\x02" + bytes([1, 0, 2, 0, 3, 0])
+    w, h, px = decode_png(_png(1, 2, 16, 2, raw))
+    assert px[0, 0].tolist() == [0x10, 0x20, 0x30]
+    assert px[1, 0].tolist() == [0x11, 0x22, 0x33]  # Up adds row1 MSB/LSB bytes
+
+
+def test_sub_byte_gray_scaling():
+    # 4-bit gray 3x1: samples 0,7,15 -> scaled by 17 -> 0,119,255
+    w, h, px = decode_png(_png(3, 1, 4, 0, b"\x00" + bytes([0x07, 0xF0])))
+    assert px[0, :, 0].tolist() == [0, 7 * 17, 255]
+    # 1-bit gray 10x2 (stride=2 with 6 padding bits)
+    raw = b"\x00" + bytes([0b10101010, 0b11000000]) + b"\x00" + bytes([0b01010101, 0b01000000])
+    w, h, px = decode_png(_png(10, 2, 1, 0, raw))
+    assert px[0, :, 0].tolist() == [255, 0] * 4 + [255, 255]
+    assert px[1, :, 0].tolist() == [0, 255] * 4 + [0, 255]
+
+
+def test_sub_byte_palette():
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # 2-bit palette 5x1: indices 3,2,1,0,3 -> 2 bytes per row
+    raw = b"\x00" + bytes([0b11100100, 0b11000000])
+    w, h, px = decode_png(_png(5, 1, 2, 3, raw, plte=plte))
+    assert px[0].tolist() == [
+        [100, 110, 120], [70, 80, 90], [40, 50, 60], [10, 20, 30], [100, 110, 120],
+    ]
+
+
+def _adam7_encode(px):
+    """Test-side Adam7 encoder: extract the seven pass sub-images, filter 0."""
+    from geomesa_spark.multimodal.png import _ADAM7
+
+    h, w, channels = px.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    return bytes(raw)
+
+
+def test_adam7_interlaced_rgb():
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    blob = _png(11, 13, 8, 2, _adam7_encode(px), interlace=1)
+    w, h, got = decode_png(blob)
+    assert (w, h) == (11, 13)
+    assert (got == px).all()
+
+
+def test_adam7_small_image_empty_passes():
+    # 2x2: passes 2,3,4,6 are empty — the pass walk must skip them exactly
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    blob = _png(2, 2, 8, 6, _adam7_encode(px), interlace=1)
+    w, h, got = decode_png(blob)
+    assert (got == px).all()
 
 
 def test_decode_image_meta_real_png(spark):
