@@ -392,13 +392,15 @@ def test_media_plumbing(spark):
 def test_media_real_format_raises(spark):
     from geomesa_spark.multimodal.media import _parse_header
 
-    # PNG now decodes for real (pure-python codec) — a truncated PNG is a
-    # decode error, not an unimplemented format
+    # PNG and baseline JPEG decode for real (pure-python codecs) — a
+    # truncated blob of either is a decode error, not an unimplemented format
     with pytest.raises(ValueError):
         _parse_header(b"\x89PNG\r\n\x1a\n....")
-    # non-PNG real formats still raise the honest not-implemented marker
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         _parse_header(b"\xff\xd8\xff\xe0\x00\x10JFIF")
+    # formats with no real codec still raise the honest not-implemented marker
+    with pytest.raises(NotImplementedError):
+        _parse_header(b"GIF89a" + b"\x00" * 16)
 
 
 def test_join_docs_media(spark):
