@@ -272,13 +272,38 @@ def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     return out
 
 
+def _boundary_lines(g: Geometry) -> Geometry:
+    """A polygon's boundary rings as a MULTILINESTRING (closed rings, so no
+    line-boundary endpoints) — lets the lineal split classifier run on
+    areal boundaries."""
+    from .core import MULTILINESTRING
+
+    rings = [
+        np.asarray(r, dtype=np.float64)[:, :2]
+        for part in alg._polygons_of(g)
+        for r in part
+    ]
+    return Geometry(MULTILINESTRING, rings)
+
+
 def _interior_evidence_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     """bool per left: do the INTERIORS of left and right intersect?
     Evidence: any probe point (vertices + edge midpoints + per-part
     interior representatives) of one STRICTLY inside the other, or a
     proper edge crossing. Edge midpoints matter: two rects sharing a wall
     while overlapping (A=(0,0,2,1), B=(1,0,3,1)) have every vertex on the
-    other's boundary — only A's x=2 edge midpoint sits strictly inside B."""
+    other's boundary — only A's x=2 edge midpoint sits strictly inside B.
+
+    Residual escape (found by the holed-polygon lattice sweep): two
+    boundary-aligned HOLED polygons can overlap with every vertex/midpoint/
+    rep probe landing ON a boundary and every crossing improper. A boundary
+    point of a positive-area polygon strictly inside the partner implies
+    interior-interior, so the still-undecided pairs split each boundary at
+    its intersections with the partner's boundary and locate the
+    SUB-segment midpoints (the lineal split classifier reused on
+    _boundary_lines). With the per-part rep probes this is complete: if
+    neither boundary enters the other's interior, each connected part
+    interior lies wholly in or out, and its rep probe decides."""
     n = len(lefts)
     out = np.zeros(n, dtype=bool)
     bt = _test_points(right)
@@ -294,6 +319,31 @@ def _interior_evidence_batch(lefts: list[Geometry], right: Geometry) -> np.ndarr
     undecided = np.nonzero(~out)[0]
     if len(undecided):
         out[undecided] |= _proper_crossings([lefts[i] for i in undecided], right)
+    undecided = np.nonzero(~out)[0]
+    if len(undecided):
+        bl = [_boundary_lines(lefts[i]) for i in undecided]
+        flags = _classify_lineal_batch(bl, right)
+        out[undecided] |= flags["in1"]
+        # the symmetric split (∂right sub-segments inside a left's interior)
+        # is per-pair — run it ONLY where the boundaries actually met: with
+        # no ∂L∩∂R contact, a right ring inside a left would have put right
+        # VERTICES strictly inside (the bt probe, already checked), so
+        # contact-free undecided pairs are decided. This keeps the common
+        # disjoint-with-overlapping-envelope join pairs off the per-pair
+        # path.
+        contact = (
+            flags["on1"]
+            | flags["pti_i"] | flags["ptb_i"]
+            | flags["pti_b"] | flags["ptb_b"]
+        )
+        rb = None
+        for k, i in enumerate(undecided):
+            if out[i] or not contact[k] or not alg._polygons_of(lefts[i]):
+                continue
+            if rb is None:
+                rb = _boundary_lines(right)
+            if bool(_classify_lineal_batch([rb], lefts[i])["in1"][0]):
+                out[i] = True
     return out
 
 

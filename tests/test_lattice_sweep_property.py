@@ -60,10 +60,23 @@ def _soup(rng: np.random.Generator, n: int, step: float) -> list:
                 f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
                 f"{x0:.10g} {y0:.10g}))"
             )
-        elif kind < 8:  # triangle, collinear allowed (zero-area areal)
-            pts = rng.integers(0, 4, size=(3, 2)) * step - 1.0
-            ring = ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
-            wkt = f"POLYGON (({ring}, {pts[0][0]:.10g} {pts[0][1]:.10g}))"
+        elif kind < 8:  # alternate: collinear-allowed triangle / holed rect
+            if int(rng.integers(0, 2)):
+                pts = rng.integers(0, 4, size=(3, 2)) * step - 1.0
+                ring = ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts)
+                wkt = f"POLYGON (({ring}, {pts[0][0]:.10g} {pts[0][1]:.10g}))"
+            else:  # 4-step shell with a 2-step hole ON the lattice: hole
+                # vertices/edges coincide with partner geometry vertices
+                x0, y0 = rng.integers(0, 2, 2) * step - 1.0
+                hx, hy = x0 + step, y0 + step
+                wkt = (
+                    f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + 4 * step:.10g} {y0:.10g}, "
+                    f"{x0 + 4 * step:.10g} {y0 + 4 * step:.10g}, {x0:.10g} {y0 + 4 * step:.10g}, "
+                    f"{x0:.10g} {y0:.10g}), "
+                    f"({hx:.10g} {hy:.10g}, {hx:.10g} {hy + 2 * step:.10g}, "
+                    f"{hx + 2 * step:.10g} {hy + 2 * step:.10g}, {hx + 2 * step:.10g} {hy:.10g}, "
+                    f"{hx:.10g} {hy:.10g}))"
+                )
         elif kind < 9:  # multipoint, 1-5 members
             pts = rng.integers(0, 5, size=(int(rng.integers(1, 6)), 2)) * step - 1.0
             wkt = (
