@@ -1,11 +1,13 @@
-"""Pure-python baseline JPEG codec (decode + test-grade encode).
+"""Pure-python JPEG codec (decode + test-grade encode).
 
-Clean-room implementation of baseline DCT JPEG from the public ITU-T T.81
-spec: SOF0 (baseline sequential, 8-bit), Huffman entropy coding, 1- or
-3-component scans, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...),
-restart intervals, 8- and 16-bit quantization tables. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise NotImplementedError with a
-clear message — honest failure, never silent corruption.
+Clean-room implementation of DCT JPEG from the public ITU-T T.81 spec:
+baseline sequential (SOF0/1) AND progressive (SOF2 — spectral selection +
+successive approximation, DC/AC first and refinement passes per annex G),
+Huffman entropy coding, 1- or 3-component scans, arbitrary sampling
+factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart intervals, 8- and 16-bit
+quantization tables. Hierarchical/lossless SOFs, arithmetic coding, and
+12-bit precision raise NotImplementedError with a clear message — honest
+failure, never silent corruption.
 
 Like the sibling PNG codec (png.py), this closes the "real media decode
 without an imaging library" gap for the second major raster format: the
@@ -215,6 +217,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None
+    prog_coef = None
     restart_interval = 0
     i = 2
     n = len(data)
@@ -253,7 +256,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_lut(bits, vals)
                 p += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / extended sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline-ish, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision unsupported")
@@ -263,11 +266,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if m == 0xC2 else f"SOF{m - 0xC0}"
+            frame = {"w": w, "h": h, "comps": comps, "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG is supported (got {kind})"
+                f"only baseline and progressive JPEG are supported (got SOF{m - 0xC0})"
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -283,23 +285,48 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 )
                 scomps.append((comp_i, tdta >> 4, tdta & 15))
             ent_start = i + 2 + L
-            return _decode_entropy(
-                data, ent_start, frame, scomps, qt, huff, restart_interval
+            if not frame["progressive"]:
+                return _decode_entropy(
+                    data, ent_start, frame, scomps, qt, huff, restart_interval
+                )
+            # progressive: accumulate coefficients scan by scan, keep walking
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if prog_coef is None:
+                prog_coef = _alloc_coef(frame)
+            segments, i = _scan_segments(data, ent_start)
+            _decode_progressive_scan(
+                segments, frame, scomps, huff, prog_coef,
+                ss, se, ahal >> 4, ahal & 15, restart_interval,
             )
+            continue
         i += 2 + L
+    if frame is not None and frame.get("progressive") and prog_coef is not None:
+        return _finish(frame, list(range(len(frame["comps"]))), prog_coef, qt)
     raise ValueError("no scan found")
 
 
-def _decode_entropy(data, start, frame, scomps, qt, huff, restart_interval):
-    w, h = frame["w"], frame["h"]
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
+def _grid(frame):
+    """(hmax, vmax, mcux, mcuy) for the frame."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
 
-    # split entropy data into restart segments, destuffing each
+
+def _alloc_coef(frame):
+    """Per-component (n_blocks, 64) coefficient stores on the MCU-padded
+    block grid (bw = mcux*h_c blocks per row)."""
+    _, _, mcux, mcuy = _grid(frame)
+    return {
+        i: np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        for i, c in enumerate(frame["comps"])
+    }
+
+
+def _scan_segments(data, start):
+    """Split one scan's entropy data into destuffed restart segments;
+    returns (segments, position of the terminating marker)."""
     segments: list[bytes] = []
     cur = bytearray()
     i = start
@@ -321,52 +348,16 @@ def _decode_entropy(data, start, frame, scomps, qt, huff, restart_interval):
         else:  # EOI or next marker ends the scan
             break
     segments.append(bytes(cur))
+    return segments, i
 
-    # per-component (n_blocks, 64) coefficient stores + MCU block order
-    luts = {}
-    for comp_i, td, ta in scomps:
-        dc_sym, dc_len = huff[(0, td)]
-        ac_sym, ac_len = huff[(1, ta)]
-        luts[comp_i] = (dc_sym, dc_len, ac_sym, ac_len)
-    per_mcu = []  # [(comp_i, by, bx)] template within one MCU
-    for comp_i, _, _ in scomps:
-        c = comps[comp_i]
-        for by in range(c["v"]):
-            for bx in range(c["h"]):
-                per_mcu.append((comp_i, by, bx))
-    coef = {
-        comp_i: np.zeros(
-            (mcuy * comps[comp_i]["v"] * mcux * comps[comp_i]["h"], 64),
-            dtype=np.int32,
-        )
-        for comp_i, _, _ in scomps
-    }
 
-    seg_i = 0
-    br = _BitReader(segments[0])
-    preds = {comp_i: 0 for comp_i, _, _ in scomps}
-    mcu_in_seg = 0
-    for mcu in range(n_mcu):
-        if restart_interval and mcu_in_seg == restart_interval:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("corrupt JPEG: missing restart segment")
-            br = _BitReader(segments[seg_i])
-            preds = {k: 0 for k in preds}
-            mcu_in_seg = 0
-        my, mx = divmod(mcu, mcux)
-        order = []
-        for comp_i, by, bx in per_mcu:
-            c = comps[comp_i]
-            row = my * c["v"] + by
-            col = mx * c["h"] + bx
-            order.append((comp_i, row * (mcux * c["h"]) + col))
-        _decode_scan_segment(br, order, luts, qt, preds, coef)
-        mcu_in_seg += 1
-
-    # vectorized dequant + IDCT + assembly per component
+def _finish(frame, comp_indices, coef, qt):
+    """Vectorized dequant + IDCT + upsample + color-convert."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _grid(frame)
     planes = []
-    for comp_i, _, _ in scomps:
+    for comp_i in comp_indices:
         c = comps[comp_i]
         q = qt[c["tq"]]
         F = (coef[comp_i] * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
@@ -393,6 +384,215 @@ def _decode_entropy(data, start, frame, scomps, qt, huff, restart_interval):
     Bl = Y + 1.772 * (Cb - 128.0)
     rgb = np.clip(np.round(np.stack([R, G, Bl], axis=-1)), 0, 255).astype(np.uint8)
     return w, h, rgb
+
+
+def _decode_entropy(data, start, frame, scomps, qt, huff, restart_interval):
+    comps = frame["comps"]
+    _, _, mcux, mcuy = _grid(frame)
+    n_mcu = mcux * mcuy
+    segments, _ = _scan_segments(data, start)
+
+    luts = {}
+    for comp_i, td, ta in scomps:
+        dc_sym, dc_len = huff[(0, td)]
+        ac_sym, ac_len = huff[(1, ta)]
+        luts[comp_i] = (dc_sym, dc_len, ac_sym, ac_len)
+    per_mcu = []  # [(comp_i, by, bx)] template within one MCU
+    for comp_i, _, _ in scomps:
+        c = comps[comp_i]
+        for by in range(c["v"]):
+            for bx in range(c["h"]):
+                per_mcu.append((comp_i, by, bx))
+    coef = _alloc_coef(frame)
+
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = {comp_i: 0 for comp_i, _, _ in scomps}
+    mcu_in_seg = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu_in_seg == restart_interval:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            preds = {k: 0 for k in preds}
+            mcu_in_seg = 0
+        my, mx = divmod(mcu, mcux)
+        order = []
+        for comp_i, by, bx in per_mcu:
+            c = comps[comp_i]
+            row = my * c["v"] + by
+            col = mx * c["h"] + bx
+            order.append((comp_i, row * (mcux * c["h"]) + col))
+        _decode_scan_segment(br, order, luts, qt, preds, coef)
+        mcu_in_seg += 1
+    return _finish(frame, [ci for ci, _, _ in scomps], coef, qt)
+
+
+# --------------------------------------------------- progressive scan decode
+
+
+def _decode_progressive_scan(
+    segments, frame, scomps, huff, coef, ss, se, ah, al, restart_interval
+):
+    """One SOF2 scan into the persistent coefficient store: spectral
+    selection [ss, se], successive approximation Ah=`ah` -> Al=`al`
+    (T.81 annex G; refinement control flow follows G.1.2.3)."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _grid(frame)
+
+    if ss == 0:  # DC scan (se must be 0): MCU-interleaved (or 1-comp)
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        luts = {ci: huff[(0, td)] for ci, td, _ in scomps} if ah == 0 else {}
+        interleaved = len(scomps) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            ci = scomps[0][0]
+            c = comps[ci]
+            bw_eff = -(-(-(-(frame["w"] * c["h"]) // hmax)) // 8)
+            bh_eff = -(-(-(-(frame["h"] * c["v"]) // vmax)) // 8)
+            n_units = bw_eff * bh_eff
+        seg_i = 0
+        br = _BitReader(segments[0])
+        preds = {ci: 0 for ci, _, _ in scomps}
+        in_seg = 0
+        for u in range(n_units):
+            if restart_interval and in_seg == restart_interval:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("corrupt JPEG: missing restart segment")
+                br = _BitReader(segments[seg_i])
+                preds = {k: 0 for k in preds}
+                in_seg = 0
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                blocks = []
+                for ci, _, _ in scomps:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            blocks.append((ci, row * (mcux * c["h"]) + col))
+            else:
+                ci = scomps[0][0]
+                c = comps[ci]
+                row, col = divmod(u, bw_eff)
+                blocks = [(ci, row * (mcux * c["h"]) + col)]
+            for ci, bidx in blocks:
+                block = coef[ci][bidx]
+                if ah == 0:
+                    dc_sym, dc_len = luts[ci]
+                    v = br.peek16()
+                    s = dc_sym[v]
+                    if s < 0:
+                        raise ValueError("corrupt JPEG: bad DC Huffman code")
+                    br.skip(int(dc_len[v]))
+                    preds[ci] += _extend(br.get(int(s)), int(s))
+                    block[0] = preds[ci] << al
+                else:  # refinement: one bit per block
+                    if br.get(1):
+                        block[0] |= 1 << al
+            in_seg += 1
+        return
+
+    # AC scan: spec requires exactly one component, non-interleaved
+    if len(scomps) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC progressive scan")
+    ci, _, ta = scomps[0]
+    c = comps[ci]
+    ac_sym, ac_len = huff[(1, ta)]
+    bw = mcux * c["h"]
+    bw_eff = -(-(-(-(frame["w"] * c["h"]) // hmax)) // 8)
+    bh_eff = -(-(-(-(frame["h"] * c["v"]) // vmax)) // 8)
+    n_units = bw_eff * bh_eff
+    seg_i = 0
+    br = _BitReader(segments[0])
+    eobrun = 0
+    in_seg = 0
+    p1 = 1 << al
+
+    def _decode_ac(br):
+        v = br.peek16()
+        rs = ac_sym[v]
+        if rs < 0:
+            raise ValueError("corrupt JPEG: bad AC Huffman code")
+        br.skip(int(ac_len[v]))
+        return int(rs)
+
+    for u in range(n_units):
+        if restart_interval and in_seg == restart_interval:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("corrupt JPEG: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            eobrun = 0
+            in_seg = 0
+        in_seg += 1
+        row, col = divmod(u, bw_eff)
+        block = coef[ci][row * bw + col]
+        if ah == 0:  # first pass over this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_ac(br)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("corrupt JPEG: AC band overflow")
+                block[_ZZ[k]] = _extend(br.get(s), s) << al
+                k += 1
+        else:  # refinement pass (G.1.2.3 / libjpeg decode_mcu_AC_refine)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_ac(br)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.get(r)
+                            break
+                        # ZRL: advance past 16 zero-history coefficients
+                    else:
+                        # s must be 1: a newly-nonzero coefficient of ±2^al
+                        val = p1 if br.get(1) else -p1
+                    while k <= se:
+                        cv = int(block[_ZZ[k]])
+                        if cv != 0:
+                            if br.get(1) and (cv & p1) == 0:
+                                block[_ZZ[k]] = cv + (p1 if cv >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[_ZZ[k]] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB block: still refine every existing nonzero coefficient
+                while k <= se:
+                    cv = int(block[_ZZ[k]])
+                    if cv != 0:
+                        if br.get(1) and (cv & p1) == 0:
+                            block[_ZZ[k]] = cv + (p1 if cv >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
 
 
 # ------------------------------------------------------------------ encoding
@@ -479,17 +679,55 @@ def _encode_block(bw, block, qtbl, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
+def _qzz(block, qtbl):
+    """8x8 pixel block -> quantized zigzag coefficient vector."""
+    F = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    return np.round(F.reshape(64) / qtbl).astype(np.int64)[_ZZ]
+
+
+def _emit_ac(bw, zz, ac_codes):
+    """Run-length AC emission for zz[1..63] (EOB-terminated) — shared by
+    the baseline block coder and the progressive AC scan coder (a plain
+    EOB is the EOB-run code with r=0, so the output is valid in both)."""
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, L = ac_codes[0xF0]  # ZRL
+            bw.put(c, L)
+            run -= 16
+        s, bitsv = _mag(v)
+        c, L = ac_codes[(run << 4) | s]
+        bw.put(c, L)
+        bw.put(bitsv, s)
+        run = 0
+    if last < 63:
+        c, L = ac_codes[0x00]  # EOB
+        bw.put(c, L)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 90,
     subsample: str = "4:4:4",
     restart_interval: int = 0,
     quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as baseline
-    JPEG. `subsample`: '4:4:4' or '4:2:0' (3-component only).
-    `quant_tables`: optional (luma, chroma) raster-order 64-entry arrays —
-    pass all-ones tables for near-lossless roundtrip tests."""
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as JPEG.
+    `subsample`: '4:4:4' or '4:2:0' (3-component only). `quant_tables`:
+    optional (luma, chroma) raster-order 64-entry arrays — pass all-ones
+    tables for near-lossless roundtrip tests. `progressive=True` writes a
+    simple SOF2 file (one interleaved DC scan + one full-band AC scan per
+    component, no successive approximation) — enough to pin the decoder's
+    interleaved-DC and non-interleaved-AC index mapping in tests."""
+    if progressive and restart_interval:
+        raise NotImplementedError("restart markers only in baseline encode")
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -558,7 +796,9 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], qsel[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     # DHT
     tables = [(0, 0, _DC_L_BITS, _DC_L_VALS), (1, 0, _AC_L_BITS, _AC_L_VALS)]
     if not gray:
@@ -568,13 +808,6 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([nc])
-    for ci in range(nc):
-        td_ta = 0 if (gray or ci == 0) else 0x11
-        sos += bytes([ci + 1, td_ta])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     dc_l = _codes(_DC_L_BITS, _DC_L_VALS)
     ac_l = _codes(_AC_L_BITS, _AC_L_VALS)
@@ -584,6 +817,60 @@ def encode_jpeg(
         (dc_l, ac_l) if (gray or ci == 0) else (dc_c, ac_c) for ci in range(nc)
     ]
     comp_q = [ql if qsel[ci] == 0 else qc for ci in range(nc)]
+
+    if progressive:
+        # scan 1: DC of every component, MCU-interleaved, Ss=Se=0, Al=0
+        sos = bytes([nc])
+        for ci in range(nc):
+            sos += bytes([ci + 1, 0 if (gray or ci == 0) else 0x10])
+        sos += b"\x00\x00\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        preds = [0] * nc
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci in range(nc):
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        r0 = (my * sv + by) * 8
+                        c0 = (mx * sh + bx) * 8
+                        zz = _qzz(padded[ci][r0 : r0 + 8, c0 : c0 + 8], comp_q[ci])
+                        s, bitsv = _mag(int(zz[0]) - preds[ci])
+                        c, L = comp_codes[ci][0][s]
+                        bw.put(c, L)
+                        bw.put(bitsv, s)
+                        preds[ci] = int(zz[0])
+        bw.flush()
+        out += bw.out
+        # scans 2..: full AC band per component, non-interleaved
+        for ci in range(nc):
+            sos = bytes([1, ci + 1, 0 if (gray or ci == 0) else 0x01])
+            sos += b"\x01\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            sh, sv = samps[ci]
+            bw_eff = -(-(-(-(w * sh) // hmax)) // 8)
+            bh_eff = -(-(-(-(h * sv) // vmax)) // 8)
+            bw = _BitWriter()
+            for u in range(bw_eff * bh_eff):
+                row, col = divmod(u, bw_eff)
+                zz = _qzz(
+                    padded[ci][row * 8 : row * 8 + 8, col * 8 : col * 8 + 8],
+                    comp_q[ci],
+                )
+                _emit_ac(bw, zz, comp_codes[ci][1])
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS (baseline)
+    sos = bytes([nc])
+    for ci in range(nc):
+        td_ta = 0 if (gray or ci == 0) else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
     preds = [0] * nc

@@ -100,8 +100,8 @@ def _parse_header(content: bytes) -> tuple[int, int, int]:
                 w, h, px = decode_png(bytes(content))
                 return w, h, zlib.crc32(px.tobytes())
             if content.startswith(b"\xff\xd8"):
-                # real baseline-JPEG codec, pure numpy (multimodal/jpeg.py;
-                # progressive/arithmetic raise NotImplementedError cleanly)
+                # real JPEG codec, pure numpy (multimodal/jpeg.py; baseline
+                # AND progressive; arithmetic/hierarchical raise cleanly)
                 import zlib
 
                 from .jpeg import decode_jpeg
@@ -112,11 +112,11 @@ def _parse_header(content: bytes) -> tuple[int, int, int]:
             if real is not None:
                 return real
         raise NotImplementedError(
-            "real media decoding beyond PNG and baseline JPEG requires an "
-            "image library (Pillow) not present in this environment — when "
+            "real media decoding beyond PNG and JPEG requires an image "
+            "library (Pillow) not present in this environment — when "
             "installed, _pil_decode handles other formats transparently; "
-            "PNG and baseline JPEG decode via the pure-python codecs "
-            "(multimodal/png.py, multimodal/jpeg.py)"
+            "PNG and JPEG (baseline + progressive) decode via the "
+            "pure-python codecs (multimodal/png.py, multimodal/jpeg.py)"
         )
     w, h, seed = struct.unpack_from("<III", content, len(_MAGIC))
     return w, h, seed

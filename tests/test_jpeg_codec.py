@@ -80,17 +80,58 @@ def test_default_quality_bounded_on_smooth():
     assert _maxdiff(got, px) <= 24  # lossy, but bounded on a smooth ramp
 
 
-def test_progressive_raises_cleanly():
-    gray = [f for f in SPARK_IMAGES if f.endswith("grayscale.jpg")]
-    if gray:
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg(open(gray[0], "rb").read())
-    # synthetic SOF2 frame regardless of the sample file
+def test_unsupported_sofs_raise_cleanly():
+    # hierarchical (SOF5) still raises with a clear message
     blob = (
-        b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        b"\xff\xd8\xff\xc5" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(NotImplementedError, match="SOF5"):
         decode_jpeg(blob)
+
+
+def test_progressive_roundtrips():
+    """SOF2 encode->decode: interleaved DC scan + per-component AC scans,
+    gray / 4:4:4 / 4:2:0 (non-16-multiple dims exercise the effective-vs-
+    padded block-grid mapping)."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    w, h, got = decode_jpeg(encode_jpeg(px, quant_tables=ONES, progressive=True))
+    assert (w, h) == (41, 33)
+    assert _maxdiff(got, px) <= 2
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    px3 = np.stack([(yy * 3) % 256, (xx * 2) % 256, (xx + yy) % 256], axis=-1).astype(
+        np.uint8
+    )
+    w, h, got = decode_jpeg(encode_jpeg(px3, quant_tables=ONES, progressive=True))
+    assert _maxdiff(got, px3) <= 3
+
+    g = rng.integers(0, 256, size=(26, 22), dtype=np.uint8)
+    px4 = np.stack([g, g, g], axis=-1)
+    w, h, got = decode_jpeg(
+        encode_jpeg(px4, subsample="4:2:0", quant_tables=ONES, progressive=True)
+    )
+    assert _maxdiff(got, px4) <= 2
+
+
+@pytest.mark.skipif(not SPARK_IMAGES, reason="no Spark sample images on disk")
+def test_progressive_real_file_matches_imageio_golden(spark):
+    """The progressive sample in the Spark distribution uses EVERY SOF2
+    path (DC first Al=1, AC first bands, AC refinement Ah=2->1 and 1->0,
+    DC refinement) — decoded pixels must match Java ImageIO within
+    rounding."""
+    gray = [f for f in SPARK_IMAGES if f.endswith("grayscale.jpg")]
+    if not gray:
+        pytest.skip("progressive sample absent")
+    f = gray[0]
+    row = spark.read.format("image").load(f).collect()[0]["image"]
+    H, W, C = row["height"], row["width"], row["nChannels"]
+    assert C == 1
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(H, W)
+    w, h, got = decode_jpeg(open(f, "rb").read())
+    assert (w, h) == (W, H)
+    d = np.abs(got.astype(int) - ref.astype(int))
+    assert d.max() <= 2, (d.max(), d.mean())
 
 
 def test_corrupt_jpeg_raises_value_error():
@@ -100,19 +141,16 @@ def test_corrupt_jpeg_raises_value_error():
 
 @pytest.mark.skipif(not SPARK_IMAGES, reason="no Spark sample images on disk")
 def test_real_photos_decode():
-    """Every baseline sample photo in the Spark distribution decodes with
-    the dimensions its SOF header declares."""
+    """EVERY sample photo in the Spark distribution decodes (baseline
+    4:2:0 color photos AND the progressive grayscale one) with the
+    dimensions its SOF header declares."""
     decoded = 0
     for f in SPARK_IMAGES:
-        data = open(f, "rb").read()
-        try:
-            w, h, px = decode_jpeg(data)
-        except NotImplementedError:
-            continue  # the one progressive sample
+        w, h, px = decode_jpeg(open(f, "rb").read())
         assert px.shape[:2] == (h, w)
-        assert px.ndim == 3 and px.shape[2] == 3
+        assert px.ndim == 2 or px.shape[2] == 3
         decoded += 1
-    assert decoded >= 4, "expected several baseline sample photos"
+    assert decoded >= 5, "expected all sample photos to decode"
 
 
 @pytest.mark.skipif(not SPARK_IMAGES, reason="no Spark sample images on disk")
