@@ -313,6 +313,45 @@ def q_route_bearing(spark, sf_dir):
     return out.select("event_id")
 
 
+def q_track_region_hits(spark, sf_dir):
+    """Lineal x areal JOIN gate (round 6): per-user track SEGMENTS (lead
+    window over events) as LINESTRING geometries, spatial-joined with the
+    rectangle regions on st_intersects — drives the grid join + the batched
+    lineal refine (geom/vectorized.lineal_predicate_batch) inside a
+    hash-checked gate. Oracle: exact Liang-Barsky segment-vs-closed-rect
+    clipping in pure SQL over the identically-derived coordinates."""
+    _init(spark)
+    from pyspark.sql import Window
+
+    from geomesa_spark.functions.library import UDFS
+
+    e = _events_pts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select("user_id", "event_id", "ts", "x", "y")
+        .withColumn("bx", F.lead("x").over(w))
+        .withColumn("by", F.lead("y").over(w))
+        .filter(F.col("bx").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("seg_id"),
+            F.least("x", "bx").alias("minx"),
+            F.least("y", "by").alias("miny"),
+            F.greatest("x", "bx").alias("maxx"),
+            F.greatest("y", "by").alias("maxy"),
+            UDFS["st_makeLine"](
+                F.array(
+                    UDFS["st_makePoint"](F.col("x"), F.col("y")),
+                    UDFS["st_makePoint"](F.col("bx"), F.col("by")),
+                )
+            ).alias("geom_wkb"),
+        )
+    )
+    polys = _part_polys(spark, sf_dir)
+    j = spatial_join(seg, polys, predicate="intersects", broadcast=True)
+    return j.select("user_id", "seg_id", "poly_id")
+
+
 def q_tile_assignment_z8(spark, sf_dir):
     _init(spark)
     return tile_counts(_docs_pts(spark, sf_dir), 8).select(
@@ -731,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_proximity": q_dwithin_proximity,
         "tube_select_corridor": q_tube_select_corridor,
         "route_bearing": q_route_bearing,
+        "track_region_hits": q_track_region_hits,
         "tile_assignment_z8": q_tile_assignment_z8,
         "tile_pyramid": q_tile_pyramid,
         "tile_render_png": q_tile_render_png,
@@ -849,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tube_select_corridor": _tube_select_oracle(),
         "route_bearing": _route_bearing_oracle(),
+        "track_region_hits": _track_region_oracle(),
         "tile_assignment_z8": f"""
             select {O.tile_x_sql(lon, 8)} as tile_x, {O.tile_y_sql(lat, 8)} as tile_y,
                    count(*) as n_docs
@@ -1066,6 +1107,60 @@ def _tube_select_oracle() -> str:
             f" <= {TUBE_WINDOW_S!r})"
         )
     return "select event_id from events where " + " or ".join(conds)
+
+
+def _track_region_oracle() -> str:
+    """Exact Liang-Barsky closed-segment vs closed-rect clipping in pure
+    SQL: per axis the parameter interval is [min,max] of the two edge
+    params (or a 0-width sentinel forcing miss when a parallel segment lies
+    outside the slab); the segment intersects iff the [0,1]-clamped
+    intervals overlap. Coordinates derive from the same integer-modulo
+    expressions as the Spark side, so both engines clip identical doubles."""
+
+    def t_lo(a, d, lo, hi):
+        return (
+            f"CASE WHEN {d} = 0e0 THEN "
+            f"CASE WHEN {a} BETWEEN {lo} AND {hi} THEN 0e0 ELSE 2e0 END "
+            f"ELSE least(({lo} - {a}) / {d}, ({hi} - {a}) / {d}) END"
+        )
+
+    def t_hi(a, d, lo, hi):
+        return (
+            f"CASE WHEN {d} = 0e0 THEN "
+            f"CASE WHEN {a} BETWEEN {lo} AND {hi} THEN 1e0 ELSE -1e0 END "
+            f"ELSE greatest(({lo} - {a}) / {d}, ({hi} - {a}) / {d}) END"
+        )
+
+    enter = (
+        f"greatest(0e0, {t_lo('ax', '(bx - ax)', 'x0', 'x1')}, "
+        f"{t_lo('ay', '(by - ay)', 'y0', 'y1')})"
+    )
+    exit_ = (
+        f"least(1e0, {t_hi('ax', '(bx - ax)', 'x0', 'x1')}, "
+        f"{t_hi('ay', '(by - ay)', 'y0', 'y1')})"
+    )
+    return f"""
+        with ev as (
+          select event_id, user_id, ts, {O.EVENT_LON} as x, {O.EVENT_LAT} as y
+          from events
+        ), seg0 as (
+          select user_id, event_id as seg_id, x as ax, y as ay,
+                 lead(x) over (partition by user_id order by ts, event_id) as bx,
+                 lead(y) over (partition by user_id order by ts, event_id) as by
+          from ev
+        ), seg as (select * from seg0 where bx is not null),
+        r as (
+          select p_partkey as poly_id,
+                 ({O.PART_CX}) - ({O.PART_HW}) as x0,
+                 ({O.PART_CX}) + ({O.PART_HW}) as x1,
+                 ({O.PART_CY}) - ({O.PART_HH}) as y0,
+                 ({O.PART_CY}) + ({O.PART_HH}) as y1
+          from part where p_partkey < 200
+        )
+        select seg.user_id, seg.seg_id, r.poly_id
+        from seg, r
+        where {enter} <= {exit_}
+    """
 
 
 def _route_bearing_oracle() -> str:

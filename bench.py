@@ -225,6 +225,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
         "tile_render_png",
         "tube_select_corridor",
         "route_bearing",
+        "track_region_hits",
         "attr_bbox_filter",
         "convexhull_by_type",
     ]
