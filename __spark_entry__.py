@@ -313,35 +313,42 @@ def q_route_bearing(spark, sf_dir):
     return out.select("event_id")
 
 
-def q_track_region_hits(spark, sf_dir):
-    """Lineal x areal JOIN gate (round 6): per-user track SEGMENTS (lead
-    window over events) as LINESTRING geometries, spatial-joined with the
-    rectangle regions on st_intersects — drives the grid join + the batched
-    lineal refine (geom/vectorized.lineal_predicate_batch) inside a
-    hash-checked gate. Oracle: exact Liang-Barsky segment-vs-closed-rect
-    clipping in pure SQL over the identically-derived coordinates."""
-    _init(spark)
-    from pyspark.sql import Window
+# per-event track segments: SHORT (<= ~2.8 deg) deterministic displacement
+# from a scaled base point — consecutive random GLOBAL events would make
+# ~hemisphere-long segments whose grid-cell covers explode the join (the
+# first cut of this gate measured 174 s at sf0.1); realistic track legs are
+# local. All four expressions are exact-double SQL shared with the oracle.
+SEG_AX = f"(({O.EVENT_LON}) * 9.8e-1)"
+SEG_AY = f"(({O.EVENT_LAT}) * 9.5e-1)"
+SEG_DX = "((((event_id * 13) % 400) / 1e2) - 2e0)"
+SEG_DY = "((((event_id * 17) % 400) / 1e2) - 2e0)"
 
+
+def q_track_region_hits(spark, sf_dir):
+    """Lineal x areal JOIN gate (round 6): one short track SEGMENT per
+    event as a LINESTRING geometry, spatial-joined with the rectangle
+    regions on st_intersects — drives the grid join + the batched lineal
+    refine (geom/vectorized.lineal_predicate_batch) inside a hash-checked
+    gate. Oracle: exact Liang-Barsky segment-vs-closed-rect clipping in
+    pure SQL over the identically-derived coordinates."""
+    _init(spark)
     from geomesa_spark.functions.library import UDFS
 
-    e = _events_pts(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _read(spark, sf_dir, "events")
     seg = (
-        e.select("user_id", "event_id", "ts", "x", "y")
-        .withColumn("bx", F.lead("x").over(w))
-        .withColumn("by", F.lead("y").over(w))
-        .filter(F.col("bx").isNotNull())
+        e.withColumn("ax", F.expr(SEG_AX))
+        .withColumn("ay", F.expr(SEG_AY))
+        .withColumn("bx", F.expr(SEG_AX) + F.expr(SEG_DX))
+        .withColumn("by", F.expr(SEG_AY) + F.expr(SEG_DY))
         .select(
-            "user_id",
             F.col("event_id").alias("seg_id"),
-            F.least("x", "bx").alias("minx"),
-            F.least("y", "by").alias("miny"),
-            F.greatest("x", "bx").alias("maxx"),
-            F.greatest("y", "by").alias("maxy"),
+            F.least("ax", "bx").alias("minx"),
+            F.least("ay", "by").alias("miny"),
+            F.greatest("ax", "bx").alias("maxx"),
+            F.greatest("ay", "by").alias("maxy"),
             UDFS["st_makeLine"](
                 F.array(
-                    UDFS["st_makePoint"](F.col("x"), F.col("y")),
+                    UDFS["st_makePoint"](F.col("ax"), F.col("ay")),
                     UDFS["st_makePoint"](F.col("bx"), F.col("by")),
                 )
             ).alias("geom_wkb"),
@@ -349,7 +356,7 @@ def q_track_region_hits(spark, sf_dir):
     )
     polys = _part_polys(spark, sf_dir)
     j = spatial_join(seg, polys, predicate="intersects", broadcast=True)
-    return j.select("user_id", "seg_id", "poly_id")
+    return j.select("seg_id", "poly_id")
 
 
 def q_tile_assignment_z8(spark, sf_dir):
@@ -1140,15 +1147,13 @@ def _track_region_oracle() -> str:
         f"{t_hi('ay', '(by - ay)', 'y0', 'y1')})"
     )
     return f"""
-        with ev as (
-          select event_id, user_id, ts, {O.EVENT_LON} as x, {O.EVENT_LAT} as y
+        with seg as (
+          select event_id as seg_id,
+                 {SEG_AX} as ax, {SEG_AY} as ay,
+                 ({SEG_AX}) + ({SEG_DX}) as bx,
+                 ({SEG_AY}) + ({SEG_DY}) as by
           from events
-        ), seg0 as (
-          select user_id, event_id as seg_id, x as ax, y as ay,
-                 lead(x) over (partition by user_id order by ts, event_id) as bx,
-                 lead(y) over (partition by user_id order by ts, event_id) as by
-          from ev
-        ), seg as (select * from seg0 where bx is not null),
+        ),
         r as (
           select p_partkey as poly_id,
                  ({O.PART_CX}) - ({O.PART_HW}) as x0,
@@ -1157,7 +1162,7 @@ def _track_region_oracle() -> str:
                  ({O.PART_CY}) + ({O.PART_HH}) as y1
           from part where p_partkey < 200
         )
-        select seg.user_id, seg.seg_id, r.poly_id
+        select seg.seg_id, r.poly_id
         from seg, r
         where {enter} <= {exit_}
     """
