@@ -295,6 +295,43 @@ def _pairwise_predicate_fn(predicate: str):
                     area_ok[b] = v
             return v
 
+        parts_ok: dict[bytes, bool] = {}
+
+        def simple_parts(b):
+            # a MULTIPOLYGON whose parts' interiors can overlap (invalid
+            # OGC, but honored by the scalar's union semantics) breaks the
+            # areal batch kernels' union-boundary assumptions for the
+            # containment/overlap/touch family: an edge of one part interior
+            # to another part is not a true boundary, so the kernels'
+            # proper-crossing veto mis-fires (found by the multi-part
+            # lattice sweep). Conservative envelope test: parts whose
+            # envelopes even TOUCH route the pair to the scalar path (parts
+            # sharing a boundary edge are equally invalid and equally break
+            # the veto); valid archipelago-style multis with separated
+            # envelopes stay batched.
+            v = parts_ok.get(b)
+            if v is None:
+                polys = alg._polygons_of(geo(b))
+                v = True
+                if len(polys) > 1:
+                    envs = []
+                    for rings in polys:
+                        sh = np.asarray(rings[0], dtype=np.float64)
+                        envs.append(
+                            (sh[:, 0].min(), sh[:, 1].min(), sh[:, 0].max(), sh[:, 1].max())
+                        )
+                    for i2 in range(len(envs)):
+                        for j2 in range(i2 + 1, len(envs)):
+                            a, c = envs[i2], envs[j2]
+                            if a[0] <= c[2] and a[2] >= c[0] and a[1] <= c[3] and a[3] >= c[1]:
+                                v = False
+                                break
+                        if not v:
+                            break
+                if len(parts_ok) < 8192:
+                    parts_ok[b] = v
+            return v
+
         def has_segs(b):
             # require a LIVE (non-zero-length) segment: a LINESTRING of
             # identical points is effectively 0-dim and must take the
@@ -342,6 +379,10 @@ def _pairwise_predicate_fn(predicate: str):
                     and rt in areal_types
                     and pos_area(lbytes[i])
                     and pos_area(rbytes[i])
+                    and (
+                        predicate in ("intersects", "crosses")
+                        or (simple_parts(lbytes[i]) and simple_parts(rbytes[i]))
+                    )
                 ):
                     areal_groups.setdefault(rbytes[i], []).append(i)
                     continue

@@ -125,3 +125,70 @@ def test_lattice_sweep_all_predicates_both_directions(step):
                 bad.append((p, "rev", i, j))
     assert n_cmp == len(pair_ix) * len(PREDICATES) * 2
     assert not bad, (len(bad), bad[:5], f"{n_cmp} comparisons in {time.time()-t0:.1f}s")
+
+
+def _multi_soup(rng: np.random.Generator, n: int, step: float) -> list:
+    """Multi-part lattice geometries, INCLUDING invalid overlapping-part
+    multipolygons — the scalar honors union semantics and the refine must
+    either match in batch or route to it (round 6: overlapping-part multis
+    broke the areal kernels' proper-crossing veto and now take the scalar
+    path via the simple_parts guard)."""
+    gs = []
+    while len(gs) < n:
+        kind = int(rng.integers(0, 10))
+        if kind < 3:  # multiline, 2 parts
+            parts = []
+            for _ in range(2):
+                pts = rng.integers(0, 5, size=(int(rng.integers(2, 5)), 2)) * step - 1.0
+                parts.append(
+                    "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+                )
+            wkt = "MULTILINESTRING (" + ", ".join(parts) + ")"
+        elif kind < 6:  # multipolygon, 2 rects (may overlap each other)
+            parts = []
+            for _ in range(2):
+                x0, y0 = rng.integers(0, 4, 2) * step - 1.0
+                w, h = rng.integers(1, 4, 2) * step
+                parts.append(
+                    f"(({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+                    f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+                    f"{x0:.10g} {y0:.10g}))"
+                )
+            wkt = "MULTIPOLYGON (" + ", ".join(parts) + ")"
+        elif kind < 8:  # plain rect
+            x0, y0 = rng.integers(0, 4, 2) * step - 1.0
+            w, h = rng.integers(0, 4, 2) * step
+            wkt = (
+                f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+                f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+                f"{x0:.10g} {y0:.10g}))"
+            )
+        else:  # polyline
+            pts = rng.integers(0, 5, size=(int(rng.integers(2, 6)), 2)) * step - 1.0
+            wkt = "LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+        gs.append(from_wkt(wkt))
+    return gs
+
+
+@pytest.mark.parametrize("step", (0.7, 0.3))
+def test_multi_part_lattice_sweep(step):
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(int(step * 1000) + 777)
+    lefts = _multi_soup(rng, 60, step)
+    rights = _multi_soup(rng, 30, step)
+    lw = pd.Series([bytes(to_wkb(a)) for a in lefts for b in rights], dtype=object)
+    rw = pd.Series([bytes(to_wkb(b)) for a in lefts for b in rights], dtype=object)
+    pairs = [(a, b) for a in lefts for b in rights]
+    bad = []
+    for p in PREDICATES:
+        fn = _pairwise_predicate_fn(p)
+        ref = getattr(alg, p)
+        got = fn(lw, rw)
+        got_rev = fn(rw, lw)
+        for (a, b), g1, g2 in zip(pairs, got, got_rev):
+            if bool(g1) != ref(a, b):
+                bad.append((p, "fwd"))
+            if bool(g2) != ref(b, a):
+                bad.append((p, "rev"))
+    assert not bad, (len(bad), bad[:5])
