@@ -157,13 +157,21 @@ class _BitReader:
         return (v >> (8 - sh)) & 0xFFFF
 
     def skip(self, n: int) -> None:
+        # A truncated entropy segment must fail loudly, not decode the
+        # zero-padding into plausible pixels (ADVICE r6). Slack of 7 bits
+        # covers a final byte whose padding an encoder omitted; anything
+        # further is consuming bytes that are not in the file.
         self.pos += n
+        if self.pos > self.nbits + 7:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
 
     def get(self, n: int) -> int:
         if n == 0:
             return 0
         v = self.peek16() >> (16 - n)
         self.pos += n
+        if self.pos > self.nbits + 7:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
         return v
 
 

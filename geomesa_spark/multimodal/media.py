@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition-aware batching, Arrow UDF
-signatures, batch shapes) is REAL and tested; the codec step is stubbed —
-this container has no image/audio libraries, so `decode_*` either parses the
-deterministic fake header written by `synth_media` or raises
-NotImplementedError for real formats (clearly marked; swap in PIL/ffmpeg
-decode functions on a cluster that has them)."""
+signatures, batch shapes) is real and tested, and so are the image codecs:
+PNG (multimodal/png.py — every legal bit depth / color type / interlace,
+including Adam7) and JPEG (multimodal/jpeg.py — baseline AND progressive,
+ImageIO-cross-checked) decode with pure stdlib+numpy, no Pillow required.
+`synth_media`'s deterministic fake header format additionally keeps the
+plumbing testable with zero codec work; other real formats (GIF, WebP,
+audio, video) raise NotImplementedError unless Pillow is installed, in
+which case `_pil_decode` handles them transparently. Corrupt or truncated
+blobs of ANY format produce null metadata, never job death."""
 
 from __future__ import annotations
 
@@ -89,25 +93,43 @@ def _pil_decode(content: bytes):
 
 
 def _parse_header(content: bytes) -> tuple[int, int, int]:
+    """Decode one blob to (width, height, checksum_seed).
+
+    Failure contract: raises ValueError for corrupt/truncated data of a
+    RECOGNIZED format (any underlying struct.error / IndexError /
+    zlib.error / KeyError from the codecs is re-raised as ValueError here,
+    ADVICE r6), NotImplementedError for unrecognized formats. Callers in
+    the decode UDFs below additionally catch Exception as the last-resort
+    null-metadata guard — at 100 TB one bad blob must never kill the job.
+    """
     if content is None or not content.startswith(_MAGIC):
         if content:
             from .png import PNG_SIGNATURE, decode_png
 
-            if content.startswith(PNG_SIGNATURE):
-                # real codec path, pure stdlib+numpy — no Pillow needed
-                import zlib
+            try:
+                if content.startswith(PNG_SIGNATURE):
+                    # real codec path, pure stdlib+numpy — no Pillow needed
+                    import zlib
 
-                w, h, px = decode_png(bytes(content))
-                return w, h, zlib.crc32(px.tobytes())
-            if content.startswith(b"\xff\xd8"):
-                # real JPEG codec, pure numpy (multimodal/jpeg.py; baseline
-                # AND progressive; arithmetic/hierarchical raise cleanly)
-                import zlib
+                    w, h, px = decode_png(bytes(content))
+                    return w, h, zlib.crc32(px.tobytes())
+                if content.startswith(b"\xff\xd8"):
+                    # real JPEG codec, pure numpy (multimodal/jpeg.py;
+                    # baseline AND progressive; arithmetic/hierarchical
+                    # raise cleanly)
+                    import zlib
 
-                from .jpeg import decode_jpeg
+                    from .jpeg import decode_jpeg
 
-                w, h, px = decode_jpeg(bytes(content))
-                return w, h, zlib.crc32(px.tobytes())
+                    w, h, px = decode_jpeg(bytes(content))
+                    return w, h, zlib.crc32(px.tobytes())
+            except (ValueError, NotImplementedError):
+                raise
+            except Exception as e:
+                # truncated SOF -> struct.error, truncated DHT ->
+                # IndexError, corrupt IDAT -> zlib.error, ...: all mean
+                # "corrupt blob", normalize so callers need one except arm
+                raise ValueError(f"corrupt media blob: {type(e).__name__}: {e}") from e
             real = _pil_decode(content)
             if real is not None:
                 return real
@@ -118,6 +140,8 @@ def _parse_header(content: bytes) -> tuple[int, int, int]:
             "PNG and JPEG (baseline + progressive) decode via the "
             "pure-python codecs (multimodal/png.py, multimodal/jpeg.py)"
         )
+    if len(content) < len(_MAGIC) + 12:
+        raise ValueError("corrupt media blob: truncated synthetic header")
     w, h, seed = struct.unpack_from("<III", content, len(_MAGIC))
     return w, h, seed
 
@@ -144,9 +168,11 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                     ws.append(w)
                     hs.append(h)
                     cks.append(int(np.int64(seed * 2654435761 % (1 << 31))))
-                except (NotImplementedError, ValueError):
-                    # unsupported format OR corrupt bytes -> null metadata;
-                    # at 100 TB one bad blob must never kill the job
+                except Exception:
+                    # unsupported format OR corrupt bytes (any parse
+                    # failure, not just the two normalized types) -> null
+                    # metadata; at 100 TB one bad blob must never kill
+                    # the job
                     ws.append(None)
                     hs.append(None)
                     cks.append(None)
@@ -174,7 +200,7 @@ def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content")
                     v = rng.normal(0, 1, dim).astype(np.float32)
                     v /= np.linalg.norm(v)
                     feats.append([float(x) for x in v])
-                except (NotImplementedError, ValueError):
+                except Exception:
                     feats.append(None)
             pdf["features"] = feats
             yield pdf

@@ -49,12 +49,29 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        per_core = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+        per_core = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
         if size < par * per_core and 0 < len(df.inputFiles()) < par:
             return df.repartition(par)
     except Exception:  # stats unavailable -> assume already parallel
         pass
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string -> bytes: handles '128m', '1g', '134217728b',
+    '128MB' (case-insensitive, optional trailing 'b'), not just a trailing
+    'b' (ADVICE r6 — a human-set '128m' silently disabled the repartition
+    heuristic via the blanket except above)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1024 ** ("kmgtp".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s) * mult)
 
 
 def shingles_col(text_col, k: int = 3):

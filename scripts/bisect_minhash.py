@@ -176,30 +176,6 @@ def k6b(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    batch = synth_batch(n)
-    kernels = {"k4": k4, "k5": k5, "k6a": k6a, "k6b": k6b}
-    # correctness first: all variants bit-identical
-    ref = k4(batch.head(2000))
-    for name, fn in kernels.items():
-        got = fn(batch.head(2000))
-        assert list(got) == list(ref), f"{name} diverges from k4"
-    print("all kernels bit-identical on 2000 docs")
-    times = {name: [] for name in kernels}
-    for r in range(reps):
-        for name, fn in kernels.items():  # interleaved
-            t0 = time.time()
-            fn(batch)
-            times[name].append(round(time.time() - t0, 3))
-    for name, ts in times.items():
-        print(f"{name}: best {min(ts):.3f}s  runs {ts}")
-
-
-if __name__ == "__main__":
-    main()
-
 def k6c(texts: pd.Series) -> pd.Series:
     packed, ws, we, nulls = _pack_windows(texts)
     inv, u = pd.factorize(packed)
@@ -216,7 +192,8 @@ def k6c(texts: pd.Series) -> pd.Series:
 
 
 def k5t(texts: pd.Series) -> pd.Series:
-    """k5 but with transposed row-major gather."""
+    """k5 but with transposed row-major gather — the production kernel's
+    layout (dedup.py _minhash_text_udf)."""
     gram_ix: dict = {}
     doc_idx: list = []
     for t in texts:
@@ -243,3 +220,31 @@ def k5t(texts: pd.Series) -> pd.Series:
         for ii in doc_idx
     ]
     return pd.Series(out, dtype=object)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    batch = synth_batch(n)
+    # k5t/k6c (transposed gather — the production layout) are in the dict so
+    # the bit-identity assert and interleaved timing cover them (ADVICE r6:
+    # they previously sat below the __main__ guard, untimed and unchecked)
+    kernels = {"k4": k4, "k5": k5, "k6a": k6a, "k6b": k6b, "k6c": k6c, "k5t": k5t}
+    # correctness first: all variants bit-identical
+    ref = k4(batch.head(2000))
+    for name, fn in kernels.items():
+        got = fn(batch.head(2000))
+        assert list(got) == list(ref), f"{name} diverges from k4"
+    print("all kernels bit-identical on 2000 docs")
+    times = {name: [] for name in kernels}
+    for r in range(reps):
+        for name, fn in kernels.items():  # interleaved
+            t0 = time.time()
+            fn(batch)
+            times[name].append(round(time.time() - t0, 3))
+    for name, ts in times.items():
+        print(f"{name}: best {min(ts):.3f}s  runs {ts}")
+
+
+if __name__ == "__main__":
+    main()

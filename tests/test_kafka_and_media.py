@@ -111,6 +111,71 @@ def test_real_format_decode_and_degrade(spark):
     assert rows["m2"].decoded_w is None and rows["m2"].checksum is None
 
 
+def test_adversarial_corrupt_blobs_degrade(spark):
+    """ADVICE r6: corrupt blobs whose parse failures are NOT ValueError at
+    the codec layer (struct.error from a truncated SOF, IndexError from a
+    truncated DHT or chopped entropy data, zlib.error from a corrupt IDAT
+    with a valid CRC) must still degrade to null metadata, never kill the
+    job. _parse_header normalizes them all to ValueError and the UDFs catch
+    Exception as the last-resort guard."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geomesa_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+    from geomesa_spark.multimodal.media import _parse_header, decode_image_meta
+    from geomesa_spark.multimodal.png import PNG_SIGNATURE
+
+    def png_chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    truncated_sof = b"\xff\xd8\xff\xc0\x00\x11\x08"
+    truncated_dht = b"\xff\xd8\xff\xc4\x00\x1f\x00\x00\x01"
+    # structurally valid PNG, garbage zlib stream, CRCs recomputed so the
+    # failure is zlib.error (not the codec's own CRC ValueError)
+    corrupt_idat = (
+        PNG_SIGNATURE
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + png_chunk(b"IDAT", b"\x99" * 30)
+        + png_chunk(b"IEND", b"")
+    )
+    rng = np.random.default_rng(3)
+    good = encode_jpeg(rng.integers(0, 256, size=(32, 32), dtype=np.uint8))
+    chopped_entropy = good[:-40]  # EOI + a run of entropy bytes removed
+    short_fake = b"FAKEIMG1\x01\x02"
+
+    blobs = [truncated_sof, truncated_dht, corrupt_idat, chopped_entropy, short_fake]
+    # every class normalizes to ValueError at the _parse_header layer
+    for blob in blobs:
+        with pytest.raises(ValueError):
+            _parse_header(blob)
+    # a substantially chopped entropy segment raises (no silent zero-fill
+    # pixels), while the untouched file still decodes — _BitReader guard
+    with pytest.raises(ValueError, match="entropy data exhausted"):
+        decode_jpeg(chopped_entropy)
+    assert decode_jpeg(good)[:2] == (32, 32)
+    # ... and through the Spark UDF every one degrades to null metadata
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": [f"c{i}" for i in range(len(blobs))] + ["ok"],
+                "media_type": ["image/x-corrupt"] * len(blobs) + ["image/jpeg"],
+                "content": blobs + [good],
+            }
+        )
+    )
+    rows = {r.media_ref: r for r in decode_image_meta(df).collect()}
+    for i in range(len(blobs)):
+        assert rows[f"c{i}"].decoded_w is None and rows[f"c{i}"].checksum is None
+    assert (rows["ok"].decoded_w, rows["ok"].decoded_h) == (32, 32)
+
+
 def test_resize_real_png_roundtrip(spark):
     """resize_image on REAL PNG content re-encodes a valid PNG at the new
     dimensions with exact nearest-neighbor pixels (previously this path
