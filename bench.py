@@ -286,6 +286,40 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
             runs[name] = ts
         out[name] = min(ts)
 
+    # ngram_dedup sub-stage timings (VERDICT r6 #5): the gate is stage-
+    # latency-bound at sf0.1 (5k docs), so record where the walls are —
+    # sig = canonicalize + signature UDF; cand = + LSH banding/bucket join
+    # (the full gate time above adds the fused attach + est prefilter +
+    # exact verify). Decomposable from the JSON without a bisection.
+    try:
+        import pyspark.sql.functions as _F
+
+        from geomesa_spark.operators.dedup import (
+            _lsh_candidates,
+            _minhash_text_udf,
+            canonicalize_exact,
+        )
+
+        d = entry._read(spark, SF_DIR, "documents")
+        stages: dict[str, float] = {}
+        t0 = time.time()
+        txt = canonicalize_exact(d, "text", "doc_id", carry=("lang",)).select(
+            "doc_id", "lang", _F.col("text").alias("_txt")
+        )
+        sig = txt.withColumn("_sig", _minhash_text_udf(128, 3)(_F.col("_txt"))).filter(
+            _F.col("_sig").isNotNull()
+        )
+        sig.write.format("noop").mode("overwrite").save()
+        stages["sig"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        _lsh_candidates(sig.select("doc_id", "_sig"), "doc_id", 128, 16, None).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        stages["sig_plus_cand"] = round(time.time() - t0, 3)
+        runs["ngram_dedup_stages"] = stages
+    except Exception:
+        pass  # stage probe must never fail the bench
+
     ann_stages: dict[str, float] = {}
     for probe_name, probe in _probe_jobs(ann_stages):
         ts = [round(probe(spark), 3), round(probe(spark), 3)]

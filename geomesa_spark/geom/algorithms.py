@@ -245,13 +245,30 @@ def locate(px: float, py: float, g: Geometry) -> int:
                 best = BOUNDARY
         return best
     if t == GEOMETRYCOLLECTION:
+        # flatten into dimension families rather than recursing per member:
+        # recursion applied the line boundary-endpoint rule PER MEMBER, so a
+        # point that is an endpoint of one line member but interior to
+        # another located INTERIOR for the GC yet BOUNDARY for the
+        # equivalent MULTILINESTRING (same part list) — an internal
+        # inconsistency found by the r7 GC lattice sweep. Flattened families
+        # make locate(GC) == locate(normalized MULTI) by construction,
+        # which the batch kernels and _normalize_gc routing rely on.
         best = EXTERIOR
-        for sub in g.coords:
-            loc = locate(px, py, sub)
+        for c in _points_of(g):
+            if px == c[0] and py == c[1]:
+                return INTERIOR
+        lines = _lines_of(g)
+        if lines:
+            loc = locate(px, py, Geometry(MULTILINESTRING, lines))
             if loc == INTERIOR:
                 return INTERIOR
-            if loc == BOUNDARY:
-                best = BOUNDARY
+            best = min(best, loc)
+        polys = _polygons_of(g)
+        if polys:
+            loc = locate(px, py, Geometry(MULTIPOLYGON, polys))
+            if loc == INTERIOR:
+                return INTERIOR
+            best = min(best, loc)
         return best
     return EXTERIOR
 

@@ -96,7 +96,13 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: Geometry, boundary_o
         any_boundary |= bnd
     if boundary_ok:
         return result | any_boundary
-    return result & ~any_boundary
+    # `result` is the union of per-part STRICT interiors; do NOT subtract
+    # any_boundary — in overlapping-part collections (invalid OGC, honored
+    # with part-wise min semantics like the scalar locate) a point can be
+    # strictly inside one part while on another part's boundary, and
+    # interior wins (r7 GC lattice sweep). For valid multipolygons a strict
+    # interior point is never on a sibling boundary, so this is identical.
+    return result
 
 
 def _areal_edges(g: Geometry) -> np.ndarray:
@@ -411,7 +417,7 @@ def areal_within_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
 # then assemble the DE-9IM cells each predicate needs. Closes the last
 # per-pair-Python refine tail in spatial joins (roads x parcels shapes).
 
-from .core import LINESTRING, MULTILINESTRING, MULTIPOLYGON, POLYGON
+from .core import GEOMETRYCOLLECTION, LINESTRING, MULTILINESTRING, MULTIPOLYGON, POLYGON
 
 _INT, _BND, _EXT = alg.INTERIOR, alg.BOUNDARY, alg.EXTERIOR
 
@@ -501,6 +507,30 @@ def locate_batch(px, py, g: Geometry) -> np.ndarray:
         for ax, ay, bx, by in alg._line_segments(g):
             on |= _on_segment_batch(px, py, float(ax), float(ay), float(bx), float(by))
         return np.where(bnd, _BND, np.where(on, _INT, _EXT)).astype(np.int8)
+    if t == GEOMETRYCOLLECTION:
+        # union semantics over the flattened part families, mirroring the
+        # scalar locate()'s min-over-members rule (INTERIOR < BOUNDARY <
+        # EXTERIOR numerically). Point members match EXACTLY, as in the
+        # scalar (locate uses ==, not the eps test, for point geometries).
+        best = np.full(len(px), _EXT, dtype=np.int8)
+        polys = alg._polygons_of(g)
+        if polys:
+            best = np.minimum(
+                best, locate_batch(px, py, Geometry(MULTIPOLYGON, polys))
+            )
+        lines = alg._lines_of(g)
+        if lines:
+            best = np.minimum(
+                best, locate_batch(px, py, Geometry(MULTILINESTRING, lines))
+            )
+        for qx, qy in alg._points_of(g):
+            best = np.minimum(
+                best,
+                np.where((px == float(qx)) & (py == float(qy)), _INT, _EXT).astype(
+                    np.int8
+                ),
+            )
+        return best
     raise ValueError(f"locate_batch: unsupported geometry type {t}")
 
 

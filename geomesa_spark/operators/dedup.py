@@ -603,26 +603,13 @@ def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataF
     return cand.join(renamed, on=out_id)
 
 
-def _est_prefilter(
-    cand: DataFrame,
-    sig: DataFrame,
-    id_col: str,
-    threshold: float,
-    num_hashes: int,
-    margin: float = 0.15,
-) -> DataFrame:
-    """Signature-estimated-Jaccard prefilter before the exact verify: the
-    candidate set on self-similar corpora is dominated by mid-similarity
-    pairs that can never reach `threshold`; dropping everything with
-    est < threshold - margin shrinks the expensive shingle-array attach +
-    exact intersect to the near-duplicates. With 128 hashes the estimator
-    std at s=threshold is ~0.03, so a 0.15 margin is a ~5-sigma guard —
-    recall of true >=threshold pairs is preserved (tested at both SFs)."""
-    sigs = sig.select(id_col, "_sig")
-    pre = _attach(cand, sigs, id_col, "id_a")
-    pre = _attach(pre, sigs, id_col, "id_b")
-    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
-    return pre.filter(est >= threshold - margin).select("id_a", "id_b")
+# est-prefilter margin for the exact-verify paths: the candidate set on
+# self-similar corpora is dominated by mid-similarity pairs that can never
+# reach `threshold`; dropping everything with est < threshold - margin
+# shrinks the exact intersect to the near-duplicates. With 128 hashes the
+# estimator std at s=threshold is ~0.03, so 0.15 is a ~5-sigma guard —
+# recall of true >=threshold pairs is preserved (tested at both SFs).
+_EST_MARGIN = 0.15
 
 
 def minhash_lsh_pairs(
@@ -675,9 +662,16 @@ def minhash_lsh_pairs(
     )
 
     if verify == "exact":
-        cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-        cand = _attach(cand, txt, id_col, "id_a")
-        cand = _attach(cand, txt, id_col, "id_b")
+        # ONE attach join per side carrying BOTH _sig and _txt (sig derives
+        # from txt, so both columns ride the same row): the est prefilter
+        # and the exact verify then run join-free on the attached columns —
+        # 2 shuffle joins instead of the 4 the separate prefilter+attach
+        # phases cost (VERDICT r6 #5, ngram_dedup stage-latency tail)
+        combo = sig.select(id_col, "_txt", "_sig")
+        cand = _attach(cand, combo, id_col, "id_a")
+        cand = _attach(cand, combo, id_col, "id_b")
+        est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
+        cand = cand.filter(est >= threshold - _EST_MARGIN)
         jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
         return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
@@ -726,15 +720,18 @@ def ngram_jaccard_pairs(
     txt = df.select(*keep, F.col(text_col).alias("_txt")).localCheckpoint(
         eager=False
     )
-    sig = txt.select(id_col, "_txt").withColumn(
+    sig = txt.withColumn(
         "_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt"))
     ).filter(F.col("_sig").isNotNull()).localCheckpoint(eager=False)
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
-    cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-    cand = _attach(cand, txt, id_col, "id_a")
-    cand = _attach(cand, txt, id_col, "id_b")
+    # fused attach (see minhash_lsh_pairs): one join per side carries _sig
+    # (est prefilter), _txt (exact verify) and the block column together
+    cand = _attach(cand, sig, id_col, "id_a")
+    cand = _attach(cand, sig, id_col, "id_b")
+    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
+    cand = cand.filter(est >= threshold - _EST_MARGIN)
     if block_col:
         cand = cand.filter(F.col(f"{block_col}_id_a") == F.col(f"{block_col}_id_b"))
     jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))

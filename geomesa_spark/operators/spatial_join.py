@@ -174,6 +174,58 @@ def _rect_pair_predicate(predicate: str, A, B) -> bool | None:
     return None
 
 
+def _normalize_gc(g):
+    """Homogeneous GEOMETRYCOLLECTION -> the equivalent MULTI geometry.
+
+    Exact under this engine's union semantics: the scalar relate/locate
+    flatten GCs through _points_of/_lines_of/_polygons_of, and the MULTI
+    built from those same part lists yields identical results — so a GC of
+    polygons routes through the areal batch kernels (simple_parts guard
+    included), a GC of lines through the lineal kernel, a GC of points
+    through the multipoint kernel (VERDICT r6 #3). Heterogeneous (mixed
+    dimension families) and empty GCs return unchanged; non-GC input
+    returns unchanged."""
+    if g.gtype != gcore.GEOMETRYCOLLECTION:
+        return g
+    polys = alg._polygons_of(g)
+    lines = alg._lines_of(g)
+    pts = alg._points_of(g)
+    fams = (len(polys) > 0) + (len(lines) > 0) + (len(pts) > 0)
+    if fams != 1:
+        return g
+    if polys:
+        return gcore.Geometry(gcore.MULTIPOLYGON, polys)
+    if lines:
+        return gcore.Geometry(gcore.MULTILINESTRING, lines)
+    return gcore.Geometry(gcore.MULTIPOINT, [list(map(float, p)) for p in pts])
+
+
+def _gc_family_subs(g):
+    """Decompose a (heterogeneous) GC into its dimension-family MULTI
+    geometries: [(MULTIPOLYGON?), (MULTILINESTRING?), (MULTIPOINT?)].
+    Union-of-families equals the GC's point set, so OR over per-family
+    verdicts is exact for `intersects`."""
+    subs = []
+    polys = alg._polygons_of(g)
+    if polys:
+        subs.append(gcore.Geometry(gcore.MULTIPOLYGON, polys))
+    lines = alg._lines_of(g)
+    if lines:
+        subs.append(gcore.Geometry(gcore.MULTILINESTRING, lines))
+    pts = alg._points_of(g)
+    if len(pts):
+        subs.append(gcore.Geometry(gcore.MULTIPOINT, [list(map(float, p)) for p in pts]))
+    return subs
+
+
+def _live_segs(g) -> bool:
+    """Geometry-object analog of the has_segs byte-cache guard."""
+    return any(
+        len(a) >= 2 and bool((np.asarray(a)[:-1, :2] != np.asarray(a)[1:, :2]).any())
+        for a in alg._lines_of(g)
+    )
+
+
 def _pairwise_predicate_fn(predicate: str):
     """The raw batch function behind _pairwise_predicate_udf — exposed so
     tests can drive the exact refine logic on pandas Series without a Spark
@@ -241,13 +293,29 @@ def _pairwise_predicate_fn(predicate: str):
                 g = geo(rb)
                 ii = np.asarray(idxs)
                 mask = None
-                if predicate in ("intersects", "within") and alg._polygons_of(g):
+                # the ray-cast shortcut is only sound for PURELY areal
+                # partners: a GC mixing polygons with line/point members has
+                # interior beyond its polygons (a point on the GC's line
+                # member intersects/is-within it under the scalar locate's
+                # union semantics) — mixed partners take the locate_batch
+                # branch, which flattens GCs with the same min-over-members
+                # rule as the scalar
+                purely_areal = (
+                    alg._polygons_of(g)
+                    and not alg._lines_of(g)
+                    and not len(alg._points_of(g))
+                )
+                if predicate in ("intersects", "within") and purely_areal:
                     mask = points_in_polygon(
                         pts[ii, 0], pts[ii, 1],
                         g,
                         boundary_ok=(predicate == "intersects"),
                     )
-                elif g.gtype in areal_types or g.gtype in lineal_types:
+                elif (
+                    g.gtype in areal_types
+                    or g.gtype in lineal_types
+                    or g.gtype == gcore.GEOMETRYCOLLECTION
+                ):
                     if predicate == "crosses":
                         mask = np.zeros(len(ii), dtype=bool)
                     else:
@@ -271,16 +339,45 @@ def _pairwise_predicate_fn(predicate: str):
         # the vectorized ray-cast/crossing kernels; lineal x areal, lineal x
         # lineal and areal x lineal pairs batch through the segment-split
         # classification kernels (lineal side concatenated, ONE chunked S x E
-        # parameter broadcast per group) — per-pair Python remains only for
-        # geometry collections, multipoints and degenerate (segment-less)
-        # lines
-        areal_groups: dict[bytes, list[int]] = {}
-        # keyed ("l"|"r", partner bytes): "l" = lineal LEFT grouped by right
-        # partner; "r" = lineal RIGHT grouped by left polygon (the batch runs
-        # over whichever side carries the lines)
-        mixed_groups: dict[tuple[str, bytes], list[int]] = {}
+        # parameter broadcast per group). Geometry collections route through
+        # the same kernels (r7): HOMOGENEOUS GCs normalize to the equivalent
+        # MULTI geometry (exact — the scalar flattens GCs identically), and
+        # heterogeneous GCs decompose into dimension-family subs whose
+        # per-family verdicts OR together (union semantics; intersects only).
+        # Per-pair Python remains only for degenerate members and
+        # heterogeneous GCs under non-intersects predicates.
+        #
+        # Group entries are (row index, member Geometry); the ONE partner
+        # geometry per group lives in partner_of[key]. A row may appear in
+        # several groups (heterogeneous-GC families) — verdicts OR-combine.
+        areal_groups: dict[object, list[tuple[int, object]]] = {}
+        # keyed ("l"|"r"|"pl"|"pr"|"gr", partner bytes): "l" = lineal LEFT
+        # grouped by right partner; "r" = lineal RIGHT grouped by left
+        # polygon; "pl"/"pr" = multipoint side; "gr" = a het-GC's areal
+        # family vs a lineal partner (batch runs over the partner lines,
+        # keyed by the GC bytes so it cannot collide with "r" groups)
+        mixed_groups: dict[tuple[str, bytes], list[tuple[int, object]]] = {}
+        partner_of: dict[object, object] = {}
+
+        def push(groups_dict, key, partner_geom, i, member_geom):
+            groups_dict.setdefault(key, []).append((i, member_geom))
+            partner_of[key] = partner_geom
+
+        def accum(i, v: bool):
+            prev = out[i]
+            out[i] = bool(v) if prev is None else (prev or bool(v))
+
         seg_ok: dict[bytes, bool] = {}
         area_ok: dict[bytes, bool] = {}
+        norm_cache: dict[bytes, object] = {}
+
+        def norm(b):
+            g = norm_cache.get(b)
+            if g is None:
+                g = _normalize_gc(geo(b))
+                if len(norm_cache) < 8192:
+                    norm_cache[b] = g
+            return g
 
         def pos_area(b):
             # degenerate zero-area polygons (a point or segment dressed as
@@ -359,6 +456,48 @@ def _pairwise_predicate_fn(predicate: str):
                 pt_type in lineal_types and has_segs(pb)
             )
 
+        def push_het_intersects(i, het_g, het_b, partner_g, partner_b) -> bool:
+            """Route a heterogeneous-GC row (intersects only) by pushing one
+            group entry per dimension family; verdicts OR together (the GC's
+            point set is the union of its families). Returns False — leaving
+            the pair to the scalar path — when any family member is
+            degenerate (zero-area polygon, segment-less line) or the partner
+            can't drive the needed kernel."""
+            pt = partner_g.gtype
+            p_areal = pt in areal_types and pos_area(partner_b)
+            p_lineal = pt in lineal_types and has_segs(partner_b)
+            plan = []
+            for sub in _gc_family_subs(het_g):
+                st = sub.gtype
+                if st == gcore.MULTIPOLYGON:
+                    if not alg.area(sub) > 0.0:
+                        return False
+                    if p_areal:
+                        plan.append((areal_groups, partner_b, partner_g, sub))
+                    elif p_lineal:
+                        # batch of partner lines vs the GC's areal family
+                        plan.append((mixed_groups, ("gr", het_b), sub, partner_g))
+                    else:
+                        return False
+                elif st == gcore.MULTILINESTRING:
+                    if not _live_segs(sub):
+                        return False
+                    if p_areal or p_lineal:
+                        plan.append((mixed_groups, ("l", partner_b), partner_g, sub))
+                    else:
+                        return False
+                else:  # MULTIPOINT family
+                    if p_areal or p_lineal:
+                        plan.append((mixed_groups, ("pl", partner_b), partner_g, sub))
+                    else:
+                        return False
+            if not plan:
+                return False  # empty GC -> scalar
+            out[i] = False  # OR-accumulation base
+            for groups_dict, key, partner, member in plan:
+                push(groups_dict, key, partner, i, member)
+            return True
+
         for i in rest:
             if lbytes[i] is None or rbytes[i] is None:
                 out[i] = None
@@ -372,8 +511,8 @@ def _pairwise_predicate_fn(predicate: str):
                         out[i] = v
                         continue
             if batchable:
-                lt = geo(lbytes[i]).gtype
-                rt = geo(rbytes[i]).gtype
+                lg, rg = norm(lbytes[i]), norm(rbytes[i])
+                lt, rt = lg.gtype, rg.gtype
                 if (
                     lt in areal_types
                     and rt in areal_types
@@ -384,7 +523,7 @@ def _pairwise_predicate_fn(predicate: str):
                         or (simple_parts(lbytes[i]) and simple_parts(rbytes[i]))
                     )
                 ):
-                    areal_groups.setdefault(rbytes[i], []).append(i)
+                    push(areal_groups, rbytes[i], rg, i, lg)
                     continue
                 if (
                     lt in lineal_types
@@ -394,7 +533,7 @@ def _pairwise_predicate_fn(predicate: str):
                         or (rt in lineal_types and has_segs(rbytes[i]))
                     )
                 ):
-                    mixed_groups.setdefault(("l", rbytes[i]), []).append(i)
+                    push(mixed_groups, ("l", rbytes[i]), rg, i, lg)
                     continue
                 if (
                     lt in areal_types
@@ -402,47 +541,61 @@ def _pairwise_predicate_fn(predicate: str):
                     and rt in lineal_types
                     and has_segs(rbytes[i])
                 ):
-                    mixed_groups.setdefault(("r", lbytes[i]), []).append(i)
+                    push(mixed_groups, ("r", lbytes[i]), lg, i, rg)
                     continue
                 # MULTIPOINT vs areal/lineal: one vectorized locate over
                 # the member points decides every predicate
                 if (
                     lt == gcore.MULTIPOINT
-                    and len(alg._points_of(geo(lbytes[i])))
+                    and len(alg._points_of(lg))
                     and _mp_partner_ok(rbytes[i], rt)
                 ):
-                    mixed_groups.setdefault(("pl", rbytes[i]), []).append(i)
+                    push(mixed_groups, ("pl", rbytes[i]), rg, i, lg)
                     continue
                 if (
                     rt == gcore.MULTIPOINT
-                    and len(alg._points_of(geo(rbytes[i])))
+                    and len(alg._points_of(rg))
                     and _mp_partner_ok(lbytes[i], lt)
                 ):
-                    mixed_groups.setdefault(("pr", lbytes[i]), []).append(i)
+                    push(mixed_groups, ("pr", lbytes[i]), lg, i, rg)
                     continue
+                # heterogeneous GC (one side) under intersects: OR over
+                # dimension families, each through its batch kernel
+                if predicate == "intersects":
+                    l_het = lt == gcore.GEOMETRYCOLLECTION
+                    r_het = rt == gcore.GEOMETRYCOLLECTION
+                    if l_het and not r_het:
+                        if push_het_intersects(i, lg, lbytes[i], rg, rbytes[i]):
+                            continue
+                    elif r_het and not l_het:
+                        # intersects is symmetric: decompose the right GC
+                        # against the left partner with the same machinery
+                        if push_het_intersects(i, rg, rbytes[i], lg, lbytes[i]):
+                            continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
-        for (side, key), idxs in mixed_groups.items():
-            batch_src = lbytes if side in ("l", "pl") else rbytes
-            members = [geo(batch_src[i]) for i in idxs]
-            if side in ("l", "r"):
+        for (side, key), entries in mixed_groups.items():
+            members = [g for _, g in entries]
+            partner = partner_of[(side, key)]
+            if side in ("l", "r", "gr"):
                 verdict = lineal_predicate_batch(
                     members,
-                    geo(key),
+                    partner,
                     predicate,
                     lineal_side="left" if side == "l" else "right",
                 )
             else:
                 verdict = multipoint_predicate_batch(
                     members,
-                    geo(key),
+                    partner,
                     predicate,
                     points_side="left" if side == "pl" else "right",
                 )
-            for k, i in enumerate(idxs):
-                out[i] = bool(verdict[k])
-        for rb_key, idxs in areal_groups.items():
-            Ls = [geo(lbytes[i]) for i in idxs]
-            R = geo(rb_key)
+            for k, (i, _) in enumerate(entries):
+                accum(i, verdict[k])
+        for rb_key, entries in areal_groups.items():
+            idxs = [i for i, _ in entries]
+            Ls = [g for _, g in entries]
+            R = partner_of[rb_key]
             if predicate == "intersects":
                 verdict = areal_intersects_batch(Ls, R)
             elif predicate == "within":
@@ -460,7 +613,7 @@ def _pairwise_predicate_fn(predicate: str):
                 # necessarily interior to the cover
                 verdict = areal_covers_batch(Ls, R)
             for k, i in enumerate(idxs):
-                out[i] = bool(verdict[k])
+                accum(i, verdict[k])
         return pd.Series(out, dtype=object)
 
     return pred

@@ -170,6 +170,86 @@ def _multi_soup(rng: np.random.Generator, n: int, step: float) -> list:
     return gs
 
 
+def _gc_soup(rng: np.random.Generator, n: int, step: float) -> list:
+    """GEOMETRYCOLLECTION lattice soup (VERDICT r6 #3): homogeneous GCs
+    (normalize to MULTI and batch), heterogeneous GCs (family decomposition
+    under intersects, scalar elsewhere), nested GCs, plus plain partners —
+    including POINTs, which drive the point fast path against GC partners
+    (the r7 purely-areal fix: a point on a mixed GC's line member must not
+    be missed by the polygon-only ray cast)."""
+
+    def rect(x0, y0, w, h):
+        return (
+            f"POLYGON (({x0:.10g} {y0:.10g}, {x0 + w:.10g} {y0:.10g}, "
+            f"{x0 + w:.10g} {y0 + h:.10g}, {x0:.10g} {y0 + h:.10g}, "
+            f"{x0:.10g} {y0:.10g}))"
+        )
+
+    def line(npts):
+        pts = rng.integers(0, 5, size=(npts, 2)) * step - 1.0
+        return "LINESTRING (" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+
+    def point():
+        x, y = rng.integers(0, 5, 2) * step - 1.0
+        return f"POINT ({x:.10g} {y:.10g})"
+
+    def rand_rect():
+        x0, y0 = rng.integers(0, 4, 2) * step - 1.0
+        w, h = rng.integers(1, 4, 2) * step
+        return rect(x0, y0, w, h)
+
+    gs = []
+    while len(gs) < n:
+        kind = int(rng.integers(0, 12))
+        if kind < 2:  # homogeneous polygon GC (parts may overlap/touch)
+            wkt = f"GEOMETRYCOLLECTION ({rand_rect()}, {rand_rect()})"
+        elif kind < 4:  # homogeneous line GC
+            wkt = f"GEOMETRYCOLLECTION ({line(int(rng.integers(2, 5)))}, {line(2)})"
+        elif kind < 5:  # homogeneous point GC
+            wkt = f"GEOMETRYCOLLECTION ({point()}, {point()})"
+        elif kind < 7:  # heterogeneous: polygon + line
+            wkt = f"GEOMETRYCOLLECTION ({rand_rect()}, {line(int(rng.integers(2, 4)))})"
+        elif kind < 8:  # heterogeneous: polygon + point + line
+            wkt = f"GEOMETRYCOLLECTION ({rand_rect()}, {point()}, {line(2)})"
+        elif kind < 9:  # nested GC (flattens to homogeneous or mixed)
+            inner = rand_rect() if int(rng.integers(0, 2)) else line(2)
+            wkt = f"GEOMETRYCOLLECTION (GEOMETRYCOLLECTION ({inner}), {rand_rect()})"
+        elif kind < 10:  # plain partner: rect (degenerate allowed)
+            x0, y0 = rng.integers(0, 4, 2) * step - 1.0
+            w, h = rng.integers(0, 4, 2) * step
+            wkt = rect(x0, y0, w, h)
+        elif kind < 11:  # plain partner: polyline
+            wkt = line(int(rng.integers(2, 6)))
+        else:  # plain partner: POINT (fast-path vs GC partners)
+            wkt = point()
+        gs.append(from_wkt(wkt))
+    return gs
+
+
+@pytest.mark.parametrize("step", (0.7, 0.3))
+def test_gc_lattice_sweep(step):
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(int(step * 1000) + 4242)
+    lefts = _gc_soup(rng, 60, step)
+    rights = _gc_soup(rng, 30, step)
+    lw = pd.Series([bytes(to_wkb(a)) for a in lefts for b in rights], dtype=object)
+    rw = pd.Series([bytes(to_wkb(b)) for a in lefts for b in rights], dtype=object)
+    pairs = [(a, b) for a in lefts for b in rights]
+    bad = []
+    for p in PREDICATES:
+        fn = _pairwise_predicate_fn(p)
+        ref = getattr(alg, p)
+        got = fn(lw, rw)
+        got_rev = fn(rw, lw)
+        for (a, b), g1, g2 in zip(pairs, got, got_rev):
+            if bool(g1) != ref(a, b):
+                bad.append((p, "fwd"))
+            if bool(g2) != ref(b, a):
+                bad.append((p, "rev"))
+    assert not bad, (len(bad), bad[:5])
+
+
 @pytest.mark.parametrize("step", (0.7, 0.3))
 def test_multi_part_lattice_sweep(step):
     from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
