@@ -4,9 +4,16 @@ st_lengthSpheroid — reference GeometricDistanceFunctions.scala:22-65 uses
 GeoTools GeodeticCalculator orthodromic distance).
 
 Supported CRS: EPSG:4326, EPSG:3857 (web mercator), EPSG:27700 (OSGB / Airy
-1830 with 7-param Helmert), EPSG:326xx/327xx (UTM on WGS84). Pure numpy,
-derived from published formulas (Vincenty 1975; OSGB "A guide to coordinate
-systems in Great Britain"; Karney-free series TM)."""
+1830 with 7-param Helmert), EPSG:326xx/327xx (UTM on WGS84), EPSG:2154
+(RGF93 / Lambert-93, LCC 2SP on GRS80), EPSG:5070 (NAD83 / Conus Albers
+equal-area on GRS80), and parameterized "LCC:sp1,sp2,lat0,lon0,fe,fn" /
+"AEA:sp1,sp2,lat0,lon0,fe,fn" strings for any other Lambert-conformal /
+Albers zone (degrees + meters, GRS80 unless a,rf appended). RGF93 and
+NAD83 are treated as coincident with WGS84 (cm-level, the standard
+null-transformation assumption). Pure numpy, derived from published
+formulas (Vincenty 1975; OSGB "A guide to coordinate systems in Great
+Britain"; Karney-free series TM; Snyder, "Map Projections — A Working
+Manual", USGS PP 1395, pp. 98-110 for LCC/Albers)."""
 
 from __future__ import annotations
 
@@ -270,6 +277,151 @@ def _utm(zone: int, south: bool):
     return fwd, inv
 
 
+# GRS80 (RGF93, NAD83)
+GRS80_A = 6378137.0
+GRS80_RF = 298.257222101
+
+
+def _lcc2sp(sp1, sp2, lat0, lon0, fe, fn, a=GRS80_A, rf=GRS80_RF):
+    """Lambert Conformal Conic, 2 standard parallels, ellipsoidal (Snyder
+    PP 1395 pp. 107-109, eqs 15-1..15-11 / 14-15, 14-9). Angles in degrees,
+    lengths in meters. Returns (fwd, inv) over numpy arrays."""
+    f = 1.0 / rf
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    def t(phi):
+        s = np.sin(phi)
+        return np.tan(math.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    p1, p2, p0 = map(math.radians, (sp1, sp2, lat0))
+    l0 = math.radians(lon0)
+    m1, m2 = float(m(np.float64(p1))), float(m(np.float64(p2)))
+    t1, t2, t0 = (float(t(np.float64(p))) for p in (p1, p2, p0))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    Fc = m1 / (n * t1**n)
+    rho0 = a * Fc * t0**n
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = a * Fc * t(phi) ** n
+        th = n * (lam - l0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, dtype=np.float64) - fe
+        dy = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.sign(n) * np.sqrt(dx * dx + dy * dy)
+        tp = (rho / (a * Fc)) ** (1.0 / n)
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        lam = th / n + l0
+        phi = math.pi / 2 - 2 * np.arctan(tp)
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi_new = math.pi / 2 - 2 * np.arctan(
+                tp * ((1 - s) / (1 + s)) ** (e / 2)
+            )
+            if np.all(np.abs(phi_new - phi) < 1e-12):
+                phi = phi_new
+                break
+            phi = phi_new
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+def _albers(sp1, sp2, lat0, lon0, fe, fn, a=GRS80_A, rf=GRS80_RF):
+    """Albers Equal-Area Conic, ellipsoidal (Snyder PP 1395 pp. 101-102,
+    eqs 14-12..14-15 / 3-16). Angles in degrees, lengths in meters."""
+    f = 1.0 / rf
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1 - e2 * s * s)
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    p1, p2, p0 = map(math.radians, (sp1, sp2, lat0))
+    l0 = math.radians(lon0)
+    m1, m2 = float(m(np.float64(p1))), float(m(np.float64(p2)))
+    q1, q2, q0 = (float(q(np.float64(p))) for p in (p1, p2, p0))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+
+    def fwd(lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        rho = a * np.sqrt(C - n * q(phi)) / n
+        th = n * (lam - l0)
+        return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, dtype=np.float64) - fe
+        dy = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        qp = (C - (rho * n / a) ** 2) / n
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        lam = th / n + l0
+        # iterate Snyder eq 3-16 for phi from q
+        phi = np.arcsin(np.clip(qp / 2, -1, 1))
+        for _ in range(10):
+            s = np.sin(phi)
+            es = e * s
+            corr = (
+                (1 - e2 * s * s) ** 2
+                / (2 * np.cos(phi))
+                * (
+                    qp / (1 - e2)
+                    - s / (1 - e2 * s * s)
+                    + (1 / (2 * e)) * np.log((1 - es) / (1 + es))
+                )
+            )
+            phi = phi + corr
+            if np.all(np.abs(corr) < 1e-12):
+                break
+        return np.degrees(lam), np.degrees(phi)
+
+    return fwd, inv
+
+
+# named conic zones: EPSG:2154 RGF93/Lambert-93 (France), EPSG:5070
+# NAD83/Conus Albers — both on GRS80 with the null WGS84 datum shift
+_CONIC_CRS = {
+    "EPSG:2154": ("lcc", (44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)),
+    "EPSG:5070": ("aea", (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)),
+}
+
+
+def _conic(crs: str):
+    """Resolve a named or parameterized conic CRS to (fwd, inv), or None.
+    Parameterized: 'LCC:sp1,sp2,lat0,lon0,fe,fn[,a,rf]' (same for AEA:)."""
+    spec = _CONIC_CRS.get(crs)
+    if spec is not None:
+        fam, params = spec
+        return (_lcc2sp if fam == "lcc" else _albers)(*params)
+    if crs.startswith("LCC:") or crs.startswith("AEA:"):
+        vals = [float(v) for v in crs[4:].split(",")]
+        if len(vals) not in (6, 8):
+            raise ValueError(
+                f"parameterized conic CRS needs 6 or 8 values "
+                f"(sp1,sp2,lat0,lon0,fe,fn[,a,rf]): {crs}"
+            )
+        return (_lcc2sp if crs.startswith("LCC:") else _albers)(*vals)
+    return None
+
+
 def transform_points(lons, lats, from_crs: str, to_crs: str):
     """Transform coordinate arrays between supported CRS codes."""
     from_crs = from_crs.upper()
@@ -286,6 +438,8 @@ def transform_points(lons, lats, from_crs: str, to_crs: str):
     elif from_crs.startswith("EPSG:326") or from_crs.startswith("EPSG:327"):
         zone = int(from_crs[8:])
         lon, lat = _utm(zone, from_crs.startswith("EPSG:327"))[1](lons, lats)
+    elif _conic(from_crs) is not None:
+        lon, lat = _conic(from_crs)[1](lons, lats)
     else:
         raise ValueError(f"unsupported CRS {from_crs}")
     if to_crs == "EPSG:4326":
@@ -297,4 +451,7 @@ def transform_points(lons, lats, from_crs: str, to_crs: str):
     if to_crs.startswith("EPSG:326") or to_crs.startswith("EPSG:327"):
         zone = int(to_crs[8:])
         return _utm(zone, to_crs.startswith("EPSG:327"))[0](lon, lat)
+    conic = _conic(to_crs)
+    if conic is not None:
+        return conic[0](lon, lat)
     raise ValueError(f"unsupported CRS {to_crs}")

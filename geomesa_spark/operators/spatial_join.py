@@ -226,6 +226,92 @@ def _live_segs(g) -> bool:
     )
 
 
+def _ring_segments(rings) -> np.ndarray:
+    segs = []
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        segs.append(np.hstack([r[:-1, :2], r[1:, :2]]))
+    return np.concatenate(segs) if segs else np.empty((0, 4))
+
+
+def _segs_intersect_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Do ANY segments of sets A (n,4) and B (m,4) intersect (proper
+    crossing, touch, or collinear overlap)? One broadcast orientation
+    test — the standard d1..d4 sign procedure, vectorized over all pairs."""
+    if not len(A) or not len(B):
+        return False
+    ax, ay, bx, by = (A[:, k][:, None] for k in range(4))
+    cx, cy, dx_, dy_ = (B[:, k][None, :] for k in range(4))
+
+    def cross(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    d1 = cross(cx, cy, dx_, dy_, ax, ay)
+    d2 = cross(cx, cy, dx_, dy_, bx, by)
+    d3 = cross(ax, ay, bx, by, cx, cy)
+    d4 = cross(ax, ay, bx, by, dx_, dy_)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    if proper.any():
+        return True
+
+    def on(ox, oy, px_, py_, qx, qy, d):
+        # collinear q on segment (o,p)
+        return (
+            (d == 0)
+            & (qx >= np.minimum(ox, px_))
+            & (qx <= np.maximum(ox, px_))
+            & (qy >= np.minimum(oy, py_))
+            & (qy <= np.maximum(oy, py_))
+        )
+
+    return bool(
+        on(cx, cy, dx_, dy_, ax, ay, d1).any()
+        or on(cx, cy, dx_, dy_, bx, by, d2).any()
+        or on(ax, ay, bx, by, cx, cy, d3).any()
+        or on(ax, ay, bx, by, dx_, dy_, d4).any()
+    )
+
+
+def _parts_batch_safe(g) -> bool:
+    """Can this (multi)polygon's parts drive the areal batch kernels for the
+    containment/overlap/touch family?
+
+    The kernels assume every ring edge is true union boundary, which fails
+    when part interiors overlap or parts share boundary (r6 multi-part
+    sweep). Safe iff the parts' CLOSURES are pairwise disjoint: boundaries
+    never intersect (exact vectorized segment test, replacing the r6
+    envelope-touch over-approximation — a valid archipelago whose part
+    ENVELOPES overlap now stays batched, VERDICT r6 #9) and no part vertex
+    sits strictly inside a sibling (hole-nested parts locate EXTERIOR and
+    remain batch-safe — a part filling a sibling's hole exactly still
+    touches boundary and routes scalar via the segment test)."""
+    polys = alg._polygons_of(g)
+    if len(polys) <= 1:
+        return True
+    envs, segs = [], []
+    for rings in polys:
+        sh = np.asarray(rings[0], dtype=np.float64)
+        envs.append((sh[:, 0].min(), sh[:, 1].min(), sh[:, 0].max(), sh[:, 1].max()))
+        segs.append(_ring_segments(rings))
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            a, c = envs[i], envs[j]
+            if not (a[0] <= c[2] and a[2] >= c[0] and a[1] <= c[3] and a[3] >= c[1]):
+                continue  # envelopes disjoint -> parts disjoint
+            if _segs_intersect_any(segs[i], segs[j]):
+                return False
+            # boundaries disjoint: i is entirely inside one face of j's
+            # arrangement (interior / a hole / outside) and vice versa —
+            # one vertex decides; strict interior means overlapping parts
+            vx, vy = np.asarray(polys[i][0], dtype=np.float64)[0, :2]
+            if alg._locate_in_polygon(float(vx), float(vy), polys[j]) == alg.INTERIOR:
+                return False
+            wx, wy = np.asarray(polys[j][0], dtype=np.float64)[0, :2]
+            if alg._locate_in_polygon(float(wx), float(wy), polys[i]) == alg.INTERIOR:
+                return False
+    return True
+
+
 def _pairwise_predicate_fn(predicate: str):
     """The raw batch function behind _pairwise_predicate_udf — exposed so
     tests can drive the exact refine logic on pandas Series without a Spark
@@ -395,36 +481,13 @@ def _pairwise_predicate_fn(predicate: str):
         parts_ok: dict[bytes, bool] = {}
 
         def simple_parts(b):
-            # a MULTIPOLYGON whose parts' interiors can overlap (invalid
-            # OGC, but honored by the scalar's union semantics) breaks the
-            # areal batch kernels' union-boundary assumptions for the
-            # containment/overlap/touch family: an edge of one part interior
-            # to another part is not a true boundary, so the kernels'
-            # proper-crossing veto mis-fires (found by the multi-part
-            # lattice sweep). Conservative envelope test: parts whose
-            # envelopes even TOUCH route the pair to the scalar path (parts
-            # sharing a boundary edge are equally invalid and equally break
-            # the veto); valid archipelago-style multis with separated
-            # envelopes stay batched.
+            # multi-part areal batch-safety (see _parts_batch_safe): parts
+            # whose closures are pairwise disjoint keep the batch kernels;
+            # overlapping/edge-sharing parts (invalid OGC, honored by the
+            # scalar's union semantics) route to the scalar path
             v = parts_ok.get(b)
             if v is None:
-                polys = alg._polygons_of(geo(b))
-                v = True
-                if len(polys) > 1:
-                    envs = []
-                    for rings in polys:
-                        sh = np.asarray(rings[0], dtype=np.float64)
-                        envs.append(
-                            (sh[:, 0].min(), sh[:, 1].min(), sh[:, 0].max(), sh[:, 1].max())
-                        )
-                    for i2 in range(len(envs)):
-                        for j2 in range(i2 + 1, len(envs)):
-                            a, c = envs[i2], envs[j2]
-                            if a[0] <= c[2] and a[2] >= c[0] and a[1] <= c[3] and a[3] >= c[1]:
-                                v = False
-                                break
-                        if not v:
-                            break
+                v = _parts_batch_safe(geo(b))
                 if len(parts_ok) < 8192:
                     parts_ok[b] = v
             return v

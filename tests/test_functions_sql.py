@@ -162,6 +162,57 @@ def test_transform_golden(spark):
     assert abs(y - 236736.03179981868) < 0.01
 
 
+def test_transform_lcc_albers_golden(spark):
+    """Lambert Conformal Conic 2SP + Albers Equal-Area (VERDICT r6 #7),
+    golden-tested against Snyder PP 1395's published worked examples
+    (pp. 292-297, Clarke 1866, phi=35N lam=75W) to 0.1 m, plus the
+    canonical Lambert-93 value for Paris and exact roundtrips."""
+    import numpy as np
+
+    from geomesa_spark.geom.geodesy import _albers, _lcc2sp, transform_points
+
+    a, b = 6378206.4, 6356583.8  # Clarke 1866
+    rf = a / (a - b)
+    x, y = _lcc2sp(33.0, 45.0, 23.0, -96.0, 0.0, 0.0, a, rf)[0](
+        np.array([-75.0]), np.array([35.0])
+    )
+    assert abs(x[0] - 1894410.9) < 0.1 and abs(y[0] - 1564649.5) < 0.1
+    x, y = _albers(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, a, rf)[0](
+        np.array([-75.0]), np.array([35.0])
+    )
+    assert abs(x[0] - 1885472.7) < 0.1 and abs(y[0] - 1535925.0) < 0.1
+
+    # EPSG:2154 (Lambert-93): Paris — canonical grid value, <1 m
+    x, y = transform_points(
+        np.array([2.3522]), np.array([48.8566]), "EPSG:4326", "EPSG:2154"
+    )
+    assert abs(x[0] - 652469.0) < 1.0 and abs(y[0] - 6862035.3) < 1.0
+    lon, lat = transform_points(x, y, "EPSG:2154", "EPSG:4326")
+    assert abs(lon[0] - 2.3522) < 1e-9 and abs(lat[0] - 48.8566) < 1e-9
+
+    # EPSG:5070 (Conus Albers) roundtrip + parameterized-form equivalence
+    x, y = transform_points(
+        np.array([-104.9903]), np.array([39.7392]), "EPSG:4326", "EPSG:5070"
+    )
+    x2, y2 = transform_points(
+        np.array([-104.9903]),
+        np.array([39.7392]),
+        "EPSG:4326",
+        "AEA:29.5,45.5,23.0,-96.0,0,0",
+    )
+    assert abs(x2[0] - x[0]) < 1e-6 and abs(y2[0] - y[0]) < 1e-6
+    lon, lat = transform_points(x, y, "EPSG:5070", "EPSG:4326")
+    assert abs(lon[0] + 104.9903) < 1e-9 and abs(lat[0] - 39.7392) < 1e-9
+
+    # through the SQL surface
+    wkt = sql1(
+        spark,
+        "select st_asText(st_transform(st_geomFromWKT('POINT(2.3522 48.8566)'), 'EPSG:4326', 'EPSG:2154'))",
+    )
+    px, py = (float(v) for v in wkt[7:-1].split())
+    assert abs(px - 652469.0) < 1.0 and abs(py - 6862035.3) < 1.0
+
+
 def test_buffer_point_golden(spark):
     # FIXTURES §6b
     wkt = sql1(

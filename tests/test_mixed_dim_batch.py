@@ -469,3 +469,64 @@ def test_refine_fn_multipoint_sweep():
                 if bool(g1) != ref(a, b) or bool(g2) != ref(b, a):
                     bad.append((p, step))
     assert not bad, bad[:5]
+
+
+def test_parts_batch_safe_archipelago_routing():
+    """VERDICT r6 #9: a VALID archipelago multipolygon whose part ENVELOPES
+    overlap (interlocking L-shaped islands) must keep the batch kernels —
+    the r6 envelope-touch guard routed it to the scalar path. Overlapping,
+    edge-sharing and interior-nested parts must still route scalar; parts
+    nested in a sibling's HOLE (valid, closures disjoint) stay batched."""
+    from geomesa_spark.geom.wkt import from_wkt
+    from geomesa_spark.operators.spatial_join import _parts_batch_safe
+
+    interlocking = from_wkt(
+        # L-shape occupying (0..3, 0..1)+(0..1, 0..3); island at (2 2, 3 3):
+        # envelopes overlap, geometries disjoint
+        "MULTIPOLYGON (((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0)), "
+        "((2 2, 3 2, 3 3, 2 3, 2 2)))"
+    )
+    assert _parts_batch_safe(interlocking) is True
+    separated = from_wkt(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    )
+    assert _parts_batch_safe(separated) is True
+    hole_nested = from_wkt(
+        # island strictly inside the first part's hole: valid, batch-safe
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2)), "
+        "((4 4, 6 4, 6 6, 4 6, 4 4)))"
+    )
+    assert _parts_batch_safe(hole_nested) is True
+    overlapping = from_wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((2 2, 6 2, 6 6, 2 6, 2 2)))"
+    )
+    assert _parts_batch_safe(overlapping) is False
+    edge_sharing = from_wkt(
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((2 0, 4 0, 4 2, 2 2, 2 0)))"
+    )
+    assert _parts_batch_safe(edge_sharing) is False
+    nested = from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((2 2, 4 2, 4 4, 2 4, 2 2)))"
+    )
+    assert _parts_batch_safe(nested) is False
+    # predicate parity for the newly-batched interlocking shape vs partners
+    # that exercise the containment/overlap/touch family
+    from geomesa_spark.geom.wkb import to_wkb
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    partners = [
+        from_wkt("POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"),
+        from_wkt("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"),  # equals island part
+        from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),  # in the notch
+        from_wkt("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))"),  # equals L
+    ]
+    for p in ("intersects", "within", "contains", "covers", "overlaps", "touches"):
+        fn = _pairwise_predicate_fn(p)
+        ref = getattr(alg, p)
+        lw = pd.Series([bytes(to_wkb(interlocking))] * len(partners), dtype=object)
+        rw = pd.Series([bytes(to_wkb(b)) for b in partners], dtype=object)
+        got = fn(lw, rw)
+        got_rev = fn(rw, lw)
+        for b, g1, g2 in zip(partners, got, got_rev):
+            assert bool(g1) == ref(interlocking, b), (p, "fwd")
+            assert bool(g2) == ref(b, interlocking), (p, "rev")
