@@ -256,7 +256,8 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
-    timestamp (explode), decode stubbed."""
+    timestamp (explode). Frame DECODE stays out of scope — no video codec
+    in this environment; the image codecs (PNG/JPEG) cover stills."""
     frames = F.sequence(
         F.lit(0),
         F.greatest(F.col("duration_ms") - 1, F.lit(0)),
