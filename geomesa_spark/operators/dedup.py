@@ -612,6 +612,28 @@ def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataF
 _EST_MARGIN = 0.15
 
 
+def _est_prefilter(
+    cand: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Sig-only prefilter BEFORE the text attach. Two-phase on purpose: a
+    fused single attach (sig+txt per side) was tried (r7) and measured 2.5x
+    SLOWER on the minhash gate — the est pandas-UDF filter stage materializes
+    the whole row through Arrow, so every LSH candidate (710k at sf0.1) paid
+    the double-text transfer that this prefilter exists to avoid; attaching
+    texts to the 106k survivors afterwards is far cheaper than the two
+    'saved' joins (scripts/bisect_attach.py, interleaved: fused 14.6 s vs
+    two-phase 5.9 s minhash, 5.6 vs 5.3 ngram)."""
+    sigs = sig.select(id_col, "_sig")
+    pre = _attach(cand, sigs, id_col, "id_a")
+    pre = _attach(pre, sigs, id_col, "id_b")
+    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
+    return pre.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -662,16 +684,9 @@ def minhash_lsh_pairs(
     )
 
     if verify == "exact":
-        # ONE attach join per side carrying BOTH _sig and _txt (sig derives
-        # from txt, so both columns ride the same row): the est prefilter
-        # and the exact verify then run join-free on the attached columns —
-        # 2 shuffle joins instead of the 4 the separate prefilter+attach
-        # phases cost (VERDICT r6 #5, ngram_dedup stage-latency tail)
-        combo = sig.select(id_col, "_txt", "_sig")
-        cand = _attach(cand, combo, id_col, "id_a")
-        cand = _attach(cand, combo, id_col, "id_b")
-        est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
-        cand = cand.filter(est >= threshold - _EST_MARGIN)
+        cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
+        cand = _attach(cand, txt, id_col, "id_a")
+        cand = _attach(cand, txt, id_col, "id_b")
         jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
         return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
@@ -726,12 +741,9 @@ def ngram_jaccard_pairs(
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
-    # fused attach (see minhash_lsh_pairs): one join per side carries _sig
-    # (est prefilter), _txt (exact verify) and the block column together
-    cand = _attach(cand, sig, id_col, "id_a")
-    cand = _attach(cand, sig, id_col, "id_b")
-    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
-    cand = cand.filter(est >= threshold - _EST_MARGIN)
+    cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
+    cand = _attach(cand, txt, id_col, "id_a")
+    cand = _attach(cand, txt, id_col, "id_b")
     if block_col:
         cand = cand.filter(F.col(f"{block_col}_id_a") == F.col(f"{block_col}_id_b"))
     jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
