@@ -6,9 +6,11 @@ GeoTools GeodeticCalculator orthodromic distance).
 Supported CRS: EPSG:4326, EPSG:3857 (web mercator), EPSG:27700 (OSGB / Airy
 1830 with 7-param Helmert), EPSG:326xx/327xx (UTM on WGS84), EPSG:2154
 (RGF93 / Lambert-93, LCC 2SP on GRS80), EPSG:5070 (NAD83 / Conus Albers
-equal-area on GRS80), and parameterized "LCC:sp1,sp2,lat0,lon0,fe,fn" /
-"AEA:sp1,sp2,lat0,lon0,fe,fn" strings for any other Lambert-conformal /
-Albers zone (degrees + meters, GRS80 unless a,rf appended). RGF93 and
+equal-area on GRS80), parameterized "LCC:sp1,sp2,lat0,lon0,fe,fn" /
+"AEA:sp1,sp2,lat0,lon0,fe,fn" (GRS80 unless a,rf appended) /
+"TM:k0,lat0,lon0,fe,fn[,a,rf]" (WGS84 default) strings, and proj4-style
+"+proj=longlat|webmerc|utm|tmerc|lcc|aea ..." strings with +ellps/+a/+rf/+b
+(datum-shift params +towgs84/+nadgrids are rejected, not ignored). RGF93 and
 NAD83 are treated as coincident with WGS84 (cm-level, the standard
 null-transformation assumption). Pure numpy, derived from published
 formulas (Vincenty 1975; OSGB "A guide to coordinate systems in Great
@@ -404,9 +406,25 @@ _CONIC_CRS = {
 }
 
 
+def _tm_param(k0, lat0, lon0, fe, fn, a=WGS84_A, rf=1.0 / WGS84_F):
+    """General parameterized transverse Mercator (any ellipsoid, no datum
+    shift) — the projection family behind most national grids. Returns
+    (fwd, inv) over numpy arrays."""
+    b = a * (1.0 - 1.0 / rf)
+
+    def fwd(lon, lat):
+        return _tm_forward(lon, lat, a, b, k0, lat0, lon0, fe, fn)
+
+    def inv(e, n):
+        return _tm_inverse(e, n, a, b, k0, lat0, lon0, fe, fn)
+
+    return fwd, inv
+
+
 def _conic(crs: str):
-    """Resolve a named or parameterized conic CRS to (fwd, inv), or None.
-    Parameterized: 'LCC:sp1,sp2,lat0,lon0,fe,fn[,a,rf]' (same for AEA:)."""
+    """Resolve a named or parameterized projection to (fwd, inv), or None.
+    Parameterized: 'LCC:sp1,sp2,lat0,lon0,fe,fn[,a,rf]' (same for AEA:) and
+    'TM:k0,lat0,lon0,fe,fn[,a,rf]' (transverse Mercator, WGS84 default)."""
     spec = _CONIC_CRS.get(crs)
     if spec is not None:
         fam, params = spec
@@ -419,13 +437,129 @@ def _conic(crs: str):
                 f"(sp1,sp2,lat0,lon0,fe,fn[,a,rf]): {crs}"
             )
         return (_lcc2sp if crs.startswith("LCC:") else _albers)(*vals)
+    if crs.startswith("TM:"):
+        vals = [float(v) for v in crs[3:].split(",")]
+        if len(vals) not in (5, 7):
+            raise ValueError(
+                f"parameterized TM CRS needs 5 or 7 values "
+                f"(k0,lat0,lon0,fe,fn[,a,rf]): {crs}"
+            )
+        return _tm_param(*vals)
     return None
 
 
+# proj4-style ellipsoid registry (a, 1/f) — the common subset; +a/+rf/+b
+# override in the proj string for anything else
+_ELLPS = {
+    "WGS84": (WGS84_A, 1.0 / WGS84_F),
+    "GRS80": (GRS80_A, GRS80_RF),
+    "AIRY": (6377563.396, 299.3249646),
+    "CLRK66": (6378206.4, 294.9786982),
+    "CLRK80": (6378249.145, 293.465),
+    "INTL": (6378388.0, 297.0),
+    "BESSEL": (6377397.155, 299.1528128),
+    "SPHERE": (6370997.0, float("inf")),
+}
+
+
+def _proj_to_internal(s: str) -> str:
+    """Translate a proj4-style '+proj=...' string into the internal CRS code
+    it is equivalent to (no datum shift — +towgs84/+nadgrids are rejected,
+    not ignored). Supported projections: longlat, webmerc, utm, tmerc,
+    lcc (2SP), aea."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k.lower()] = v
+        else:
+            flags.add(tok.lower())
+    for unsupported in ("towgs84", "nadgrids"):
+        if unsupported in kv:
+            raise ValueError(
+                f"proj parameter +{unsupported} (datum shift) is not supported: {s}"
+            )
+    proj = kv.get("proj", "").lower()
+
+    def num(key: str, default: float = 0.0) -> float:
+        return float(kv[key]) if key in kv else default
+
+    def ellipsoid() -> tuple[float, float]:
+        if "a" in kv:
+            a = float(kv["a"])
+            if "rf" in kv:
+                return a, float(kv["rf"])
+            if "b" in kv:
+                b = float(kv["b"])
+                return a, (float("inf") if b == a else a / (a - b))
+            return a, float("inf")  # sphere
+        name = kv.get("ellps", kv.get("datum", "WGS84")).upper()
+        if name not in _ELLPS:
+            raise ValueError(f"unknown ellipsoid '{name}' in proj string: {s}")
+        return _ELLPS[name]
+
+    if proj in ("longlat", "latlong", "lonlat"):
+        return "EPSG:4326"
+    if proj == "webmerc":
+        return "EPSG:3857"
+    if proj == "merc":
+        # EPSG:3857 is the SPHERICAL mercator; accept only parameter sets
+        # equivalent to it (ellipsoidal mercator would silently disagree)
+        a, rf = ellipsoid()
+        if kv.get("a") == kv.get("b") and "a" in kv and float(kv["a"]) == WGS84_A:
+            if num("lat_ts") == 0.0 and num("k", num("k_0", 1.0)) == 1.0:
+                return "EPSG:3857"
+        raise ValueError(
+            f"only spherical web mercator is supported — use +proj=webmerc: {s}"
+        )
+    if proj == "utm":
+        if "zone" not in kv:
+            raise ValueError(f"+proj=utm needs +zone: {s}")
+        a, rf = ellipsoid()  # validates +ellps; UTM here is WGS84-only
+        if (a, rf) != _ELLPS["WGS84"]:
+            raise ValueError(
+                f"+proj=utm is supported on the WGS84 ellipsoid only "
+                f"(use +proj=tmerc for other ellipsoids): {s}"
+            )
+        zone = int(kv["zone"])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone out of range: {s}")
+        return f"EPSG:{327 if 'south' in flags else 326}{zone:02d}"
+    if proj == "tmerc":
+        a, rf = ellipsoid()
+        if not math.isfinite(rf):
+            raise ValueError(f"spherical tmerc is not supported (need +rf/+b): {s}")
+        k0 = num("k", num("k_0", 1.0))
+        return (
+            f"TM:{k0!r},{num('lat_0')!r},{num('lon_0')!r},"
+            f"{num('x_0')!r},{num('y_0')!r},{a!r},{rf!r}"
+        )
+    if proj in ("lcc", "aea"):
+        a, rf = ellipsoid()
+        if not math.isfinite(rf):
+            raise ValueError(f"spherical {proj} is not supported (need +rf/+b): {s}")
+        if proj == "lcc" and "lat_2" not in kv and "lat_1" in kv:
+            kv["lat_2"] = kv["lat_1"]  # 1SP degenerate form
+        return (
+            f"{proj.upper()}:{num('lat_1')!r},{num('lat_2')!r},{num('lat_0')!r},"
+            f"{num('lon_0')!r},{num('x_0')!r},{num('y_0')!r},{a!r},{rf!r}"
+        )
+    raise ValueError(f"unsupported +proj={proj or '<missing>'}: {s}")
+
+
 def transform_points(lons, lats, from_crs: str, to_crs: str):
-    """Transform coordinate arrays between supported CRS codes."""
-    from_crs = from_crs.upper()
-    to_crs = to_crs.upper()
+    """Transform coordinate arrays between supported CRS codes (EPSG codes,
+    LCC:/AEA:/TM: parameterized strings, or proj4-style '+proj=...')."""
+    from_crs = from_crs.strip()
+    to_crs = to_crs.strip()
+    from_crs = (
+        _proj_to_internal(from_crs) if from_crs.startswith("+") else from_crs.upper()
+    )
+    to_crs = _proj_to_internal(to_crs) if to_crs.startswith("+") else to_crs.upper()
     if from_crs == to_crs:
         return np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
     # normalize to EPSG:4326 lon/lat first

@@ -213,6 +213,81 @@ def test_transform_lcc_albers_golden(spark):
     assert abs(px - 652469.0) < 1.0 and abs(py - 6862035.3) < 1.0
 
 
+def test_transform_proj_strings(spark):
+    """proj4-style '+proj=...' CRS strings (st_transform breadth, VERDICT r6
+    #2 closure): each supported projection family resolves to the same
+    numbers as its internal code; Snyder's published LCC worked example
+    (PP 1395 p. 295, Clarke 1866) reproduces through the proj-string path;
+    datum-shift parameters are rejected loudly."""
+    import numpy as np
+    import pytest
+
+    from geomesa_spark.geom.geodesy import transform_points
+
+    lon = np.array([-104.9903, 2.3522])
+    lat = np.array([39.7392, 48.8566])
+
+    # utm == EPSG:32613
+    x1, y1 = transform_points(lon, lat, "EPSG:4326", "EPSG:32613")
+    x2, y2 = transform_points(
+        lon, lat, "+proj=longlat +ellps=WGS84", "+proj=utm +zone=13 +ellps=WGS84"
+    )
+    assert np.allclose(x1, x2) and np.allclose(y1, y2)
+    xs, ys = transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=19 +south")
+    xr, yr = transform_points(lon, lat, "EPSG:4326", "EPSG:32719")
+    assert np.allclose(xs, xr) and np.allclose(ys, yr)
+
+    # webmerc == EPSG:3857
+    x1, y1 = transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    x2, y2 = transform_points(lon, lat, "EPSG:4326", "+proj=webmerc +ellps=WGS84")
+    assert np.allclose(x1, x2) and np.allclose(y1, y2)
+
+    # Snyder LCC golden through the proj-string path (Clarke 1866 by name)
+    x, y = transform_points(
+        np.array([-75.0]),
+        np.array([35.0]),
+        "EPSG:4326",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66",
+    )
+    assert abs(x[0] - 1894410.9) < 1.0 and abs(y[0] - 1564649.5) < 1.0
+
+    # aea == EPSG:5070 (GRS80 params spelled out with +a/+rf)
+    x1, y1 = transform_points(lon, lat, "EPSG:4326", "EPSG:5070")
+    x2, y2 = transform_points(
+        lon,
+        lat,
+        "EPSG:4326",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 "
+        "+a=6378137 +rf=298.257222101",
+    )
+    assert np.allclose(x1, x2) and np.allclose(y1, y2)
+
+    # tmerc: OSGB grid parameters on Airy — matches the TM core of
+    # EPSG:27700 on coordinates ALREADY in the OSGB36 datum (the proj path
+    # applies no Helmert shift, by design); roundtrip is exact
+    osgb = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy"
+    x, y = transform_points(np.array([-1.0]), np.array([52.0]), "EPSG:4326", osgb)
+    lon2, lat2 = transform_points(x, y, osgb, "EPSG:4326")
+    assert abs(lon2[0] + 1.0) < 1e-9 and abs(lat2[0] - 52.0) < 1e-9
+
+    # datum-shift params are rejected, not silently ignored
+    with pytest.raises(ValueError, match="towgs84"):
+        transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=13 +towgs84=0,0,0")
+    with pytest.raises(ValueError, match="unsupported"):
+        transform_points(lon, lat, "EPSG:4326", "+proj=sinu")
+    with pytest.raises(ValueError, match="ellipsoid"):
+        transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=1 +ellps=NOPE")
+
+    # through the SQL surface
+    wkt = sql1(
+        spark,
+        "select st_asText(st_transform(st_geomFromWKT('POINT(-75 35)'), 'EPSG:4326', "
+        "'+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66'))",
+    )
+    px, py = (float(v) for v in wkt[7:-1].split())
+    assert abs(px - 1894410.9) < 1.0 and abs(py - 1564649.5) < 1.0
+
+
 def test_buffer_point_golden(spark):
     # FIXTURES §6b
     wkt = sql1(
