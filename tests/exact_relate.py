@@ -1,0 +1,465 @@
+"""Exact rational-arithmetic DE-9IM oracle (independent of the engine).
+
+Every coordinate is converted to `fractions.Fraction` — floats are exact
+binary rationals, so on integer-lattice fixtures every orientation test,
+intersection point, and point-in-polygon answer computed here is EXACT
+ground truth (what an ideal robust-geometry implementation returns on the
+same inputs). The production engine (geomesa_spark.geom.algorithms) computes
+in float with deliberate eps tolerances; on integer lattices the tolerances
+must never change an answer, so any disagreement with this oracle is a real
+engine bug, not a robustness judgment call.
+
+Scope (documented, enforced by the fixture generator):
+- POINT / MULTIPOINT (dim 0)
+- single LINESTRING, open or closed, self-touching allowed, no zero-length
+  segments (dim 1); SFS mod-2 boundary: {p0, pn} if p0 != pn else empty
+- single CONVEX polygon, no holes, positive area, collinear ("mid-edge")
+  vertices allowed (dim 2)
+
+Degenerate shapes (zero-length lines, zero-area polygons), holes, and
+multi-part lines/polygons are exercised by the float lattice sweeps in
+test_lattice_sweep_property.py; this module is the exact-truth anchor for
+the single-part adversarial core where collinear incidence bugs live.
+
+The DE-9IM here is assembled set-theoretically from first principles
+(interior/boundary/exterior intersections with exact dims), NOT by porting
+the engine's relate — a shared-logic bug cannot pass both.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction as Fr
+
+# ---------------------------------------------------------------- primitives
+
+
+def _pt(p):
+    return (Fr(p[0]), Fr(p[1]))
+
+
+def _orient(a, b, c) -> int:
+    v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    return (v > 0) - (v < 0)
+
+
+def _on_seg(p, a, b) -> bool:
+    """p lies on closed segment [a, b] (a != b)."""
+    if _orient(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _seg_param(p, a, b) -> Fr:
+    """Param t of p along [a,b] (p collinear-on the segment)."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    if abs(dx) >= abs(dy):
+        return (p[0] - a[0]) / dx
+    return (p[1] - a[1]) / dy
+
+
+def _seg_inter(a, b, c, d):
+    """Exact intersection of closed segments [a,b] and [c,d] (both
+    non-degenerate). Returns ('none',), ('pt', p), or ('seg', p, q)."""
+    d1 = _orient(c, d, a)
+    d2 = _orient(c, d, b)
+    d3 = _orient(a, b, c)
+    d4 = _orient(a, b, d)
+    if d1 == 0 and d2 == 0:  # collinear
+        ta, tb = Fr(0), Fr(1)
+        tc, td = _seg_param(c, a, b), _seg_param(d, a, b)
+        lo, hi = max(ta, min(tc, td)), min(tb, max(tc, td))
+        if lo > hi:
+            return ("none",)
+        p = (a[0] + lo * (b[0] - a[0]), a[1] + lo * (b[1] - a[1]))
+        q = (a[0] + hi * (b[0] - a[0]), a[1] + hi * (b[1] - a[1]))
+        return ("pt", p) if lo == hi else ("seg", p, q)
+    if d1 * d2 > 0 or d3 * d4 > 0:
+        return ("none",)
+    # touch or proper cross; solve exactly
+    if d1 == 0:
+        return ("pt", a) if _on_seg(a, c, d) else ("none",)
+    if d2 == 0:
+        return ("pt", b) if _on_seg(b, c, d) else ("none",)
+    if d3 == 0:
+        return ("pt", c) if _on_seg(c, a, b) else ("none",)
+    if d4 == 0:
+        return ("pt", d) if _on_seg(d, a, b) else ("none",)
+    denom = (b[0] - a[0]) * (d[1] - c[1]) - (b[1] - a[1]) * (d[0] - c[0])
+    t = ((c[0] - a[0]) * (d[1] - c[1]) - (c[1] - a[1]) * (d[0] - c[0])) / denom
+    return ("pt", (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+
+
+# ------------------------------------------------------------- oracle shapes
+
+
+class XPoints:
+    """Point set (POINT / MULTIPOINT). Interior = the points, boundary = {}."""
+
+    dim = 0
+
+    def __init__(self, pts):
+        self.pts = sorted({_pt(p) for p in pts})
+
+
+class XLine:
+    """Single polyline, no zero-length segments. SFS mod-2 boundary."""
+
+    dim = 1
+
+    def __init__(self, pts):
+        self.v = [_pt(p) for p in pts]
+        assert len(self.v) >= 2
+        for s, e in zip(self.v, self.v[1:]):
+            assert s != e, "zero-length segment out of oracle scope"
+        self.segs = list(zip(self.v, self.v[1:]))
+        self.closed = self.v[0] == self.v[-1]
+        self.boundary_pts = set() if self.closed else {self.v[0], self.v[-1]}
+
+    def locate(self, p) -> str:
+        """I / B / E of point p against this line (as a point set)."""
+        if p in self.boundary_pts:
+            return "B"
+        return "I" if any(_on_seg(p, a, b) for a, b in self.segs) else "E"
+
+
+class XPoly:
+    """Single convex polygon (ring given CCW, closed or open list ok)."""
+
+    dim = 2
+
+    def __init__(self, pts):
+        v = [_pt(p) for p in pts]
+        if v[0] == v[-1]:
+            v = v[:-1]
+        # drop consecutive duplicates, keep collinear vertices
+        out = [p for i, p in enumerate(v) if p != v[(i - 1) % len(v)]]
+        assert len(out) >= 3
+        self.v = out
+        if self._area2() < 0:
+            self.v = self.v[::-1]
+        assert self._area2() > 0, "zero-area polygon out of oracle scope"
+        n = len(self.v)
+        self.edges = [(self.v[i], self.v[(i + 1) % n]) for i in range(n)]
+        assert all(
+            _orient(self.v[i], self.v[(i + 1) % len(self.v)], q) >= 0
+            for i in range(len(self.v))
+            for q in self.v
+        ), "non-convex polygon out of oracle scope"
+
+    def _area2(self) -> Fr:
+        n = len(self.v)
+        return sum(
+            self.v[i][0] * self.v[(i + 1) % n][1]
+            - self.v[(i + 1) % n][0] * self.v[i][1]
+            for i in range(n)
+        )
+
+    def area(self) -> Fr:
+        return self._area2() / 2
+
+    def locate(self, p) -> str:
+        for a, b in self.edges:
+            if _on_seg(p, a, b):
+                return "B"
+        # convex: strictly inside iff strictly left of every CCW edge with
+        # collinear vertices tolerated (orient 0 only happens ON the edge
+        # line; the boundary check above already returned for those)
+        return (
+            "I"
+            if all(_orient(a, b, p) > 0 for a, b in self.edges if a != b)
+            else "E"
+        )
+
+
+# --------------------------------------------------- split-and-classify core
+
+
+def _split_points(seg, other_segs):
+    """Exact params along `seg` of every intersection feature with the
+    other shape's segments (overlap endpoints included)."""
+    a, b = seg
+    ts = {Fr(0), Fr(1)}
+    for c, d in other_segs:
+        hit = _seg_inter(a, b, c, d)
+        if hit[0] == "pt":
+            ts.add(_seg_param(hit[1], a, b))
+        elif hit[0] == "seg":
+            ts.add(_seg_param(hit[1], a, b))
+            ts.add(_seg_param(hit[2], a, b))
+    return sorted(t for t in ts if 0 <= t <= 1)
+
+
+def _sub_midpoints(seg, other_segs):
+    """Midpoint of every open sub-segment of `seg` after splitting at all
+    intersections with other_segs — each open sub-segment lies entirely
+    inside or entirely outside the other shape, so one exact midpoint
+    classification decides it."""
+    a, b = seg
+    ts = _split_points(seg, other_segs)
+    mids = []
+    for t0, t1 in zip(ts, ts[1:]):
+        if t0 == t1:
+            continue
+        tm = (t0 + t1) / 2
+        mids.append((a[0] + tm * (b[0] - a[0]), a[1] + tm * (b[1] - a[1])))
+    return mids
+
+
+def _line_hit(p, q, a, b):
+    """Exact intersection of segment [p,q] with the INFINITE line through
+    a,b — p and q strictly straddle the line (caller guarantees)."""
+    fp = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+    fq = (b[0] - a[0]) * (q[1] - a[1]) - (b[1] - a[1]) * (q[0] - a[0])
+    t = fp / (fp - fq)
+    return (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+
+
+def _convex_clip(subject: XPoly, clip: XPoly):
+    """Sutherland–Hodgman in exact arithmetic (clip polygon convex)."""
+    out = list(subject.v)
+    for a, b in clip.edges:
+        if a == b:
+            continue
+        cur, out = out, []
+        if not cur:
+            break
+        prev = cur[-1]
+        for p in cur:
+            side_p = _orient(a, b, p)
+            side_prev = _orient(a, b, prev)
+            if side_p >= 0:
+                if side_prev < 0:
+                    out.append(_line_hit(prev, p, a, b))
+                out.append(p)
+            elif side_prev >= 0:
+                out.append(_line_hit(prev, p, a, b))
+            prev = p
+    return out
+
+
+def _clip_area2(pts) -> Fr:
+    if len(pts) < 3:
+        return Fr(0)
+    n = len(pts)
+    return sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    )
+
+
+# -------------------------------------------------------------- 9IM assembly
+
+E = -1  # empty
+
+
+def _im_points_any(A: XPoints, B) -> list:
+    """Rows for a point-set A against any B with a locate()."""
+    locs = {"I": False, "B": False, "E": False}
+    for p in A.pts:
+        locs[B.locate(p)] = True
+    II = 0 if locs["I"] else E
+    IB = 0 if locs["B"] else E
+    IE = 0 if locs["E"] else E
+    return [II, IB, IE]
+
+
+def im_matrix(A, B) -> list:
+    """3x3 DE-9IM dims matrix [I,B,E]x[I,B,E] for oracle shapes A, B."""
+    if isinstance(A, XPoints) and isinstance(B, XPoints):
+        sa, sb = set(A.pts), set(B.pts)
+        II = 0 if sa & sb else E
+        IE = 0 if sa - sb else E
+        EI = 0 if sb - sa else E
+        return [[II, E, IE], [E, E, E], [EI, E, 2]]
+
+    if isinstance(A, XPoints):
+        m = im_matrix(B, A)
+        return [[m[j][i] for j in range(3)] for i in range(3)]
+
+    if isinstance(B, XPoints):
+        II, BI, EI = _im_points_any(B, A)  # B's points vs A's I/B/E (col 0)
+        IB = BB = EB = E  # point sets have empty boundary
+        IE = A.dim  # a line/area minus finitely many points keeps its dim
+        if isinstance(A, XPoly):
+            BE = 1  # a 1-dim ring minus finitely many points is still 1-dim
+        elif A.boundary_pts:
+            bset = set(B.pts)
+            BE = 0 if any(p not in bset for p in A.boundary_pts) else E
+        else:  # closed line: empty boundary
+            BE = E
+        return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
+
+    if isinstance(A, XLine) and isinstance(B, XLine):
+        return _im_line_line(A, B)
+    if isinstance(A, XLine) and isinstance(B, XPoly):
+        m = _im_poly_line(B, A)
+        return [[m[j][i] for j in range(3)] for i in range(3)]
+    if isinstance(A, XPoly) and isinstance(B, XLine):
+        return _im_poly_line(A, B)
+    if isinstance(A, XPoly) and isinstance(B, XPoly):
+        return _im_poly_poly(A, B)
+    raise TypeError((type(A), type(B)))
+
+
+def _line_cover(A_segs, B):
+    """Classify every open sub-segment of A_segs against B; return the set
+    of B-locations ('I'/'B'/'E') some positive-length sub-segment of A
+    falls in. Splitting at every intersection feature makes each open
+    sub-segment homogeneous, so one exact midpoint decides it."""
+    out = set()
+    bsegs = B.segs if isinstance(B, XLine) else B.edges
+    for seg in A_segs:
+        for mid in _sub_midpoints(seg, bsegs):
+            out.add(B.locate(mid))
+    return out
+
+
+def _im_line_line(A: XLine, B: XLine) -> list:
+    # 1-dim features: sub-segments of A classified against B's point set
+    a_cov = _line_cover(A.segs, B)
+    b_cov = _line_cover(B.segs, A)
+    # "on B" for a sub-segment means collinear overlap: those sub-midpoints
+    # locate to I or B of B. Positive-length overlap minus finitely many
+    # boundary points is still 1-dim interior-interior.
+    II = 1 if ("I" in a_cov or "B" in a_cov) else E
+    # 0-dim candidates: isolated intersection points
+    pts0 = set()
+    for sa in A.segs:
+        for sb in B.segs:
+            hit = _seg_inter(*sa, *sb)
+            if hit[0] == "pt":
+                pts0.add(hit[1])
+            elif hit[0] == "seg":
+                pts0.add(hit[1])
+                pts0.add(hit[2])
+    if II != 1:
+        II = (
+            0
+            if any(A.locate(p) == "I" and B.locate(p) == "I" for p in pts0)
+            else E
+        )
+    IB = 0 if any(B.locate(p) == "B" and A.locate(p) == "I" for p in pts0 | B.boundary_pts) else E
+    BI = 0 if any(A.locate(p) == "B" and B.locate(p) == "I" for p in pts0 | A.boundary_pts) else E
+    BB = 0 if any(A.locate(p) == "B" and B.locate(p) == "B" for p in A.boundary_pts) else E
+    IE = 1 if "E" in a_cov else E
+    EI = 1 if "E" in b_cov else E
+    BE = 0 if any(B.locate(p) == "E" for p in A.boundary_pts) else E
+    EB = 0 if any(A.locate(p) == "E" for p in B.boundary_pts) else E
+    return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
+
+
+def _im_poly_line(A: XPoly, B: XLine) -> list:
+    """A polygon (rows), B line (cols)."""
+    b_cov = _line_cover(B.segs, A)  # line subs vs poly
+    # intersection points of B's segments with A's edges + B's endpoints
+    pts0 = set(B.boundary_pts)
+    for sb in B.segs:
+        for ea in A.edges:
+            hit = _seg_inter(*sb, *ea)
+            if hit[0] == "pt":
+                pts0.add(hit[1])
+            elif hit[0] == "seg":
+                pts0.add(hit[1])
+                pts0.add(hit[2])
+    # rows = A interior/boundary/exterior; cols = B interior/boundary/ext
+    II = 1 if "I" in b_cov else E  # convex: line ∩ open region is interval
+    IB = 0 if any(A.locate(p) == "I" and B.locate(p) == "B" for p in pts0) else E
+    # A-interior ∩ B-exterior: open region minus a line is always 2-dim
+    IE = 2
+    BI = 1 if "B" in b_cov else E
+    if BI != 1:
+        BI = (
+            0
+            if any(A.locate(p) == "B" and B.locate(p) == "I" for p in pts0)
+            else E
+        )
+    BB = 0 if any(A.locate(p) == "B" and B.locate(p) == "B" for p in pts0) else E
+    # A-boundary ∩ B-exterior: split A's ring edges at B and classify
+    ring_cov = _line_cover(A.edges, B)
+    BE = 1 if "E" in ring_cov else E
+    EI = 1 if "E" in b_cov else E
+    EB = 0 if any(A.locate(p) == "E" for p in B.boundary_pts) else E
+    return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
+
+
+def _im_poly_poly(A: XPoly, B: XPoly) -> list:
+    k_area2 = _clip_area2(_convex_clip(A, B))
+    II = 2 if k_area2 > 0 else E
+    a_ring_cov = _line_cover(A.edges, B)  # A ring vs B
+    b_ring_cov = _line_cover(B.edges, A)  # B ring vs A
+    # 0-dim boundary-boundary candidates
+    pts0 = set()
+    for ea in A.edges:
+        for eb in B.edges:
+            hit = _seg_inter(*ea, *eb)
+            if hit[0] == "pt":
+                pts0.add(hit[1])
+            elif hit[0] == "seg":
+                pts0.add(hit[1])
+                pts0.add(hit[2])
+    # IB = A-interior ∩ B-boundary: a sub-seg of B's ring located 'I' of A
+    # (isolated 0-dim is impossible: a B vertex strictly inside the open set
+    # A-int drags its adjacent sub-edges — split at every A-edge crossing —
+    # strictly inside too)
+    IB = 1 if "I" in b_ring_cov else E
+    IE = 2 if k_area2 < A._area2() else E
+    BI = 1 if "I" in a_ring_cov else E  # A-ring sub-seg strictly inside B
+    BB = 1 if "B" in a_ring_cov else (0 if any(
+        A.locate(p) == "B" and B.locate(p) == "B" for p in pts0
+    ) else E)
+    BE = 1 if "E" in a_ring_cov else E
+    EI = 2 if k_area2 < B._area2() else E
+    EB = 1 if "E" in b_ring_cov else E
+    return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
+
+
+# ------------------------------------------------------------ SFS predicates
+
+
+def _nonempty(v) -> bool:
+    return v != E
+
+
+def predicates(A, B) -> dict:
+    """The 7 join predicates from the exact matrix (standard SFS patterns,
+    OGC 06-103r4 §6.1.15.3)."""
+    m = im_matrix(A, B)
+    (II, IB, IE), (BI, BB, BE), (EI, EB, _) = m
+    inter = _nonempty(II) or _nonempty(IB) or _nonempty(BI) or _nonempty(BB)
+    contains = _nonempty(II) and not _nonempty(EI) and not _nonempty(EB)
+    within_m = im_matrix(B, A)
+    within = (
+        _nonempty(within_m[0][0])
+        and not _nonempty(within_m[2][0])
+        and not _nonempty(within_m[2][1])
+    )
+    touches = (not _nonempty(II)) and (
+        _nonempty(IB) or _nonempty(BI) or _nonempty(BB)
+    )
+    da, db = A.dim, B.dim
+    if da < db:
+        crosses = _nonempty(II) and _nonempty(IE)
+    elif da > db:
+        crosses = _nonempty(II) and _nonempty(EI)
+    elif da == 1:
+        crosses = II == 0
+    else:
+        crosses = False
+    if da != db:
+        overlaps = False
+    elif da == 1:
+        overlaps = II == 1 and _nonempty(IE) and _nonempty(EI)
+    else:
+        overlaps = _nonempty(II) and _nonempty(IE) and _nonempty(EI)
+    return {
+        "intersects": inter,
+        "disjoint": not inter,
+        "contains": contains,
+        "within": within,
+        "touches": touches,
+        "crosses": crosses,
+        "overlaps": overlaps,
+    }
