@@ -202,12 +202,19 @@ def _lines_of(g: Geometry) -> list[np.ndarray]:
 
 
 def _line_boundary_points(g: Geometry) -> np.ndarray:
-    """Endpoints of non-closed linear components (OGC boundary of a line)."""
-    pts = []
+    """OGC Mod2BoundaryNodeRule boundary of a (multi)line: a point is
+    boundary iff it is an endpoint of an ODD number of non-closed members —
+    two members chained end-to-end make their junction INTERIOR (JTS
+    Mod2BoundaryNodeRule; found as an engine gap by the exact rational
+    oracle, tests/exact_relate.py). Exact coordinate equality joins the
+    counts, as in JTS node equality."""
+    counts: dict = {}
     for arr in _lines_of(g):
         if len(arr) >= 2 and not np.array_equal(arr[0], arr[-1]):
-            pts.append(arr[0, :2])
-            pts.append(arr[-1, :2])
+            for p in (arr[0, :2], arr[-1, :2]):
+                key = (float(p[0]), float(p[1]))
+                counts[key] = counts.get(key, 0) + 1
+    pts = [k for k, c in counts.items() if c % 2 == 1]
     return np.array(pts) if pts else np.empty((0, 2))
 
 

@@ -125,6 +125,34 @@ class XLine:
         return "I" if any(_on_seg(p, a, b) for a, b in self.segs) else "E"
 
 
+class XMultiLine:
+    """MULTILINESTRING: member polylines may cross/touch/overlap freely.
+    SFS Mod2BoundaryNodeRule: a point is boundary iff it is a (non-closed)
+    member endpoint an odd number of times — even if another member passes
+    through it."""
+
+    dim = 1
+
+    def __init__(self, members):
+        self.members = [[_pt(p) for p in m] for m in members]
+        self.segs = []
+        counts: dict = {}
+        for v in self.members:
+            assert len(v) >= 2
+            for s, e in zip(v, v[1:]):
+                assert s != e, "zero-length segment out of oracle scope"
+            self.segs.extend(zip(v, v[1:]))
+            if v[0] != v[-1]:  # closed members contribute no boundary
+                for p in (v[0], v[-1]):
+                    counts[p] = counts.get(p, 0) + 1
+        self.boundary_pts = {p for p, c in counts.items() if c % 2 == 1}
+
+    def locate(self, p) -> str:
+        if p in self.boundary_pts:
+            return "B"
+        return "I" if any(_on_seg(p, a, b) for a, b in self.segs) else "E"
+
+
 class XPoly:
     """Single convex polygon (ring given CCW, closed or open list ok)."""
 
@@ -172,6 +200,48 @@ class XPoly:
             if all(_orient(a, b, p) > 0 for a, b in self.edges if a != b)
             else "E"
         )
+
+    @property
+    def parts(self):
+        return [self]
+
+
+class XMultiPoly:
+    """MULTIPOLYGON of convex parts with pairwise DISJOINT CLOSURES (no
+    touching) — then interior(A) = union of part interiors and boundary(A)
+    = union of rings, so every 9IM entry decomposes over parts (the
+    fixture generator enforces separation). This is exactly the valid
+    'archipelago' shape the engine's _parts_batch_safe guard keeps on the
+    batch kernels."""
+
+    dim = 2
+
+    def __init__(self, rings):
+        self._parts = [XPoly(r) for r in rings]
+        assert len(self._parts) >= 2
+        for i, a in enumerate(self._parts):
+            for b in self._parts[i + 1 :]:
+                assert not (
+                    max(p[0] for p in a.v) >= min(p[0] for p in b.v)
+                    and max(p[0] for p in b.v) >= min(p[0] for p in a.v)
+                    and max(p[1] for p in a.v) >= min(p[1] for p in b.v)
+                    and max(p[1] for p in b.v) >= min(p[1] for p in a.v)
+                ), "parts must have disjoint (non-touching) bboxes"
+        self.edges = [e for p in self._parts for e in p.edges]
+
+    @property
+    def parts(self):
+        return self._parts
+
+    def _area2(self) -> Fr:
+        return sum(p._area2() for p in self._parts)
+
+    def locate(self, p) -> str:
+        for part in self._parts:
+            loc = part.locate(p)
+            if loc != "E":
+                return loc
+        return "E"
 
 
 # --------------------------------------------------- split-and-classify core
@@ -253,6 +323,8 @@ def _clip_area2(pts) -> Fr:
 # -------------------------------------------------------------- 9IM assembly
 
 E = -1  # empty
+_LINE = (XLine, XMultiLine)
+_POLY = (XPoly, XMultiPoly)
 
 
 def _im_points_any(A: XPoints, B) -> list:
@@ -283,7 +355,7 @@ def im_matrix(A, B) -> list:
         II, BI, EI = _im_points_any(B, A)  # B's points vs A's I/B/E (col 0)
         IB = BB = EB = E  # point sets have empty boundary
         IE = A.dim  # a line/area minus finitely many points keeps its dim
-        if isinstance(A, XPoly):
+        if isinstance(A, _POLY):
             BE = 1  # a 1-dim ring minus finitely many points is still 1-dim
         elif A.boundary_pts:
             bset = set(B.pts)
@@ -292,14 +364,14 @@ def im_matrix(A, B) -> list:
             BE = E
         return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
 
-    if isinstance(A, XLine) and isinstance(B, XLine):
+    if isinstance(A, _LINE) and isinstance(B, _LINE):
         return _im_line_line(A, B)
-    if isinstance(A, XLine) and isinstance(B, XPoly):
+    if isinstance(A, _LINE) and isinstance(B, _POLY):
         m = _im_poly_line(B, A)
         return [[m[j][i] for j in range(3)] for i in range(3)]
-    if isinstance(A, XPoly) and isinstance(B, XLine):
+    if isinstance(A, _POLY) and isinstance(B, _LINE):
         return _im_poly_line(A, B)
-    if isinstance(A, XPoly) and isinstance(B, XPoly):
+    if isinstance(A, _POLY) and isinstance(B, _POLY):
         return _im_poly_poly(A, B)
     raise TypeError((type(A), type(B)))
 
@@ -310,7 +382,7 @@ def _line_cover(A_segs, B):
     falls in. Splitting at every intersection feature makes each open
     sub-segment homogeneous, so one exact midpoint decides it."""
     out = set()
-    bsegs = B.segs if isinstance(B, XLine) else B.edges
+    bsegs = B.segs if isinstance(B, _LINE) else B.edges
     for seg in A_segs:
         for mid in _sub_midpoints(seg, bsegs):
             out.add(B.locate(mid))
@@ -385,8 +457,12 @@ def _im_poly_line(A: XPoly, B: XLine) -> list:
     return [[II, IB, IE], [BI, BB, BE], [EI, EB, 2]]
 
 
-def _im_poly_poly(A: XPoly, B: XPoly) -> list:
-    k_area2 = _clip_area2(_convex_clip(A, B))
+def _im_poly_poly(A, B) -> list:
+    # area(A ∩ B), decomposed over convex part pairs — valid because multi
+    # parts have pairwise disjoint closures (XMultiPoly invariant)
+    k_area2 = sum(
+        _clip_area2(_convex_clip(pa, pb)) for pa in A.parts for pb in B.parts
+    )
     II = 2 if k_area2 > 0 else E
     a_ring_cov = _line_cover(A.edges, B)  # A ring vs B
     b_ring_cov = _line_cover(B.edges, A)  # B ring vs A

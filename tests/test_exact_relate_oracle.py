@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from exact_relate import XLine, XPoints, XPoly, predicates
+from exact_relate import XLine, XMultiLine, XMultiPoly, XPoints, XPoly, predicates
 from geomesa_spark.geom import algorithms as alg
 from geomesa_spark.geom.wkt import from_wkt
 
@@ -126,13 +126,58 @@ def test_oracle_textbook_cases():
         {"intersects": True, "overlaps": True, "contains": False, "touches": False},
     )
 
+    # SFS mod-2 boundary: a shared member endpoint occurs twice -> INTERIOR.
+    # The two-member multiline must relate exactly like the equivalent
+    # single line, including against a spoke ending at the junction.
+    ml = XMultiLine([[(0, 0), (2, 0)], [(2, 0), (4, 0)]])
+    single = XLine([(0, 0), (4, 0)])
+    spoke = XLine([(2, 0), (2, 2)])
+    assert predicates(ml, spoke) == predicates(single, spoke)
+    assert predicates(spoke, ml) == predicates(spoke, single)
+    _check(predicates(spoke, ml), {"touches": True, "crosses": False})
+    assert predicates(ml, sq) == predicates(single, sq)
+    # junction-endpoint parity: a line ENDING at the junction touches (the
+    # junction is ml-interior, the contact is the other line's boundary)
+    _check(
+        predicates(XLine([(2, 0), (5, -3)]), ml),
+        {"touches": True, "intersects": True},
+    )
+    # odd-count endpoint stays boundary: three members at one point
+    ml3 = XMultiLine([[(0, 0), (2, 0)], [(2, 0), (4, 0)], [(2, 0), (2, 2)]])
+    _check(
+        predicates(XLine([(2, 0), (5, -3)]), ml3),
+        {"touches": True},  # BB contact at (2,0): odd count -> ml3 boundary
+    )
+
+    # archipelago: two islands, a line crossing both, a container square
+    arch = XMultiPoly(
+        [
+            [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)],
+            [(3, 0), (4, 0), (4, 1), (3, 1), (3, 0)],
+        ]
+    )
+    _check(
+        predicates(XLine([(-1, 0.5), (5, 0.5)]), arch),
+        {"crosses": True, "intersects": True, "touches": False},
+    )
+    big = XPoly([(-1, -1), (5, -1), (5, 2), (-1, 2)])
+    _check(predicates(big, arch), {"contains": True, "overlaps": False})
+    _check(predicates(arch, big), {"within": True, "crosses": False})
+    half = XPoly([(2, -1), (5, -1), (5, 2), (2, 2)])  # contains island 2 only
+    _check(
+        predicates(half, arch),
+        {"contains": False, "overlaps": True, "intersects": True},
+    )
+    island_edge = XPoly([(1, 0), (3, 0), (3, 1), (1, 1)])  # shares island edges
+    _check(predicates(island_edge, arch), {"touches": True, "overlaps": False})
+
 
 def _soup(rng: np.random.Generator, n: int):
     """Integer-lattice soup inside [0,5]^2 — small range maximizes collinear
     incidence. Returns (wkt, oracle_shape) pairs within the oracle's scope."""
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 12))
+        kind = int(rng.integers(0, 16))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -160,7 +205,7 @@ def _soup(rng: np.random.Generator, n: int):
             ring.append(ring[0])
             wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
             out.append((wkt, XPoly(ring)))
-        else:  # lattice triangle with positive area
+        elif kind < 12:  # lattice triangle with positive area
             pts = [tuple(int(v) for v in p) for p in rng.integers(0, 5, (3, 2))]
             ax, ay = pts[0]
             area2 = (pts[1][0] - ax) * (pts[2][1] - ay) - (pts[1][1] - ay) * (
@@ -171,6 +216,42 @@ def _soup(rng: np.random.Generator, n: int):
             ring = pts + [pts[0]]
             wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
             out.append((wkt, XPoly(ring)))
+        elif kind < 14:  # multiline, 2 members (may cross / share endpoints)
+            members = []
+            for _ in range(2):
+                m = int(rng.integers(2, 4))
+                pts = [tuple(int(v) for v in p) for p in rng.integers(0, 5, (m, 2))]
+                pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+                if len(pts) < 2:
+                    pts = [(0, 0), (1, 1)]
+                members.append(pts)
+            if int(rng.integers(0, 3)) == 0:  # force a shared endpoint
+                members[1][0] = members[0][-1]
+                if members[1][0] == members[1][-1] and len(members[1]) == 2:
+                    members[1][-1] = (
+                        (members[1][0][0] + 1) % 5,
+                        members[1][0][1],
+                    )
+            parts = ", ".join(
+                "(" + ", ".join(f"{x} {y}" for x, y in m) + ")" for m in members
+            )
+            out.append((f"MULTILINESTRING ({parts})", XMultiLine(members)))
+        else:  # archipelago multipolygon: 2 rects separated in x (gap >= 1)
+            y0, y1 = (int(v) for v in rng.integers(0, 4, 2))
+            h0, h1 = (int(v) for v in rng.integers(1, 3, 2))
+            r1 = [(0, y0), (1, y0), (1, y0 + h0), (0, y0 + h0), (0, y0)]
+            x2 = int(rng.integers(2, 4))
+            r2 = [
+                (x2, y1),
+                (x2 + 1, y1),
+                (x2 + 1, y1 + h1),
+                (x2, y1 + h1),
+                (x2, y1),
+            ]
+            parts = ", ".join(
+                "((" + ", ".join(f"{x} {y}" for x, y in r) + "))" for r in (r1, r2)
+            )
+            out.append((f"MULTIPOLYGON ({parts})", XMultiPoly([r1, r2])))
     return out
 
 
