@@ -289,7 +289,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
     # ngram_dedup sub-stage timings (VERDICT r6 #5): the gate is stage-
     # latency-bound at sf0.1 (5k docs), so record where the walls are —
     # sig = canonicalize + signature UDF; cand = + LSH banding/bucket join
-    # (the full gate time above adds the fused attach + est prefilter +
+    # (the full gate time above adds the sig prefilter + text attach +
     # exact verify). Decomposable from the JSON without a bisection.
     try:
         import pyspark.sql.functions as _F
