@@ -533,6 +533,27 @@ def relate(a: Geometry, b: Geometry) -> str:
                 M[0][0] = "2"
             elif loc == EXTERIOR:
                 setmax(2, 0, "2")
+        # holes: one side's interior can reach the other's EXTERIOR through
+        # a hole whose interior it overlaps with ZERO boundary/vertex/area
+        # evidence (e.g. a rect covering a hole while sharing two of its
+        # edges — found by the exact rational oracle). A hole's interior is
+        # A-exterior, so hole-interior ∩ B-interior ≠ ∅ (II of the hole ring
+        # as a polygon vs B, depth-1 recursion: holes have no holes) proves
+        # EI (resp. IE).
+        if M[2][0] != "2":
+            for rings in _polygons_of(a):
+                for hole in rings[1:]:
+                    hole_poly = Geometry(POLYGON, [np.asarray(hole)])
+                    if relate(hole_poly, b)[0] == "2":
+                        setmax(2, 0, "2")
+                        break
+        if M[0][2] != "2":
+            for rings in _polygons_of(b):
+                for hole in rings[1:]:
+                    hole_poly = Geometry(POLYGON, [np.asarray(hole)])
+                    if relate(hole_poly, a)[0] == "2":
+                        setmax(0, 2, "2")
+                        break
     if a_is_areal:
         # A has 2D interior; does it reach B's exterior? if B not areal → yes
         if not b_is_areal:

@@ -11,15 +11,19 @@ engine bug, not a robustness judgment call.
 
 Scope (documented, enforced by the fixture generator):
 - POINT / MULTIPOINT (dim 0)
-- single LINESTRING, open or closed, self-touching allowed, no zero-length
+- LINESTRING, open or closed, self-touching allowed, no zero-length
   segments (dim 1); SFS mod-2 boundary: {p0, pn} if p0 != pn else empty
-- single CONVEX polygon, no holes, positive area, collinear ("mid-edge")
-  vertices allowed (dim 2)
+- MULTILINESTRING with the full Mod2BoundaryNodeRule (shared member
+  endpoints of even count are INTERIOR)
+- CONVEX polygon, positive area, collinear ("mid-edge") vertices allowed;
+  optionally ONE convex hole strictly inside the shell (annulus); and
+  MULTIPOLYGON of convex parts with pairwise disjoint closures (dim 2) —
+  area terms decompose exactly over signed convex part pairs
 
-Degenerate shapes (zero-length lines, zero-area polygons), holes, and
-multi-part lines/polygons are exercised by the float lattice sweeps in
+Degenerate shapes (zero-length lines, zero-area polygons) and touching-part
+multis are exercised by the float lattice sweeps in
 test_lattice_sweep_property.py; this module is the exact-truth anchor for
-the single-part adversarial core where collinear incidence bugs live.
+the adversarial core where collinear incidence bugs live.
 
 The DE-9IM here is assembled set-theoretically from first principles
 (interior/boundary/exterior intersections with exact dims), NOT by porting
@@ -202,8 +206,44 @@ class XPoly:
         )
 
     @property
-    def parts(self):
-        return [self]
+    def signed_parts(self):
+        return [(self, 1)]
+
+
+class XHoledPoly:
+    """POLYGON with one convex hole STRICTLY inside a convex shell (no ring
+    contact — the generator enforces a gap). Interior = shell interior minus
+    hole closure; boundary = both rings. Signed-part decomposition makes
+    area(A ∩ B) = Σ sᵢsⱼ·area(Pᵢ ∩ Qⱼ) exact: (S−H)∩B = (S∩B) − (H∩B)
+    because H ⊆ S."""
+
+    dim = 2
+
+    def __init__(self, shell, hole):
+        self.shell = XPoly(shell)
+        self.hole = XPoly(hole)
+        assert all(
+            self.shell.locate(p) == "I" for p in self.hole.v
+        ), "hole must be strictly inside the shell"
+        self.edges = self.shell.edges + self.hole.edges
+
+    @property
+    def signed_parts(self):
+        return [(self.shell, 1), (self.hole, -1)]
+
+    def _area2(self) -> Fr:
+        return self.shell._area2() - self.hole._area2()
+
+    def locate(self, p) -> str:
+        s = self.shell.locate(p)
+        if s != "I":
+            return s
+        h = self.hole.locate(p)
+        if h == "I":
+            return "E"
+        if h == "B":
+            return "B"
+        return "I"
 
 
 class XMultiPoly:
@@ -230,8 +270,8 @@ class XMultiPoly:
         self.edges = [e for p in self._parts for e in p.edges]
 
     @property
-    def parts(self):
-        return self._parts
+    def signed_parts(self):
+        return [(p, 1) for p in self._parts]
 
     def _area2(self) -> Fr:
         return sum(p._area2() for p in self._parts)
@@ -324,7 +364,7 @@ def _clip_area2(pts) -> Fr:
 
 E = -1  # empty
 _LINE = (XLine, XMultiLine)
-_POLY = (XPoly, XMultiPoly)
+_POLY = (XPoly, XMultiPoly, XHoledPoly)
 
 
 def _im_points_any(A: XPoints, B) -> list:
@@ -458,10 +498,13 @@ def _im_poly_line(A: XPoly, B: XLine) -> list:
 
 
 def _im_poly_poly(A, B) -> list:
-    # area(A ∩ B), decomposed over convex part pairs — valid because multi
-    # parts have pairwise disjoint closures (XMultiPoly invariant)
+    # area(A ∩ B) by signed convex-part pairs: multi parts have disjoint
+    # closures and holes are subsets of their shells, so inclusion-exclusion
+    # over (part, sign) pairs is exact
     k_area2 = sum(
-        _clip_area2(_convex_clip(pa, pb)) for pa in A.parts for pb in B.parts
+        sa * sb * _clip_area2(_convex_clip(pa, pb))
+        for pa, sa in A.signed_parts
+        for pb, sb in B.signed_parts
     )
     II = 2 if k_area2 > 0 else E
     a_ring_cov = _line_cover(A.edges, B)  # A ring vs B

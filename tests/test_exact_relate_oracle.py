@@ -17,7 +17,15 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from exact_relate import XLine, XMultiLine, XMultiPoly, XPoints, XPoly, predicates
+from exact_relate import (
+    XHoledPoly,
+    XLine,
+    XMultiLine,
+    XMultiPoly,
+    XPoints,
+    XPoly,
+    predicates,
+)
 from geomesa_spark.geom import algorithms as alg
 from geomesa_spark.geom.wkt import from_wkt
 
@@ -171,13 +179,40 @@ def test_oracle_textbook_cases():
     island_edge = XPoly([(1, 0), (3, 0), (3, 1), (1, 1)])  # shares island edges
     _check(predicates(island_edge, arch), {"touches": True, "overlaps": False})
 
+    # annulus cases — including the known-subtle hole-filling polygon
+    donut = XHoledPoly(
+        [(0, 0), (6, 0), (6, 6), (0, 6), (0, 0)],
+        [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)],
+    )
+    filler = XPoly([(2, 2), (4, 2), (4, 4), (2, 4)])  # exactly fills the hole
+    _check(
+        predicates(donut, filler),
+        {"touches": True, "overlaps": False, "contains": False, "intersects": True},
+    )
+    _check(predicates(filler, donut), {"touches": True, "within": False})
+    in_hole = XPoly([(2.5, 2.5), (3.5, 2.5), (3.5, 3.5), (2.5, 3.5)])
+    _check(predicates(donut, in_hole), {"disjoint": True})
+    _check(predicates(XLine([(2.5, 3), (3.5, 3)]), donut), {"disjoint": True})
+    # line crossing the annulus wall: interior both sides of the hole ring
+    _check(
+        predicates(XLine([(1, 3), (3, 3)]), donut),
+        {"crosses": True, "intersects": True, "touches": False},
+    )
+    # polygon spanning the hole: overlaps the donut (II in the wall, each
+    # side keeps exclusive interior)
+    spanning = XPoly([(1, 2), (5, 2), (5, 4), (1, 4)])
+    _check(predicates(donut, spanning), {"overlaps": True, "contains": False})
+    # donut contains a polygon inside the wall
+    wall_piece = XPoly([(0, 0), (1, 0), (1, 1), (0, 1)])
+    _check(predicates(donut, wall_piece), {"contains": True, "overlaps": False})
+
 
 def _soup(rng: np.random.Generator, n: int):
     """Integer-lattice soup inside [0,5]^2 — small range maximizes collinear
     incidence. Returns (wkt, oracle_shape) pairs within the oracle's scope."""
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 16))
+        kind = int(rng.integers(0, 18))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -236,7 +271,7 @@ def _soup(rng: np.random.Generator, n: int):
                 "(" + ", ".join(f"{x} {y}" for x, y in m) + ")" for m in members
             )
             out.append((f"MULTILINESTRING ({parts})", XMultiLine(members)))
-        else:  # archipelago multipolygon: 2 rects separated in x (gap >= 1)
+        elif kind < 16:  # archipelago: 2 rects separated in x (gap >= 1)
             y0, y1 = (int(v) for v in rng.integers(0, 4, 2))
             h0, h1 = (int(v) for v in rng.integers(1, 3, 2))
             r1 = [(0, y0), (1, y0), (1, y0 + h0), (0, y0 + h0), (0, y0)]
@@ -252,6 +287,22 @@ def _soup(rng: np.random.Generator, n: int):
                 "((" + ", ".join(f"{x} {y}" for x, y in r) + "))" for r in (r1, r2)
             )
             out.append((f"MULTIPOLYGON ({parts})", XMultiPoly([r1, r2])))
+        else:  # annulus: 4x4 (or 4x3) shell, 1x1 or 2x2 hole strictly inside
+            x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            w, h = 4, int(rng.integers(3, 5))
+            hx, hy = x0 + 1, y0 + 1
+            hw = int(rng.integers(1, 3))
+            hh = min(hw, h - 2)
+            shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
+            hole = [(hx, hy), (hx + hw, hy), (hx + hw, hy + hh), (hx, hy + hh), (hx, hy)]
+            wkt = (
+                "POLYGON (("
+                + ", ".join(f"{x} {y}" for x, y in shell)
+                + "), ("
+                + ", ".join(f"{x} {y}" for x, y in hole)
+                + "))"
+            )
+            out.append((wkt, XHoledPoly(shell, hole)))
     return out
 
 
