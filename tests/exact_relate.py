@@ -16,9 +16,11 @@ Scope (documented, enforced by the fixture generator):
 - MULTILINESTRING with the full Mod2BoundaryNodeRule (shared member
   endpoints of even count are INTERIOR)
 - CONVEX polygon, positive area, collinear ("mid-edge") vertices allowed;
-  optionally ONE convex hole strictly inside the shell (annulus); and
-  MULTIPOLYGON of convex parts with pairwise disjoint closures (dim 2) —
-  area terms decompose exactly over signed convex part pairs
+  ARBITRARY simple polygon (concave, via exact ear-clip triangulation and
+  crossing-number locate); optionally ONE convex hole strictly inside a
+  convex shell (annulus); and MULTIPOLYGON of convex parts with pairwise
+  disjoint closures (dim 2) — area terms decompose exactly over signed
+  convex part pairs (triangles for concave rings)
 
 Degenerate shapes (zero-length lines, zero-area polygons) and touching-part
 multis are exercised by the float lattice sweeps in
@@ -210,6 +212,116 @@ class XPoly:
         return [(self, 1)]
 
 
+def _in_closed_tri(q, a, b, c) -> bool:
+    """q in the CLOSED CCW triangle abc (boundary counts)."""
+    return _orient(a, b, q) >= 0 and _orient(b, c, q) >= 0 and _orient(c, a, q) >= 0
+
+
+def _is_simple_ring(v) -> bool:
+    """Exact simplicity: distinct vertices; adjacent edges meet only at the
+    shared vertex; non-adjacent edges are disjoint."""
+    n = len(v)
+    if len(set(v)) != n:
+        return False
+    edges = [(v[i], v[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            hit = _seg_inter(*edges[i], *edges[j])
+            if j == i + 1 or (i == 0 and j == n - 1):
+                shared = edges[i][1] if j == i + 1 else edges[i][0]
+                if hit[0] == "seg" or (hit[0] == "pt" and hit[1] != shared):
+                    return False
+            elif hit[0] != "none":
+                return False
+    return True
+
+
+def _triangulate(v):
+    """Exact ear clipping of a simple CCW ring (collinear vertices dropped —
+    area-neutral, and in a simple polygon no other edge passes through
+    them). Returns a list of CCW triangles with disjoint interiors whose
+    union is the polygon."""
+    verts = list(v)
+    tris = []
+    while len(verts) > 3:
+        n = len(verts)
+        # drop collinear vertices first
+        dropped = False
+        for i in range(n):
+            if _orient(verts[(i - 1) % n], verts[i], verts[(i + 1) % n]) == 0:
+                verts.pop(i)
+                dropped = True
+                break
+        if dropped:
+            continue
+        found = False
+        for i in range(n):
+            a, b, c = verts[(i - 1) % n], verts[i], verts[(i + 1) % n]
+            if _orient(a, b, c) <= 0:
+                continue  # reflex: not an ear
+            if any(
+                q not in (a, b, c) and _in_closed_tri(q, a, b, c) for q in verts
+            ):
+                continue  # another vertex inside/on the candidate ear
+            tris.append((a, b, c))
+            verts.pop(i)
+            found = True
+            break
+        assert found, "ear clipping failed — non-simple ring?"
+    if _orient(*verts) != 0:
+        tris.append(tuple(verts))
+    return tris
+
+
+class XSimplePoly:
+    """ARBITRARY simple polygon (concave allowed, no holes, no self-touch).
+    Interior membership by exact crossing-number ray cast; area terms via
+    exact ear-clip triangulation into convex parts (disjoint interiors, so
+    the signed-part decomposition stays valid)."""
+
+    dim = 2
+
+    def __init__(self, pts):
+        v = [_pt(p) for p in pts]
+        if v[0] == v[-1]:
+            v = v[:-1]
+        out = [p for i, p in enumerate(v) if p != v[(i - 1) % len(v)]]
+        assert len(out) >= 3
+        self.v = out
+        if self._area2() < 0:
+            self.v = self.v[::-1]
+        assert self._area2() > 0, "zero-area polygon out of oracle scope"
+        assert _is_simple_ring(self.v), "self-intersecting ring out of scope"
+        n = len(self.v)
+        self.edges = [(self.v[i], self.v[(i + 1) % n]) for i in range(n)]
+        self._tris = [XPoly(t) for t in _triangulate(self.v)]
+        assert sum(t._area2() for t in self._tris) == self._area2()
+
+    def _area2(self) -> Fr:
+        n = len(self.v)
+        return sum(
+            self.v[i][0] * self.v[(i + 1) % n][1]
+            - self.v[(i + 1) % n][0] * self.v[i][1]
+            for i in range(n)
+        )
+
+    @property
+    def signed_parts(self):
+        return [(t, 1) for t in self._tris]
+
+    def locate(self, p) -> str:
+        for a, b in self.edges:
+            if _on_seg(p, a, b):
+                return "B"
+        cnt = 0
+        for a, b in self.edges:  # exact crossing number, horizontal-safe
+            if (a[1] <= p[1] < b[1]) or (b[1] <= p[1] < a[1]):
+                t = (p[1] - a[1]) / (b[1] - a[1])
+                if a[0] + t * (b[0] - a[0]) > p[0]:
+                    cnt += 1
+        return "I" if cnt % 2 else "E"
+
+
 class XHoledPoly:
     """POLYGON with one convex hole STRICTLY inside a convex shell (no ring
     contact — the generator enforces a gap). Interior = shell interior minus
@@ -364,7 +476,7 @@ def _clip_area2(pts) -> Fr:
 
 E = -1  # empty
 _LINE = (XLine, XMultiLine)
-_POLY = (XPoly, XMultiPoly, XHoledPoly)
+_POLY = (XPoly, XSimplePoly, XMultiPoly, XHoledPoly)
 
 
 def _im_points_any(A: XPoints, B) -> list:

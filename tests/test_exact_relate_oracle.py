@@ -24,6 +24,7 @@ from exact_relate import (
     XMultiPoly,
     XPoints,
     XPoly,
+    XSimplePoly,
     predicates,
 )
 from geomesa_spark.geom import algorithms as alg
@@ -206,13 +207,27 @@ def test_oracle_textbook_cases():
     wall_piece = XPoly([(0, 0), (1, 0), (1, 1), (0, 1)])
     _check(predicates(donut, wall_piece), {"contains": True, "overlaps": False})
 
+    # concave: L-shape with a notch-filling square (boundary-only contact)
+    L = XSimplePoly([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])
+    notch = XPoly([(2, 2), (4, 2), (4, 4), (2, 4)])
+    _check(
+        predicates(L, notch),
+        {"touches": True, "overlaps": False, "contains": False, "intersects": True},
+    )
+    _check(predicates(L, XPoly([(0, 0), (1, 0), (1, 1), (0, 1)])), {"contains": True})
+    _check(predicates(XPoints([(3, 3)]), L), {"disjoint": True})
+    _check(predicates(XLine([(1, 3), (3, 3)]), L), {"crosses": True})
+    # concave x concave: two interlocking Ls overlap
+    L2 = XSimplePoly([(1, 1), (5, 1), (5, 5), (3, 5), (3, 3), (1, 3)])
+    _check(predicates(L, L2), {"overlaps": True, "touches": False})
+
 
 def _soup(rng: np.random.Generator, n: int):
     """Integer-lattice soup inside [0,5]^2 — small range maximizes collinear
     incidence. Returns (wkt, oracle_shape) pairs within the oracle's scope."""
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 18))
+        kind = int(rng.integers(0, 21))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -287,7 +302,7 @@ def _soup(rng: np.random.Generator, n: int):
                 "((" + ", ".join(f"{x} {y}" for x, y in r) + "))" for r in (r1, r2)
             )
             out.append((f"MULTIPOLYGON ({parts})", XMultiPoly([r1, r2])))
-        else:  # annulus: 4x4 (or 4x3) shell, 1x1 or 2x2 hole strictly inside
+        elif kind < 18:  # annulus: 4x4 (or 4x3) shell, 1x1 or 2x2 hole strictly inside
             x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
             w, h = 4, int(rng.integers(3, 5))
             hx, hy = x0 + 1, y0 + 1
@@ -303,6 +318,38 @@ def _soup(rng: np.random.Generator, n: int):
                 + "))"
             )
             out.append((wkt, XHoledPoly(shell, hole)))
+        elif kind < 20:  # concave: random star-shaped simple lattice polygon
+            import math
+
+            k = int(rng.integers(4, 7))
+            pts = sorted({tuple(int(v) for v in p) for p in rng.integers(0, 6, (k, 2))})
+            if len(pts) < 4:
+                continue
+            cx = sum(x for x, _ in pts) / len(pts)
+            cy = sum(y for _, y in pts) / len(pts)
+            ring = sorted(pts, key=lambda p: math.atan2(p[1] - cy, p[0] - cx))
+            ring.append(ring[0])
+            try:  # angular ties / collinear soups are rejected by the
+                shape = XSimplePoly(ring)  # exact simplicity assert
+            except AssertionError:
+                continue
+            wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+            out.append((wkt, shape))
+        else:  # concave: axis-aligned L-shape (notch corner on the lattice)
+            x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            w, h = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+            nw, nh = int(rng.integers(1, w)), int(rng.integers(1, h))
+            ring = [
+                (x0, y0),
+                (x0 + w, y0),
+                (x0 + w, y0 + h - nh),
+                (x0 + w - nw, y0 + h - nh),
+                (x0 + w - nw, y0 + h),
+                (x0, y0 + h),
+                (x0, y0),
+            ]
+            wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+            out.append((wkt, XSimplePoly(ring)))
     return out
 
 
