@@ -374,3 +374,37 @@ def test_engine_scalar_vs_exact_oracle(seed):
                     bad.append((p, "rev", lw, rw))
     assert n == len(lefts) * len(rights) * len(PREDICATES) * 2
     assert not bad, (len(bad), bad[:6])
+
+
+@pytest.mark.parametrize("seed", (1,))
+def test_join_refine_batch_vs_exact_oracle(seed):
+    """Close the triangle: scalar==oracle above, batch==scalar in the float
+    sweeps — this compares the production JOIN refine path directly against
+    exact truth on the same integer soups."""
+    import pandas as pd
+
+    from geomesa_spark.geom.wkb import to_wkb
+    from geomesa_spark.operators.spatial_join import _pairwise_predicate_fn
+
+    rng = np.random.default_rng(20260817 + seed)
+    lefts = _soup(rng, 55)
+    rights = _soup(rng, 30)
+    pairs = [(lo, ro) for _, lo in lefts for _, ro in rights]
+    lw = pd.Series(
+        [bytes(to_wkb(from_wkt(w))) for w, _ in lefts for _ in rights], dtype=object
+    )
+    rw = pd.Series(
+        [bytes(to_wkb(from_wkt(w))) for _ in lefts for w, _ in rights], dtype=object
+    )
+    truths = [(predicates(lo, ro), predicates(ro, lo)) for lo, ro in pairs]
+    bad = []
+    for p in PREDICATES:
+        fn = _pairwise_predicate_fn(p)
+        got = fn(lw, rw)
+        got_rev = fn(rw, lw)
+        for (t_fwd, t_rev), g1, g2 in zip(truths, got, got_rev):
+            if bool(g1) != t_fwd[p]:
+                bad.append((p, "fwd"))
+            if bool(g2) != t_rev[p]:
+                bad.append((p, "rev"))
+    assert not bad, (len(bad), bad[:6])
