@@ -578,6 +578,19 @@ def q_text_quality(spark, sf_dir):
     return d.select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio")
 
 
+def q_doc_packing(spark, sf_dir):
+    """Token-budget document packing (training-batch sharding): per-language
+    sequential fill, pack_id = floor(prefix_tokens / 512). Distributed as a
+    two-pass prefix sum (operators/packing.py) — NOT a global window, which
+    would serialize each language into one task at 100 TB."""
+    _init(spark)
+    from geomesa_spark.operators.packing import pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    packed = pack_documents(d, budget_tokens=512)
+    return packed.select("doc_id", "lang", "n_tok", "pack_id")
+
+
 def q_ngram_dedup(spark, sf_dir):
     _init(spark)
     d = _read(spark, sf_dir, "documents")
@@ -797,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values_lang": q_unique_values_lang,
         "tpch_q1ish": q_tpch_q1ish,
         "text_quality": q_text_quality,
+        "doc_packing": q_doc_packing,
         "ngram_dedup": q_ngram_dedup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_dedup": q_embedding_dedup,
@@ -1033,6 +1047,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 3) as sum_disc_price,
                    count(*) as count_order
             from lineitem group by l_returnflag, l_linestatus
+        """,
+        "doc_packing": """
+            select doc_id, lang,
+                   cast(len(string_split(lower(text), ' ')) as bigint) as n_tok,
+                   cast(coalesce(sum(len(string_split(lower(text), ' '))) over (
+                            partition by lang order by doc_id
+                            rows between unbounded preceding and 1 preceding
+                        ), 0) // 512 as bigint) as pack_id
+            from documents
         """,
         "text_quality": """
             select doc_id,
