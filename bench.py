@@ -224,6 +224,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
         "stats_topk_users",
         "tpch_q1ish",
         "text_quality",
+        "doc_packing",
         "ngram_dedup",
         "ann_cosine_topk",
         "minhash_dedup",
