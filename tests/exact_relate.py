@@ -323,38 +323,64 @@ class XSimplePoly:
 
 
 class XHoledPoly:
-    """POLYGON with one convex hole STRICTLY inside a convex shell (no ring
-    contact — the generator enforces a gap). Interior = shell interior minus
-    hole closure; boundary = both rings. Signed-part decomposition makes
-    area(A ∩ B) = Σ sᵢsⱼ·area(Pᵢ ∩ Qⱼ) exact: (S−H)∩B = (S∩B) − (H∩B)
-    because H ⊆ S."""
+    """POLYGON with holes: any SIMPLE shell (concave allowed) minus one or
+    more simple holes, each hole STRICTLY inside the shell and holes
+    pairwise strictly disjoint (no ring contact — the generator enforces
+    gaps). Interior = shell interior minus hole closures; boundary = all
+    rings. Signed-part decomposition keeps area terms exact:
+    (S − ΣHᵢ) ∩ B = (S∩B) − Σ(Hᵢ∩B) because Hᵢ ⊆ S and the Hᵢ are
+    disjoint; each ring decomposes into triangles for concave cases."""
 
     dim = 2
 
-    def __init__(self, shell, hole):
-        self.shell = XPoly(shell)
-        self.hole = XPoly(hole)
-        assert all(
-            self.shell.locate(p) == "I" for p in self.hole.v
-        ), "hole must be strictly inside the shell"
-        self.edges = self.shell.edges + self.hole.edges
+    def __init__(self, shell, *holes):
+        self.shell = XSimplePoly(shell)
+        assert holes
+        self.holes = [XSimplePoly(h) for h in holes]
+        # vertex checks alone are not enough for CONCAVE rings — also require
+        # zero ring-ring edge intersections, which with all-vertices-inside
+        # (resp. outside) pins full containment (resp. disjointness)
+        for hole in self.holes:
+            assert all(
+                self.shell.locate(p) == "I" for p in hole.v
+            ) and all(
+                _seg_inter(*he, *se)[0] == "none"
+                for he in hole.edges
+                for se in self.shell.edges
+            ), "hole must be strictly inside the shell"
+        for i, a in enumerate(self.holes):
+            for b in self.holes[i + 1 :]:
+                assert (
+                    all(b.locate(p) == "E" for p in a.v)
+                    and all(a.locate(p) == "E" for p in b.v)
+                    and all(
+                        _seg_inter(*ea, *eb)[0] == "none"
+                        for ea in a.edges
+                        for eb in b.edges
+                    )
+                ), "holes must be pairwise strictly disjoint"
+        self.edges = self.shell.edges + [e for h in self.holes for e in h.edges]
 
     @property
     def signed_parts(self):
-        return [(self.shell, 1), (self.hole, -1)]
+        parts = list(self.shell.signed_parts)
+        for hole in self.holes:
+            parts.extend((t, -s) for t, s in hole.signed_parts)
+        return parts
 
     def _area2(self) -> Fr:
-        return self.shell._area2() - self.hole._area2()
+        return self.shell._area2() - sum(h._area2() for h in self.holes)
 
     def locate(self, p) -> str:
         s = self.shell.locate(p)
         if s != "I":
             return s
-        h = self.hole.locate(p)
-        if h == "I":
-            return "E"
-        if h == "B":
-            return "B"
+        for hole in self.holes:
+            h = hole.locate(p)
+            if h == "I":
+                return "E"
+            if h == "B":
+                return "B"
         return "I"
 
 

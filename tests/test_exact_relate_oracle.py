@@ -207,6 +207,26 @@ def test_oracle_textbook_cases():
     wall_piece = XPoly([(0, 0), (1, 0), (1, 1), (0, 1)])
     _check(predicates(donut, wall_piece), {"contains": True, "overlaps": False})
 
+    # two holes: points in each hole disjoint, wall between them within,
+    # a line threading hole-to-hole crosses
+    two = XHoledPoly(
+        [(0, 0), (8, 0), (8, 4), (0, 4)],
+        [(1, 1), (2, 1), (2, 2), (1, 2)],
+        [(5, 1), (7, 1), (7, 3), (5, 3)],
+    )
+    _check(predicates(XPoints([(1.5, 1.5)]), two), {"disjoint": True})
+    _check(predicates(XLine([(3, 2), (4, 2)]), two), {"within": True})
+    _check(predicates(XLine([(1.5, 1.5), (6, 2)]), two), {"crosses": True})
+    # concave L-shell with a hole in the long arm; hole-filler touches
+    Lh = XHoledPoly(
+        [(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6)],
+        [(3, 0.5), (4, 0.5), (4, 1.5), (3, 1.5)],
+    )
+    _check(
+        predicates(Lh, XPoly([(3, 0.5), (4, 0.5), (4, 1.5), (3, 1.5)])),
+        {"touches": True, "contains": False},
+    )
+
     # concave: L-shape with a notch-filling square (boundary-only contact)
     L = XSimplePoly([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])
     notch = XPoly([(2, 2), (4, 2), (4, 4), (2, 4)])
@@ -302,22 +322,29 @@ def _soup(rng: np.random.Generator, n: int):
                 "((" + ", ".join(f"{x} {y}" for x, y in r) + "))" for r in (r1, r2)
             )
             out.append((f"MULTIPOLYGON ({parts})", XMultiPoly([r1, r2])))
-        elif kind < 18:  # annulus: 4x4 (or 4x3) shell, 1x1 or 2x2 hole strictly inside
-            x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
-            w, h = 4, int(rng.integers(3, 5))
-            hx, hy = x0 + 1, y0 + 1
-            hw = int(rng.integers(1, 3))
-            hh = min(hw, h - 2)
+        elif kind < 18:  # holed: 1 hole in a 4-wide shell, or 2 holes in a
+            # 5-wide shell (wall-threading / hole-to-hole adversaries)
+            y0 = int(rng.integers(0, 2))
+            h = int(rng.integers(3, 5))
+            holes = []
+            if int(rng.integers(0, 2)):
+                x0, w = int(rng.integers(0, 2)), 4
+                hw = int(rng.integers(1, 3))
+                hh = min(hw, h - 2)
+                holes.append([(x0 + 1, y0 + 1), (x0 + 1 + hw, y0 + 1),
+                              (x0 + 1 + hw, y0 + 1 + hh), (x0 + 1, y0 + 1 + hh),
+                              (x0 + 1, y0 + 1)])
+            else:
+                x0, w = 0, 5
+                for hx in (1, 3):
+                    holes.append([(hx, y0 + 1), (hx + 1, y0 + 1),
+                                  (hx + 1, y0 + 2), (hx, y0 + 2), (hx, y0 + 1)])
             shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
-            hole = [(hx, hy), (hx + hw, hy), (hx + hw, hy + hh), (hx, hy + hh), (hx, hy)]
-            wkt = (
-                "POLYGON (("
-                + ", ".join(f"{x} {y}" for x, y in shell)
-                + "), ("
-                + ", ".join(f"{x} {y}" for x, y in hole)
-                + "))"
-            )
-            out.append((wkt, XHoledPoly(shell, hole)))
+            rings = [shell] + holes
+            wkt = "POLYGON (" + ", ".join(
+                "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
+            ) + ")"
+            out.append((wkt, XHoledPoly(shell, *holes)))
         elif kind < 20:  # concave: random star-shaped simple lattice polygon
             import math
 
