@@ -136,13 +136,19 @@ def _multi_soup(rng: np.random.Generator, n: int, step: float) -> list:
     gs = []
     while len(gs) < n:
         kind = int(rng.integers(0, 10))
-        if kind < 3:  # multiline, 2 parts
-            parts = []
-            for _ in range(2):
-                pts = rng.integers(0, 5, size=(int(rng.integers(2, 5)), 2)) * step - 1.0
-                parts.append(
-                    "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
-                )
+        if kind < 3:  # multiline, 2 parts; 1-in-3 chained end-to-start so the
+            # mod-2 boundary rule (shared endpoint -> INTERIOR) is always
+            # exercised at inexact steps too
+            ptss = [
+                rng.integers(0, 5, size=(int(rng.integers(2, 5)), 2)) * step - 1.0
+                for _ in range(2)
+            ]
+            if int(rng.integers(0, 3)) == 0:
+                ptss[1][0] = ptss[0][-1]
+            parts = [
+                "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
+                for pts in ptss
+            ]
             wkt = "MULTILINESTRING (" + ", ".join(parts) + ")"
         elif kind < 6:  # multipolygon, 2 rects (may overlap each other)
             parts = []
