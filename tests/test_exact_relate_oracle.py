@@ -403,6 +403,26 @@ def test_engine_scalar_vs_exact_oracle(seed):
     assert not bad, (len(bad), bad[:6])
 
 
+def test_sweep_detects_a_broken_engine():
+    """Mutation guard for the harness itself: a deliberately wrong engine
+    predicate must produce disagreements on a small soup — if this ever
+    passes silently the sweep has gone vacuous (e.g. the soup stopped
+    generating touching pairs) and proves nothing."""
+    rng = np.random.default_rng(20260817 + 1)
+    lefts = _soup(rng, 20)
+    rights = _soup(rng, 12)
+    disagreements = 0
+    for lw, lo in lefts:
+        ga = from_wkt(lw)
+        for rw, ro in rights:
+            gb = from_wkt(rw)
+            # mutant: 'touches' answered as 'intersects' (a classic
+            # boundary-vs-interior confusion)
+            if bool(alg.intersects(ga, gb)) != predicates(lo, ro)["touches"]:
+                disagreements += 1
+    assert disagreements >= 10, disagreements
+
+
 @pytest.mark.parametrize("seed", (1,))
 def test_join_refine_batch_vs_exact_oracle(seed):
     """Close the triangle: scalar==oracle above, batch==scalar in the float
