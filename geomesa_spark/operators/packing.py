@@ -25,7 +25,16 @@ is the classic two-pass distributed prefix sum:
      cumsum + broadcast offset.
 
 Both passes are single-shuffle + narrow; nothing grows with total row count
-on any single node.
+on any single node. The pass-1 totals job reuses pass-2's range exchange as
+a skipped stage (same lineage), so the full rows shuffle ONCE.
+
+Conscious trade-off: the document payload rides one Arrow round trip
+through the assign pass (column pruning cannot cross mapInPandas). The
+JVM-only alternative — a window over (group, partition_id) with broadcast
+offsets — would instead HASH-exchange the full rows a second time, which
+costs more than the Arrow hop; and the realistic pipeline writes packed
+rows with their content anyway, so the payload must flow through here
+regardless.
 """
 
 from __future__ import annotations
