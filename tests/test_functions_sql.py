@@ -288,6 +288,27 @@ def test_transform_proj_strings(spark):
     assert abs(px - 1894410.9) < 1.0 and abs(py - 1564649.5) < 1.0
 
 
+def test_boundary_golden(spark):
+    """st_boundary: OGC boundaries incl. the Mod2 rule for multilines
+    (shared member endpoint = even count = NOT boundary)."""
+
+    def b(wkt):
+        return sql1(spark, f"select st_asText(st_boundary(st_geomFromWKT('{wkt}')))")
+
+    assert b("LINESTRING (0 0, 4 0)") == "MULTIPOINT ((0 0), (4 0))"
+    # chained members: junction (2,0) occurs twice -> interior, not boundary
+    assert (
+        b("MULTILINESTRING ((0 0, 2 0), (2 0, 4 0))") == "MULTIPOINT ((0 0), (4 0))"
+    )
+    # two members closing a loop: boundary is EMPTY
+    assert b("MULTILINESTRING ((0 0, 2 0, 2 2), (2 2, 0 2, 0 0))") == "MULTIPOINT EMPTY"
+    # three members at one junction: odd count -> boundary keeps it
+    got = b("MULTILINESTRING ((0 0, 2 0), (2 0, 4 0), (2 0, 2 2))")
+    assert "2 0" in got and "0 0" in got and "4 0" in got and "2 2" in got
+    assert b("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))").startswith("LINESTRING")
+    assert b("POINT (1 1)").startswith("GEOMETRYCOLLECTION")
+
+
 def test_buffer_point_golden(spark):
     # FIXTURES §6b
     wkt = sql1(
