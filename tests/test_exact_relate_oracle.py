@@ -247,7 +247,7 @@ def _soup(rng: np.random.Generator, n: int):
     incidence. Returns (wkt, oracle_shape) pairs within the oracle's scope."""
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 21))
+        kind = int(rng.integers(0, 23))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -362,6 +362,27 @@ def _soup(rng: np.random.Generator, n: int):
                 continue
             wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
             out.append((wkt, shape))
+        elif kind < 22:  # homogeneous GEOMETRYCOLLECTION of 2 linestrings:
+            # the engine normalizes to MULTILINESTRING (_normalize_gc, r7);
+            # exact truth is the equivalent XMultiLine (incl. mod-2 at a
+            # forced shared endpoint 1-in-3)
+            members = []
+            for _ in range(2):
+                m = int(rng.integers(2, 4))
+                pts = [tuple(int(v) for v in p) for p in rng.integers(0, 5, (m, 2))]
+                pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+                if len(pts) < 2:
+                    pts = [(0, 0), (2, 2)]
+                members.append(pts)
+            if int(rng.integers(0, 3)) == 0:
+                members[1][0] = members[0][-1]
+                if len(members[1]) == 2 and members[1][0] == members[1][-1]:
+                    members[1][-1] = ((members[1][0][0] + 1) % 5, members[1][0][1])
+            gc = ", ".join(
+                "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in m) + ")"
+                for m in members
+            )
+            out.append((f"GEOMETRYCOLLECTION ({gc})", XMultiLine(members)))
         else:  # concave: axis-aligned L-shape (notch corner on the lattice)
             x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
             w, h = int(rng.integers(2, 5)), int(rng.integers(2, 5))
