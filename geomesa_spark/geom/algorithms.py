@@ -536,24 +536,40 @@ def relate(a: Geometry, b: Geometry) -> str:
         # holes: one side's interior can reach the other's EXTERIOR through
         # a hole whose interior it overlaps with ZERO boundary/vertex/area
         # evidence (e.g. a rect covering a hole while sharing two of its
-        # edges — found by the exact rational oracle). A hole's interior is
-        # A-exterior, so hole-interior ∩ B-interior ≠ ∅ (II of the hole ring
-        # as a polygon vs B, depth-1 recursion: holes have no holes) proves
-        # EI (resp. IE).
-        if M[2][0] != "2":
-            for rings in _polygons_of(a):
+        # edges — found by the exact rational oracle). For a SINGLE valid
+        # polygon the hole interior IS exterior, so hole∩B II (depth-1
+        # recursion: holes have no holes) proves EI directly. But under
+        # multi-part union semantics a SIBLING part can cover the hole
+        # (hole interior ≠ holder exterior): there the overlap region only
+        # proves EI if it survives subtraction of the WHOLE holder —
+        # (hole ∩ other) \ holder must keep positive area.
+        def _hole_exterior_overlap(holder: Geometry, other: Geometry) -> bool:
+            parts = _polygons_of(holder)
+            obx0, oby0, obx1, oby1 = other.bounds()
+            for rings in parts:
                 for hole in rings[1:]:
-                    hole_poly = Geometry(POLYGON, [np.asarray(hole)])
-                    if relate(hole_poly, b)[0] == "2":
-                        setmax(2, 0, "2")
-                        break
-        if M[0][2] != "2":
-            for rings in _polygons_of(b):
-                for hole in rings[1:]:
-                    hole_poly = Geometry(POLYGON, [np.asarray(hole)])
-                    if relate(hole_poly, a)[0] == "2":
-                        setmax(0, 2, "2")
-                        break
+                    h = np.asarray(hole)
+                    # bbox pre-check: a hole disjoint from `other` can't
+                    # contribute interior overlap — skip the recursive relate
+                    if (h[:, 0].max() < obx0 or obx1 < h[:, 0].min()
+                            or h[:, 1].max() < oby0 or oby1 < h[:, 1].min()):
+                        continue
+                    hole_poly = Geometry(POLYGON, [h])
+                    if relate(hole_poly, other)[0] != "2":
+                        continue
+                    if len(parts) == 1:
+                        return True
+                    overlap = intersection_areal(hole_poly, other)
+                    if overlap.is_empty():
+                        continue
+                    if area(difference_areal(overlap, holder)) > 1e-12:
+                        return True
+            return False
+
+        if M[2][0] != "2" and _hole_exterior_overlap(a, b):
+            setmax(2, 0, "2")
+        if M[0][2] != "2" and _hole_exterior_overlap(b, a):
+            setmax(0, 2, "2")
     if a_is_areal:
         # A has 2D interior; does it reach B's exterior? if B not areal → yes
         if not b_is_areal:

@@ -170,6 +170,39 @@ def test_relate_matrix_point_in_poly():
     assert m[0] == "0" and m[2] == "F"
 
 
+def test_relate_hole_covered_by_sibling_part():
+    # Union semantics: a hole in one part can be covered by a SIBLING part,
+    # so "hole interior overlaps B" must NOT be taken as EI evidence unless
+    # the overlap survives subtraction of the whole multipolygon (ADVICE r7:
+    # the naive hole shortcut returned contains=False here).
+    a = from_wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1)),"
+        " ((1 1, 3 1, 3 3, 1 3, 1 1)))"
+    )
+    b = from_wkt("POLYGON ((1.5 1.5, 2.5 1.5, 2.5 2.5, 1.5 2.5, 1.5 1.5))")
+    m = alg.relate(a, b)
+    assert m == "212FF1FF2"
+    assert alg.contains(a, b)
+
+    # PARTIAL sibling cover: filler spans only the left half of the hole, so
+    # B (astride the split) still pokes into true exterior -> EI must stay 2.
+    a_half = from_wkt(
+        "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1)),"
+        " ((1 1, 2 1, 2 3, 1 3, 1 1)))"
+    )
+    m2 = alg.relate(a_half, b)
+    assert m2[6] == "2"  # A-exterior (right half of hole) meets B-interior
+    assert not alg.contains(a_half, b)
+
+    # Single polygon with a hole fully shared-edge-covered by B: the r7
+    # oracle-found case must keep detecting EI via the hole probe.
+    holed = from_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))"
+    )
+    filler = from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    assert alg.relate(holed, filler) == "FF2F112F2"
+
+
 # ------------------------------------------------------------------ measures
 
 
