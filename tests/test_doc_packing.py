@@ -67,6 +67,42 @@ def test_pack_documents_cross_batch_and_partition(spark):
     assert got == _truth(rows, 32)
 
 
+def test_pack_documents_join_fallback_parity(spark):
+    """Extreme (partitions x groups) cardinality trips max_offset_entries and
+    routes through the all-JVM join fallback — results must be identical to
+    the broadcast path, and the fallback plan must contain no Arrow stage."""
+    rows = _rows(400)
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    truth = _truth(rows, 64)
+    fb = pack_documents(df, budget_tokens=64, max_offset_entries=2)
+    got = {r.doc_id: r.pack_id for r in fb.select("doc_id", "pack_id").collect()}
+    assert got == truth
+    plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert "Window" in plan
+    # schema parity with the broadcast path (column names AND types)
+    bc = pack_documents(df, budget_tokens=64)
+    assert [(f.name, f.dataType) for f in fb.schema.fields] == [
+        (f.name, f.dataType) for f in bc.schema.fields
+    ]
+    # n_tok also carried through the fallback
+    n = {r.doc_id: r.n_tok for r in fb.select("doc_id", "n_tok").limit(5).collect()}
+    assert all(v >= 1 for v in n.values())
+
+
+def test_pack_documents_fallback_high_cardinality_group(spark):
+    """Group by a near-unique column (the anti-pattern the cap exists for):
+    each doc is its own group, so every pack_id is 0 — and the driver never
+    collects the O(rows) offset table."""
+    rows = _rows(200)
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = pack_documents(
+        df, budget_tokens=10_000, group_col="doc_id", max_offset_entries=10
+    )
+    got = [r.pack_id for r in out.select("pack_id").collect()]
+    assert len(got) == 200 and set(got) == {0}
+
+
 def test_pack_documents_oversized_and_args(spark):
     # a doc larger than the budget still gets exactly one pack id, and the
     # stream continues after it
