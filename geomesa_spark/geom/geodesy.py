@@ -284,10 +284,16 @@ GRS80_A = 6378137.0
 GRS80_RF = 298.257222101
 
 
-def _lcc2sp(sp1, sp2, lat0, lon0, fe, fn, a=GRS80_A, rf=GRS80_RF):
-    """Lambert Conformal Conic, 2 standard parallels, ellipsoidal (Snyder
-    PP 1395 pp. 107-109, eqs 15-1..15-11 / 14-15, 14-9). Angles in degrees,
-    lengths in meters. Returns (fwd, inv) over numpy arrays."""
+def _lcc2sp(sp1, sp2, lat0, lon0, fe, fn, a=GRS80_A, rf=GRS80_RF, k0=1.0):
+    """Lambert Conformal Conic, ellipsoidal (Snyder PP 1395 pp. 107-109,
+    eqs 15-1..15-11 / 14-15, 14-9). Angles in degrees, lengths in meters.
+    Returns (fwd, inv) over numpy arrays.
+
+    sp1 == sp2 is the 1SP form (EPSG method 9801): the log-ratio for the
+    cone constant degenerates to 0/0, whose analytic limit is n = sin(sp1)
+    (l'Hopital on ln m / ln t — Snyder eq. 15-4 note). k0 is the 1SP scale
+    factor at the natural origin (EPSG 9801 multiplies r = a F t^n by k0);
+    the 2SP method (9802) has no scale factor, so pass k0=1 there."""
     f = 1.0 / rf
     e2 = f * (2 - f)
     e = math.sqrt(e2)
@@ -304,8 +310,16 @@ def _lcc2sp(sp1, sp2, lat0, lon0, fe, fn, a=GRS80_A, rf=GRS80_RF):
     l0 = math.radians(lon0)
     m1, m2 = float(m(np.float64(p1))), float(m(np.float64(p2)))
     t1, t2, t0 = (float(t(np.float64(p))) for p in (p1, p2, p0))
-    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-    Fc = m1 / (n * t1**n)
+    if sp1 == sp2:
+        n = math.sin(p1)  # analytic limit of the 2SP log-ratio
+    else:
+        n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if n == 0.0:
+        raise ValueError(
+            "LCC standard parallel at the equator is undefined (cone "
+            "constant n = 0) — use mercator instead"
+        )
+    Fc = k0 * m1 / (n * t1**n)
     rho0 = a * Fc * t0**n
 
     def fwd(lon, lat):
@@ -431,12 +445,15 @@ def _conic(crs: str):
         return (_lcc2sp if fam == "lcc" else _albers)(*params)
     if crs.startswith("LCC:") or crs.startswith("AEA:"):
         vals = [float(v) for v in crs[4:].split(",")]
-        if len(vals) not in (6, 8):
+        is_lcc = crs.startswith("LCC:")
+        # LCC accepts a trailing k0 (1SP scale factor, EPSG 9801); AEA has
+        # no scale-factor parameter in either EPSG method
+        if len(vals) not in ((6, 8, 9) if is_lcc else (6, 8)):
             raise ValueError(
                 f"parameterized conic CRS needs 6 or 8 values "
-                f"(sp1,sp2,lat0,lon0,fe,fn[,a,rf]): {crs}"
+                f"(sp1,sp2,lat0,lon0,fe,fn[,a,rf{',k0' if is_lcc else ''}]): {crs}"
             )
-        return (_lcc2sp if crs.startswith("LCC:") else _albers)(*vals)
+        return (_lcc2sp if is_lcc else _albers)(*vals)
     if crs.startswith("TM:"):
         vals = [float(v) for v in crs[3:].split(",")]
         if len(vals) not in (5, 7):
@@ -542,12 +559,21 @@ def _proj_to_internal(s: str) -> str:
         a, rf = ellipsoid()
         if not math.isfinite(rf):
             raise ValueError(f"spherical {proj} is not supported (need +rf/+b): {s}")
-        if proj == "lcc" and "lat_2" not in kv and "lat_1" in kv:
-            kv["lat_2"] = kv["lat_1"]  # 1SP degenerate form
-        return (
+        k0 = num("k", num("k_0", 1.0))
+        if proj == "aea" and k0 != 1.0:
+            raise ValueError(
+                f"+proj=aea has no scale factor (EPSG 9822) — +k_0 rejected: {s}"
+            )
+        if proj == "lcc":
+            if "lat_1" not in kv and "lat_0" in kv:
+                kv["lat_1"] = kv["lat_0"]  # proj4 1SP: +lat_1 defaults to +lat_0
+            if "lat_2" not in kv and "lat_1" in kv:
+                kv["lat_2"] = kv["lat_1"]  # 1SP degenerate form (k0 honored)
+        base = (
             f"{proj.upper()}:{num('lat_1')!r},{num('lat_2')!r},{num('lat_0')!r},"
             f"{num('lon_0')!r},{num('x_0')!r},{num('y_0')!r},{a!r},{rf!r}"
         )
+        return base + (f",{k0!r}" if proj == "lcc" and k0 != 1.0 else "")
     raise ValueError(f"unsupported +proj={proj or '<missing>'}: {s}")
 
 

@@ -146,6 +146,29 @@ def _parse_header(content: bytes) -> tuple[int, int, int]:
     return w, h, seed
 
 
+def _log_unexpected_decode_error(e: Exception) -> None:
+    """Last-resort guard bookkeeping: ValueError (corrupt blob, normalized
+    by _parse_header) and NotImplementedError (unsupported format) are the
+    EXPECTED null-metadata cases; anything else is a codec programming bug
+    that must stay visible (ADVICE r7) — log one warning per exception type
+    per python worker, then still null the row (one bad blob must never
+    kill a 100 TB job)."""
+    if isinstance(e, (ValueError, NotImplementedError)):
+        return
+    key = type(e).__name__
+    if key not in _UNEXPECTED_DECODE_ERRORS:
+        _UNEXPECTED_DECODE_ERRORS.add(key)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unexpected %s while decoding media blob (nulled, but this is "
+            "a codec bug, not corrupt data): %s", key, e
+        )
+
+
+_UNEXPECTED_DECODE_ERRORS: set = set()
+
+
 def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas decode: per Arrow batch, parse headers -> (decoded_w,
     decoded_h, checksum). The batch shape/schema plumbing is exactly what a
@@ -168,11 +191,11 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                     ws.append(w)
                     hs.append(h)
                     cks.append(int(np.int64(seed * 2654435761 % (1 << 31))))
-                except Exception:
-                    # unsupported format OR corrupt bytes (any parse
-                    # failure, not just the two normalized types) -> null
-                    # metadata; at 100 TB one bad blob must never kill
-                    # the job
+                except Exception as e:
+                    # unsupported format / corrupt bytes -> null metadata;
+                    # unexpected exception types are logged as codec bugs
+                    # before nulling (never kill a 100 TB job on one blob)
+                    _log_unexpected_decode_error(e)
                     ws.append(None)
                     hs.append(None)
                     cks.append(None)
@@ -200,7 +223,8 @@ def extract_features(df: DataFrame, dim: int = 16, content_col: str = "content")
                     v = rng.normal(0, 1, dim).astype(np.float32)
                     v /= np.linalg.norm(v)
                     feats.append([float(x) for x in v])
-                except Exception:
+                except Exception as e:
+                    _log_unexpected_decode_error(e)
                     feats.append(None)
             pdf["features"] = feats
             yield pdf

@@ -270,6 +270,48 @@ def test_transform_proj_strings(spark):
     lon2, lat2 = transform_points(x, y, osgb, "EPSG:4326")
     assert abs(lon2[0] + 1.0) < 1e-9 and abs(lat2[0] - 52.0) < 1e-9
 
+    # lcc 1SP (EPSG method 9801): Jamaica 1969 / Jamaica National Grid
+    # worked example from the EPSG Guidance Note 7-2 — Clarke 1866,
+    # lat0=lat1=18N, lon0=-77, k0=1, FE=250000, FN=150000;
+    # phi=17°55'55.80"N lam=76°56'37.26"W -> E 255966.58, N 142493.51
+    jlat = np.array([17 + 55 / 60 + 55.80 / 3600])
+    jlon = np.array([-(76 + 56 / 60 + 37.26 / 3600)])
+    jx, jy = transform_points(
+        jlon,
+        jlat,
+        "EPSG:4326",
+        "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=1.0 "
+        "+x_0=250000 +y_0=150000 +ellps=clrk66",
+    )
+    assert abs(jx[0] - 255966.58) < 0.02 and abs(jy[0] - 142493.51) < 0.02
+    # 1SP analytic limit == 2SP with sp2 -> sp1 (sub-mm agreement)
+    from geomesa_spark.geom.geodesy import _lcc2sp
+
+    f1 = _lcc2sp(49.0, 49.0, 49.0, 2.0, 6e5, 2e5, 6378249.2, 293.4660213)
+    f2 = _lcc2sp(49.0, 49.0 + 1e-7, 49.0, 2.0, 6e5, 2e5, 6378249.2, 293.4660213)
+    a1 = f1[0](np.array([3.0]), np.array([50.0]))
+    a2 = f2[0](np.array([3.0]), np.array([50.0]))
+    assert abs(a1[0][0] - a2[0][0]) < 1e-3 and abs(a1[1][0] - a2[1][0]) < 1e-3
+    # a k_0 != 1 scales the grid and roundtrips exactly
+    k = "+proj=lcc +lat_1=18 +lat_0=18 +lon_0=-77 +k_0=0.9998 +x_0=0 +y_0=0 +ellps=clrk66"
+    kx, ky = transform_points(jlon, jlat, "EPSG:4326", k)
+    assert abs(kx[0] - (jx[0] - 250000.0) * 0.9998) < 0.01
+    klon, klat = transform_points(kx, ky, k, "EPSG:4326")
+    assert abs(klon[0] - jlon[0]) < 1e-9 and abs(klat[0] - jlat[0]) < 1e-9
+    # lcc at the equator is undefined (cone constant 0) — clear error
+    with pytest.raises(ValueError, match="equator"):
+        transform_points(
+            jlon, jlat, "EPSG:4326",
+            "+proj=lcc +lat_1=0 +lat_0=0 +lon_0=0 +ellps=WGS84",
+        )
+    # aea has no scale factor — +k_0 rejected, not ignored
+    with pytest.raises(ValueError, match="k_0"):
+        transform_points(
+            jlon, jlat, "EPSG:4326",
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+            "+k_0=0.9999 +ellps=GRS80",
+        )
+
     # datum-shift params are rejected, not silently ignored
     with pytest.raises(ValueError, match="towgs84"):
         transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=13 +towgs84=0,0,0")

@@ -403,6 +403,26 @@ def test_media_real_format_raises(spark):
         _parse_header(b"GIF89a" + b"\x00" * 16)
 
 
+def test_media_unexpected_error_logged_not_silent(spark, caplog):
+    # Expected null cases (corrupt blob -> ValueError, unknown format ->
+    # NotImplementedError) stay silent; anything else is a codec BUG and
+    # must emit a warning before nulling (ADVICE r7)
+    import logging
+
+    from geomesa_spark.multimodal import media as m
+
+    m._UNEXPECTED_DECODE_ERRORS.clear()
+    with caplog.at_level(logging.WARNING, logger=m.__name__):
+        m._log_unexpected_decode_error(ValueError("corrupt"))
+        m._log_unexpected_decode_error(NotImplementedError("gif"))
+        assert not caplog.records and not m._UNEXPECTED_DECODE_ERRORS
+        m._log_unexpected_decode_error(TypeError("codec bug"))
+        m._log_unexpected_decode_error(TypeError("same type, logged once"))
+        assert len(caplog.records) == 1
+        assert "codec bug" in caplog.records[0].message
+    m._UNEXPECTED_DECODE_ERRORS.clear()
+
+
 def test_join_docs_media(spark):
     from geomesa_spark.multimodal.media import join_docs_media, synth_media
     from geomesa_spark.sources.docs import synth_docs
