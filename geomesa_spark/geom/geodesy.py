@@ -465,6 +465,47 @@ def _conic(crs: str):
     return None
 
 
+def _helmert7(X, Y, Z, params, inverse=False):
+    """7-parameter Helmert transformation, position-vector convention
+    (EPSG method 9606 / proj4 +towgs84): dx,dy,dz in meters, rx,ry,rz in
+    ARCSECONDS, ds in PPM. Validated against the EPSG Guidance Note 7-2
+    worked example (WGS72 -> WGS84). The inverse is the exact 3x3 solve,
+    not the sign-flipped approximation, so roundtrips close to float eps."""
+    dx, dy, dz, rx, ry, rz, ds = params
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx, ry, rz))
+    m = 1.0 + ds * 1e-6
+    R = np.array(
+        [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+    )
+    P = np.stack(
+        [np.asarray(X, np.float64), np.asarray(Y, np.float64), np.asarray(Z, np.float64)]
+    )
+    d = np.array([[dx], [dy], [dz]], dtype=np.float64)
+    if not inverse:
+        out = m * (R @ P) + d
+    else:
+        out = np.linalg.solve(R, (P - d) / m)
+    return out[0], out[1], out[2]
+
+
+def _datum_shift(lon, lat, params, a, rf, to_wgs84: bool):
+    """Apply a +towgs84 shift to geographic coordinates (h=0 — 2D data
+    carries no height, and h=0 moves horizontal position far less than the
+    Helmert parameters' own meter-level accuracy). to_wgs84=True:
+    (lon,lat) on the source ellipsoid (a, rf) -> WGS84; False: the exact
+    inverse, WGS84 -> the target datum's ellipsoid."""
+    b = a * (1.0 - 1.0 / rf) if math.isfinite(rf) else a
+    if to_wgs84:
+        X, Y, Z = _geodetic_to_ecef(lon, lat, 0.0, a, b)
+        X, Y, Z = _helmert7(X, Y, Z, params)
+        lo, la, _ = _ecef_to_geodetic(X, Y, Z, WGS84_A, WGS84_B)
+        return lo, la
+    X, Y, Z = _geodetic_to_ecef(lon, lat, 0.0, WGS84_A, WGS84_B)
+    X, Y, Z = _helmert7(X, Y, Z, params, inverse=True)
+    lo, la, _ = _ecef_to_geodetic(X, Y, Z, a, b)
+    return lo, la
+
+
 # proj4-style ellipsoid registry (a, 1/f) — the common subset; +a/+rf/+b
 # override in the proj string for anything else
 _ELLPS = {
@@ -481,9 +522,11 @@ _ELLPS = {
 
 def _proj_to_internal(s: str) -> str:
     """Translate a proj4-style '+proj=...' string into the internal CRS code
-    it is equivalent to (no datum shift — +towgs84/+nadgrids are rejected,
-    not ignored). Supported projections: longlat, webmerc, utm, tmerc,
-    lcc (2SP), aea."""
+    it is equivalent to. Supported projections: longlat, webmerc, utm,
+    tmerc, lcc, aea. +towgs84 (3- or 7-parameter Helmert datum shift,
+    position-vector convention) is honored on longlat/tmerc/lcc/aea via a
+    '|TOWGS84:...|ELL:a,rf' suffix consumed by transform_points; +nadgrids
+    (grid-file shifts) is rejected, not ignored — the grids aren't here."""
     kv: dict[str, str] = {}
     flags: set[str] = set()
     for tok in s.split():
@@ -495,12 +538,27 @@ def _proj_to_internal(s: str) -> str:
             kv[k.lower()] = v
         else:
             flags.add(tok.lower())
-    for unsupported in ("towgs84", "nadgrids"):
-        if unsupported in kv:
-            raise ValueError(
-                f"proj parameter +{unsupported} (datum shift) is not supported: {s}"
-            )
+    if "nadgrids" in kv:
+        raise ValueError(
+            f"proj parameter +nadgrids (grid-file datum shift) is not "
+            f"supported — use a +towgs84 Helmert approximation: {s}"
+        )
     proj = kv.get("proj", "").lower()
+
+    def towgs84_suffix(a: float, rf: float) -> str:
+        """Parse +towgs84 into the internal suffix, or '' if absent/null."""
+        if "towgs84" not in kv:
+            return ""
+        vals = [float(v) for v in kv["towgs84"].split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise ValueError(f"+towgs84 needs 3 or 7 values: {s}")
+        if all(v == 0.0 for v in vals):
+            return ""  # null shift == WGS84 datum
+        return (
+            "|TOWGS84:" + ",".join(repr(v) for v in vals) + f"|ELL:{a!r},{rf!r}"
+        )
 
     def num(key: str, default: float = 0.0) -> float:
         return float(kv[key]) if key in kv else default
@@ -520,8 +578,10 @@ def _proj_to_internal(s: str) -> str:
         return _ELLPS[name]
 
     if proj in ("longlat", "latlong", "lonlat"):
-        return "EPSG:4326"
+        return "EPSG:4326" + towgs84_suffix(*ellipsoid())
     if proj == "webmerc":
+        if "towgs84" in kv and any(float(v) for v in kv["towgs84"].split(",")):
+            raise ValueError(f"+towgs84 on webmerc (WGS84-implied) rejected: {s}")
         return "EPSG:3857"
     if proj == "merc":
         # EPSG:3857 is the SPHERICAL mercator; accept only parameter sets
@@ -529,6 +589,10 @@ def _proj_to_internal(s: str) -> str:
         a, rf = ellipsoid()
         if kv.get("a") == kv.get("b") and "a" in kv and float(kv["a"]) == WGS84_A:
             if num("lat_ts") == 0.0 and num("k", num("k_0", 1.0)) == 1.0:
+                if "towgs84" in kv and any(
+                    float(v) for v in kv["towgs84"].split(",")
+                ):
+                    raise ValueError(f"+towgs84 on spherical mercator rejected: {s}")
                 return "EPSG:3857"
         raise ValueError(
             f"only spherical web mercator is supported — use +proj=webmerc: {s}"
@@ -536,6 +600,11 @@ def _proj_to_internal(s: str) -> str:
     if proj == "utm":
         if "zone" not in kv:
             raise ValueError(f"+proj=utm needs +zone: {s}")
+        if "towgs84" in kv and any(float(v) for v in kv["towgs84"].split(",")):
+            raise ValueError(
+                f"+towgs84 on utm (WGS84-only here) rejected — use "
+                f"+proj=tmerc with the zone parameters: {s}"
+            )
         a, rf = ellipsoid()  # validates +ellps; UTM here is WGS84-only
         if (a, rf) != _ELLPS["WGS84"]:
             raise ValueError(
@@ -554,7 +623,7 @@ def _proj_to_internal(s: str) -> str:
         return (
             f"TM:{k0!r},{num('lat_0')!r},{num('lon_0')!r},"
             f"{num('x_0')!r},{num('y_0')!r},{a!r},{rf!r}"
-        )
+        ) + towgs84_suffix(a, rf)
     if proj in ("lcc", "aea"):
         a, rf = ellipsoid()
         if not math.isfinite(rf):
@@ -573,13 +642,30 @@ def _proj_to_internal(s: str) -> str:
             f"{proj.upper()}:{num('lat_1')!r},{num('lat_2')!r},{num('lat_0')!r},"
             f"{num('lon_0')!r},{num('x_0')!r},{num('y_0')!r},{a!r},{rf!r}"
         )
-        return base + (f",{k0!r}" if proj == "lcc" and k0 != 1.0 else "")
+        return base + (
+            f",{k0!r}" if proj == "lcc" and k0 != 1.0 else ""
+        ) + towgs84_suffix(a, rf)
     raise ValueError(f"unsupported +proj={proj or '<missing>'}: {s}")
+
+
+def _split_datum(crs: str):
+    """Split an internal CRS code into (base, helmert_params, (a, rf)) —
+    the latter two None for WGS84-datum codes."""
+    if "|TOWGS84:" not in crs:
+        return crs, None, None
+    base, rest = crs.split("|TOWGS84:", 1)
+    pstr, estr = rest.split("|ELL:", 1)
+    params = tuple(float(v) for v in pstr.split(","))
+    a, rf = (float(v) for v in estr.split(","))
+    return base, params, (a, rf)
 
 
 def transform_points(lons, lats, from_crs: str, to_crs: str):
     """Transform coordinate arrays between supported CRS codes (EPSG codes,
-    LCC:/AEA:/TM: parameterized strings, or proj4-style '+proj=...')."""
+    LCC:/AEA:/TM: parameterized strings, or proj4-style '+proj=...').
+    Proj strings may carry +towgs84 (3/7-param Helmert, position-vector):
+    the pipeline is inverse-project on the source datum -> Helmert to WGS84
+    -> inverse Helmert to the target datum -> forward-project."""
     from_crs = from_crs.strip()
     to_crs = to_crs.strip()
     from_crs = (
@@ -588,6 +674,8 @@ def transform_points(lons, lats, from_crs: str, to_crs: str):
     to_crs = _proj_to_internal(to_crs) if to_crs.startswith("+") else to_crs.upper()
     if from_crs == to_crs:
         return np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
+    from_crs, from_shift, from_ell = _split_datum(from_crs)
+    to_crs, to_shift, to_ell = _split_datum(to_crs)
     # normalize to EPSG:4326 lon/lat first
     if from_crs == "EPSG:4326":
         lon, lat = np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
@@ -602,6 +690,10 @@ def transform_points(lons, lats, from_crs: str, to_crs: str):
         lon, lat = _conic(from_crs)[1](lons, lats)
     else:
         raise ValueError(f"unsupported CRS {from_crs}")
+    if from_shift is not None:
+        lon, lat = _datum_shift(lon, lat, from_shift, *from_ell, to_wgs84=True)
+    if to_shift is not None:
+        lon, lat = _datum_shift(lon, lat, to_shift, *to_ell, to_wgs84=False)
     if to_crs == "EPSG:4326":
         return lon, lat
     if to_crs == "EPSG:3857":

@@ -312,13 +312,73 @@ def test_transform_proj_strings(spark):
             "+k_0=0.9999 +ellps=GRS80",
         )
 
-    # datum-shift params are rejected, not silently ignored
+    # datum-shift params on WGS84-implied projections are rejected, not
+    # silently ignored (a NULL shift +towgs84=0,0,0 is fine — it IS WGS84);
+    # grid-file shifts are rejected everywhere (grids not present)
+    x0, _ = transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=13 +towgs84=0,0,0")
+    xr, _ = transform_points(lon, lat, "EPSG:4326", "EPSG:32613")
+    assert np.allclose(x0, xr)
     with pytest.raises(ValueError, match="towgs84"):
-        transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=13 +towgs84=0,0,0")
+        transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=13 +towgs84=-87,-98,-121")
+    with pytest.raises(ValueError, match="nadgrids"):
+        transform_points(lon, lat, "EPSG:4326", "+proj=longlat +ellps=clrk66 +nadgrids=@conus")
     with pytest.raises(ValueError, match="unsupported"):
         transform_points(lon, lat, "EPSG:4326", "+proj=sinu")
     with pytest.raises(ValueError, match="ellipsoid"):
         transform_points(lon, lat, "EPSG:4326", "+proj=utm +zone=1 +ellps=NOPE")
+
+    # +towgs84 Helmert datum shifts (position-vector / EPSG 9606).
+    # Core golden: the EPSG Guidance Note 7-2 worked example (WGS72->WGS84,
+    # dz=4.5m rz=0.554" ds=0.219ppm) on geocentric coordinates
+    from geomesa_spark.geom.geodesy import (
+        _ecef_to_geodetic,
+        _geodetic_to_ecef,
+        _helmert7,
+    )
+
+    hp = (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219)
+    hx, hy, hz = _helmert7(
+        np.array([3657660.66]), np.array([255768.55]), np.array([5201382.11]), hp
+    )
+    assert abs(hx[0] - 3657660.78) < 0.01
+    assert abs(hy[0] - 255778.43) < 0.01
+    assert abs(hz[0] - 5201387.75) < 0.01
+    # exact (linear-solve) inverse closes the roundtrip to float eps
+    ix, iy, iz = _helmert7(hx, hy, hz, hp, inverse=True)
+    assert abs(ix[0] - 3657660.66) < 1e-6 and abs(iz[0] - 5201382.11) < 1e-6
+    # geodetic <-> geocentric roundtrips exactly at h=0
+    glon = np.array([-1.5, 170.0, 0.0])
+    glat = np.array([52.5, -45.0, 0.001])
+    b_ax = 6378137.0 * (1 - 1 / 298.257223563)
+    gx, gy, gz = _geodetic_to_ecef(glon, glat, 0.0, 6378137.0, b_ax)
+    blon, blat, _ = _ecef_to_geodetic(gx, gy, gz, 6378137.0, b_ax)
+    assert np.abs(blon - glon).max() < 1e-11 and np.abs(blat - glat).max() < 1e-11
+    # end-to-end: OSGB36 grid WITH the standard 7-param shift -> true WGS84.
+    # Greenwich Observatory (E 538897, N 177344): the Airy transit circle
+    # sits ~0.0013-0.0015 deg WEST of WGS84 zero longitude (the famous
+    # ~100 m Greenwich offset) — without the shift it would sit at ~0.0001
+    osgb_dat = (
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+    )
+    wlon, wlat = transform_points(
+        np.array([538897.0]), np.array([177344.0]), osgb_dat, "EPSG:4326"
+    )
+    assert -0.0016 < wlon[0] < -0.0011 and abs(wlat[0] - 51.478) < 0.001
+    # roundtrip through the datum shift closes to < 1 mm
+    re_, rn_ = transform_points(wlon, wlat, "EPSG:4326", osgb_dat)
+    assert abs(re_[0] - 538897.0) < 1e-3 and abs(rn_[0] - 177344.0) < 1e-3
+    # 3-param form (ED50-style) parses and shifts on longlat too
+    slon, slat = transform_points(
+        np.array([2.0]), np.array([41.0]), "+proj=longlat +ellps=intl +towgs84=-87,-98,-121",
+        "EPSG:4326",
+    )
+    d_m = np.hypot(
+        (slon[0] - 2.0) * np.cos(np.radians(41.0)) * 111320.0,
+        (slat[0] - 41.0) * 110574.0,
+    )
+    assert 80.0 < d_m < 200.0  # ED50->WGS84 in Iberia shifts ~100-150 m
 
     # through the SQL surface
     wkt = sql1(
