@@ -234,12 +234,36 @@ def _ring_segments(rings) -> np.ndarray:
     return np.concatenate(segs) if segs else np.empty((0, 4))
 
 
+# max broadcast pairs per block in _segs_intersect_any: 2^19 pairs keeps
+# each of the ~8 intermediate (n,m) double arrays at ~4 MB, so a
+# pathological 10k x 10k-segment part pair peaks around 32 MB instead of
+# allocating ~800 MB in one shot (same chunking discipline as the lineal
+# S x E kernel)
+_SEG_PAIR_BLOCK = 1 << 19
+
+
 def _segs_intersect_any(A: np.ndarray, B: np.ndarray) -> bool:
     """Do ANY segments of sets A (n,4) and B (m,4) intersect (proper
-    crossing, touch, or collinear overlap)? One broadcast orientation
-    test — the standard d1..d4 sign procedure, vectorized over all pairs."""
+    crossing, touch, or collinear overlap)? Broadcast orientation tests,
+    chunked so per-call memory is bounded by _SEG_PAIR_BLOCK pairs with
+    early exit on the first intersecting block."""
     if not len(A) or not len(B):
         return False
+    if len(A) * len(B) <= _SEG_PAIR_BLOCK:
+        return _segs_intersect_block(A, B)
+    ca = max(1, _SEG_PAIR_BLOCK // len(B))
+    for i in range(0, len(A), ca):
+        Ab = A[i : i + ca]
+        cb = max(1, _SEG_PAIR_BLOCK // len(Ab))
+        for j in range(0, len(B), cb):
+            if _segs_intersect_block(Ab, B[j : j + cb]):
+                return True
+    return False
+
+
+def _segs_intersect_block(A: np.ndarray, B: np.ndarray) -> bool:
+    """One (n,m) broadcast block of the standard d1..d4 sign procedure —
+    callers bound n*m via _SEG_PAIR_BLOCK."""
     ax, ay, bx, by = (A[:, k][:, None] for k in range(4))
     cx, cy, dx_, dy_ = (B[:, k][None, :] for k in range(4))
 
