@@ -225,6 +225,56 @@ def _sig_match_frac_udf(num_hashes: int):
     return F.pandas_udf(f, DoubleType())
 
 
+def _pack_sig_udf():
+    """array<long> minhash signature -> little-endian int32 binary blob.
+    Signature values are < 2^31 (hashes mod P = 2^31-1), so int32 is exact.
+    Runs once on the per-DOCUMENT sig frame (n_docs rows) so the per-PAIR
+    attach joins carry a 4*num_hashes-byte blob instead of an Arrow
+    list<int64> — 4x less shuffle/Arrow volume on the candidate set, which
+    at sf0.1 is 710k pairs vs 5k docs (and proportionally worse at scale)."""
+    from pyspark.sql.types import BinaryType
+
+    def f(a: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else np.asarray(v, dtype="<i4").tobytes()
+                for v in a
+            ],
+            dtype=object,
+        )
+
+    return F.pandas_udf(f, BinaryType())
+
+
+def _sig_match_frac_bin_udf(num_hashes: int):
+    """Binary-blob variant of _sig_match_frac_udf: (sigb_a, sigb_b) ->
+    matching-position fraction. One zero-copy frombuffer over the whole
+    batch instead of 2 x batch-size np.asarray(list) conversions — VALUE-
+    IDENTICAL to the array form (same ints compared for equality)."""
+    from pyspark.sql.types import DoubleType
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = a.to_numpy(dtype=object)
+        bv = b.to_numpy(dtype=object)
+        ok = np.array(
+            [x is not None and y is not None for x, y in zip(av, bv)],
+            dtype=bool,
+        )
+        out = np.full(len(av), np.nan)
+        if ok.any():
+            A = np.frombuffer(b"".join(av[ok]), dtype="<i4").reshape(
+                -1, num_hashes
+            )
+            Bm = np.frombuffer(b"".join(bv[ok]), dtype="<i4").reshape(
+                -1, num_hashes
+            )
+            out[ok] = (A == Bm).mean(axis=1)
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None).astype(object)
+
+    return F.pandas_udf(f, DoubleType())
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: (text_hash, n_dups, canonical_id, dup_ids).
     One shuffle on the 256-bit hash; map-side partial agg applies."""
@@ -627,10 +677,12 @@ def _est_prefilter(
     texts to the 106k survivors afterwards is far cheaper than the two
     'saved' joins (scripts/bisect_attach.py, interleaved: fused 14.6 s vs
     two-phase 5.9 s minhash, 5.6 vs 5.3 ngram)."""
-    sigs = sig.select(id_col, "_sig")
+    sigs = sig.select(id_col, "_sigb")
     pre = _attach(cand, sigs, id_col, "id_a")
     pre = _attach(pre, sigs, id_col, "id_b")
-    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
+    est = _sig_match_frac_bin_udf(num_hashes)(
+        F.col("_sigb_id_a"), F.col("_sigb_id_b")
+    )
     return pre.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
 
 
@@ -676,9 +728,12 @@ def minhash_lsh_pairs(
     txt = df.select(F.col(id_col), F.col(text_col).alias("_txt")).localCheckpoint(
         eager=False
     )
-    sig = txt.withColumn(
-        "_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt"))
-    ).filter(F.col("_sig").isNotNull()).localCheckpoint(eager=False)
+    sig = (
+        txt.withColumn("_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt")))
+        .filter(F.col("_sig").isNotNull())
+        .withColumn("_sigb", _pack_sig_udf()(F.col("_sig")))
+        .localCheckpoint(eager=False)
+    )
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
@@ -691,10 +746,12 @@ def minhash_lsh_pairs(
         return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
         )
-    sigs = sig.select(id_col, "_sig")
+    sigs = sig.select(id_col, "_sigb")
     cand = _attach(cand, sigs, id_col, "id_a")
     cand = _attach(cand, sigs, id_col, "id_b")
-    est = _sig_match_frac_udf(num_hashes)(F.col("_sig_id_a"), F.col("_sig_id_b"))
+    est = _sig_match_frac_bin_udf(num_hashes)(
+        F.col("_sigb_id_a"), F.col("_sigb_id_b")
+    )
     return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -735,9 +792,12 @@ def ngram_jaccard_pairs(
     txt = df.select(*keep, F.col(text_col).alias("_txt")).localCheckpoint(
         eager=False
     )
-    sig = txt.withColumn(
-        "_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt"))
-    ).filter(F.col("_sig").isNotNull()).localCheckpoint(eager=False)
+    sig = (
+        txt.withColumn("_sig", _minhash_text_udf(num_hashes, k)(F.col("_txt")))
+        .filter(F.col("_sig").isNotNull())
+        .withColumn("_sigb", _pack_sig_udf()(F.col("_sig")))
+        .localCheckpoint(eager=False)
+    )
     cand = _lsh_candidates(
         sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
     )
