@@ -333,13 +333,28 @@ def representative_point(g: Geometry) -> tuple[float, float]:
 # -------------------------------------------------------------------- DE-9IM
 
 
-def _classify_segments_vs(g_segsrc: Geometry, other: Geometry):
+def _classify_segments_vs(
+    g_segsrc: Geometry,
+    other: Geometry,
+    extra_segs: np.ndarray | None = None,
+    mids: list | None = None,
+):
     """Split every segment of g's linear parts at crossings with `other`'s
     linear work (segments), classify each sub-seg midpoint against `other`.
 
     Returns (has_in, has_on, has_out, touch_pts) where touch_pts are isolated
-    split points (potential 0-dim intersections)."""
+    split points (potential 0-dim intersections).
+
+    extra_segs: additional (n,4) segments to SPLIT at (but not classify
+    against) — used by relate() on heterogeneous GCs so a part's subsegments
+    never straddle a sibling-part coverage transition. mids (if given)
+    collects (mx, my, loc) per classified subsegment midpoint so the caller
+    can re-attribute rows by sibling-part coverage."""
     osegs = _line_segments(other)
+    if extra_segs is not None and len(extra_segs):
+        osegs = (
+            np.vstack([osegs, extra_segs]) if len(osegs) else np.asarray(extra_segs)
+        )
     opts = _points_of(other)
     odim = other.dimension()
     has_in = has_on = has_out = False
@@ -378,11 +393,17 @@ def _classify_segments_vs(g_segsrc: Geometry, other: Geometry):
                 if loc == INTERIOR:
                     if odim >= 1:
                         has_in = True
+                        if mids is not None:
+                            mids.append((mx, my, INTERIOR))
                 elif loc == BOUNDARY:
                     if odim >= 1:
                         has_on = True
+                        if mids is not None:
+                            mids.append((mx, my, BOUNDARY))
                 else:
                     has_out = True
+                    if mids is not None:
+                        mids.append((mx, my, EXTERIOR))
             for t in ts[1:-1]:
                 touch_pts.append(
                     (p0[0] + (p1[0] - p0[0]) * t, p0[1] + (p1[1] - p0[1]) * t)
@@ -446,71 +467,99 @@ def relate(a: Geometry, b: Geometry) -> str:
     def _in_bpts(px, py, bpts) -> bool:
         return any(_near_pt(px, py, qx, qy) for qx, qy in bpts)
 
-    def _a_side(px, py) -> int:
-        """Is (px,py) interior(0) or boundary(1) of A's linear/areal part?"""
-        if _polygons_of(a) and not _lines_of(a):
-            return 1  # polygon boundary work is its boundary
-        return 1 if _in_bpts(px, py, a_bpts) else 0
-
-    def _b_side(px, py) -> int:
-        if _polygons_of(b) and not _lines_of(b):
-            return 1
-        return 1 if _in_bpts(px, py, b_bpts) else 0
-
     a_is_areal = bool(_polygons_of(a))
     b_is_areal = bool(_polygons_of(b))
 
+    def _linework_pass(src, dst, cell, src_bpts, dst_is_areal, dst_has_line):
+        """Classify src's linework vs dst, attributing DE-9IM rows per src
+        PART: polygon rings are src-BOUNDARY work, line members are
+        src-INTERIOR work. Decomposed (r8) because the old monolithic pass
+        treated ALL linework of an areal-bearing GC as boundary — a dst
+        edge riding the GC's LINE member then upgraded II to '2' though
+        only the 1-dim line was hit (the gc lattice sweep caught it).
+        Under min-locate union semantics a boundary point covered by the
+        SIBLING part's interior demotes to interior, and subsegments are
+        additionally split at sibling features so no subsegment straddles a
+        coverage transition. The 2-dim upgrades (ring strictly inside /
+        outside dst) require dst's AREAL interior, not the union interior."""
+        polys = _polygons_of(src)
+        lines = _lines_of(src)
+        src_parts = []
+        if polys:
+            src_parts.append((True, Geometry(MULTIPOLYGON, polys)))
+        if lines:
+            src_parts.append(
+                (False, Geometry(MULTILINESTRING, [np.asarray(l) for l in lines]))
+            )
+        het = len(src_parts) == 2
+        dst_polys = _polygons_of(dst)
+        dst_het = bool(dst_polys) and bool(_lines_of(dst))
+        dst_areal_ghost = Geometry(MULTIPOLYGON, dst_polys) if dst_het else None
+        for part_is_areal, part in src_parts:
+            sibling = None
+            if het:
+                sibling = src_parts[1][1] if part_is_areal else src_parts[0][1]
+            extra = _line_segments(sibling) if sibling is not None else None
+            mids: list = []
+            _, _, _, pts = _classify_segments_vs(
+                part, dst, extra_segs=extra, mids=mids
+            )
+
+            def row_at(px, py):
+                if part_is_areal:
+                    if sibling is not None and locate(px, py, sibling) == INTERIOR:
+                        return 0
+                    return 1
+                r = 1 if _in_bpts(px, py, src_bpts) else 0
+                if r == 1 and sibling is not None and locate(px, py, sibling) == INTERIOR:
+                    r = 0
+                return r
+
+            for mx, my, loc in mids:
+                if part_is_areal:
+                    row = (
+                        0
+                        if sibling is not None
+                        and locate(mx, my, sibling) == INTERIOR
+                        else 1
+                    )
+                else:
+                    row = 0  # a subsegment midpoint is never a mod-2 endpoint
+                if loc == INTERIOR:
+                    cell(row, 0, "1")
+                    if part_is_areal and dst_is_areal and (
+                        not dst_het
+                        or locate(mx, my, dst_areal_ghost) == INTERIOR
+                    ):
+                        # ring strictly inside dst's AREAL interior: the
+                        # polygon interior near the ring overlaps dst's
+                        cell(0, 0, "2")
+                elif loc == BOUNDARY:
+                    cell(row, 1 if dst_is_areal or dst_has_line else 0, "1")
+                else:
+                    cell(row, 2, "1")
+                    if part_is_areal:
+                        # ring in dst's (open) exterior: polygon interior
+                        # near the ring reaches it too
+                        cell(0, 2, "2")
+            for px, py in pts:
+                loc = locate(px, py, dst)
+                r = row_at(px, py)
+                if loc == INTERIOR:
+                    cell(r, 0, "0")
+                elif loc == BOUNDARY:
+                    cell(r, 1, "0")
+                else:
+                    cell(r, 2, "0")
+
     if a_has_line:
-        has_in, has_on, has_out, pts = _classify_segments_vs(a, b)
-        # a's linear work: boundary if a areal, interior if a lineal
-        arow = 1 if a_is_areal else 0
-        if has_in:
-            setmax(arow, 0, "1")
-            if a_is_areal and b_is_areal:
-                # part of A's boundary strictly inside areal B => interiors overlap
-                setmax(0, 0, "2")
-        if has_on:
-            setmax(arow, 1 if b_is_areal or b_has_line else 0, "1")
-        if has_out:
-            setmax(arow, 2, "1")
-            if a_is_areal:
-                setmax(0, 2, "2")
-        for px, py in pts:
-            loc = locate(px, py, b)
-            side_b = _b_side(px, py) if loc == BOUNDARY else loc
-            side_a = arow if not a_is_areal else 1
-            if not a_is_areal and _in_bpts(px, py, a_bpts):
-                side_a = 1
-            if loc == INTERIOR:
-                setmax(side_a, 0, "0")
-            elif loc == BOUNDARY:
-                setmax(side_a, 1, "0")
-            else:
-                setmax(side_a, 2, "0")
+        _linework_pass(
+            a, b, lambda r, c, v: setmax(r, c, v), a_bpts, b_is_areal, b_has_line
+        )
     if b_has_line:
-        has_in, has_on, has_out, pts = _classify_segments_vs(b, a)
-        brow = 1 if b_is_areal else 0
-        if has_in:
-            setmax(0, brow, "1")
-            if b_is_areal and a_is_areal:
-                setmax(0, 0, "2")
-        if has_on:
-            setmax(1 if a_is_areal or a_has_line else 0, brow, "1")
-        if has_out:
-            setmax(2, brow, "1")
-            if b_is_areal:
-                setmax(2, 0, "2")
-        for px, py in pts:
-            loc = locate(px, py, a)
-            side_b = brow if not b_is_areal else 1
-            if not b_is_areal and _in_bpts(px, py, b_bpts):
-                side_b = 1
-            if loc == INTERIOR:
-                setmax(0, side_b, "0")
-            elif loc == BOUNDARY:
-                setmax(1, side_b, "0")
-            else:
-                setmax(2, side_b, "0")
+        _linework_pass(
+            b, a, lambda r, c, v: setmax(c, r, v), b_bpts, a_is_areal, a_has_line
+        )
 
     # areal-areal interior evidence from per-part representative points
     # (no-boundary-crossing cases): a part's interior rep locating INTERIOR
