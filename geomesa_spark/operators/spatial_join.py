@@ -37,8 +37,10 @@ from ..geom.vectorized import (
     areal_overlaps_batch,
     areal_touches_batch,
     areal_within_batch,
+    lineal_evidence_batch,
     lineal_predicate_batch,
     locate_batch,
+    multipoint_evidence_batch,
     multipoint_predicate_batch,
     points_from_wkb,
     points_in_polygon,
@@ -543,6 +545,102 @@ def _pairwise_predicate_fn(predicate: str):
                 pt_type in lineal_types and has_segs(pb)
             )
 
+        # heterogeneous-GC rows under the FULL predicate family (r8): the
+        # named per-family predicates can't express the GC-level DE-9IM
+        # matrix, but per-family CELLS can — under the engine's min-locate
+        # union semantics, interior(GC) = union of family interiors and
+        # closure(GC) = union of family closures, so:
+        #   within(GC,B)  = AND_f covby(f,B)        AND OR_f ii(f,B)
+        #   covers(B,GC)  = AND_f covby(f,B)
+        #   touches       = OR_f inter(f,B)         AND AND_f NOT ii(f,B)
+        #   crosses, dim(GC) < dim(B):  OR_f ii  AND OR_f ie
+        #   crosses, dim(GC) = dim(B) = 1: OR_f ii AND no lineal family
+        #       with a 1-dim II (dim of a union = max of dims)
+        #   crosses, areal GC family vs areal B: equal dims -> False
+        # The non-decomposable directions (GC as the CONTAINER, overlaps,
+        # crosses with dim(GC) > dim(B)) need EI — B's interior vs the
+        # union of families — and stay on the scalar path.
+        het_ev_groups: dict[tuple[str, bytes], list[tuple[int, object]]] = {}
+        het_partner: dict[tuple[str, bytes], object] = {}
+        het_state: dict[int, dict] = {}
+
+        def _push_ev(kind, key, partner, i, member):
+            het_ev_groups.setdefault((kind, key), []).append((i, member))
+            het_partner[(kind, key)] = partner
+
+        def push_het_full(i, het_g, het_b, partner_g, partner_b, gc_side) -> bool:
+            """Route a heterogeneous-GC row under within/contains/covers/
+            touches/crosses through per-family evidence batching. Returns
+            False (leave to the scalar path) for non-decomposable
+            directions or degenerate members/partners."""
+            pt = partner_g.gtype
+            p_areal = pt in areal_types and pos_area(partner_b)
+            p_lineal = pt in lineal_types and has_segs(partner_b)
+            if not (p_areal or p_lineal):
+                return False
+            subs = _gc_family_subs(het_g)
+            if not subs:
+                return False
+            has_areal_fam = any(s.gtype == gcore.MULTIPOLYGON for s in subs)
+            gc_dim = 2 if has_areal_fam else (
+                1 if any(s.gtype == gcore.MULTILINESTRING for s in subs) else 0
+            )
+            if predicate == "within":
+                if gc_side != "l":
+                    return False  # within(B, GC): GC is the container
+                kind = "cover_b"
+            elif predicate == "contains":
+                if gc_side != "r":
+                    return False  # contains(GC, B) == within(B, GC)
+                kind = "cover_b"
+            elif predicate == "covers":
+                if gc_side != "r":
+                    return False
+                kind = "covby_all"
+            elif predicate == "touches":
+                kind = "touch"
+            elif predicate == "crosses":
+                p_dim = 2 if p_areal else 1
+                if gc_dim == 2:
+                    if p_dim == 2:
+                        out[i] = False  # equal 2-dim never crosses
+                        return True
+                    return False  # dim(GC) > dim(B): needs EI -> scalar
+                kind = "cross_le" if p_dim == 2 else "cross_ll"
+            else:
+                return False
+            plan = []
+            for sub in subs:
+                st = sub.gtype
+                if st == gcore.MULTIPOLYGON:
+                    if not alg.area(sub) > 0.0:
+                        return False
+                    if p_areal:
+                        # within/touches evidence runs the areal kernels —
+                        # same parts-safety contract as the main loop
+                        if not (_parts_batch_safe(sub) and simple_parts(partner_b)):
+                            return False
+                        plan.append(("ar", partner_b, partner_g, sub))
+                    else:
+                        plan.append(("arl", het_b, sub, partner_g))
+                elif st == gcore.MULTILINESTRING:
+                    if not _live_segs(sub):
+                        return False
+                    plan.append(("lin", partner_b, partner_g, sub))
+                else:  # MULTIPOINT family
+                    plan.append(("mp", partner_b, partner_g, sub))
+            het_state[i] = {
+                "kind": kind,
+                "covby": True,
+                "ii": False,
+                "inter": False,
+                "ie": False,
+                "ii1": False,
+            }
+            for fam_kind, key, partner, member in plan:
+                _push_ev(fam_kind, key, partner, i, member)
+            return True
+
         def push_het_intersects(i, het_g, het_b, partner_g, partner_b) -> bool:
             """Route a heterogeneous-GC row (intersects only) by pushing one
             group entry per dimension family; verdicts OR together (the GC's
@@ -648,9 +746,9 @@ def _pairwise_predicate_fn(predicate: str):
                     continue
                 # heterogeneous GC (one side) under intersects: OR over
                 # dimension families, each through its batch kernel
+                l_het = lt == gcore.GEOMETRYCOLLECTION
+                r_het = rt == gcore.GEOMETRYCOLLECTION
                 if predicate == "intersects":
-                    l_het = lt == gcore.GEOMETRYCOLLECTION
-                    r_het = rt == gcore.GEOMETRYCOLLECTION
                     if l_het and not r_het:
                         if push_het_intersects(i, lg, lbytes[i], rg, rbytes[i]):
                             continue
@@ -659,7 +757,72 @@ def _pairwise_predicate_fn(predicate: str):
                         # against the left partner with the same machinery
                         if push_het_intersects(i, rg, rbytes[i], lg, lbytes[i]):
                             continue
+                elif l_het != r_het and predicate in (
+                    "within", "contains", "covers", "touches", "crosses"
+                ):
+                    if l_het:
+                        if push_het_full(
+                            i, lg, lbytes[i], rg, rbytes[i], "l"
+                        ):
+                            continue
+                    else:
+                        if push_het_full(
+                            i, rg, rbytes[i], lg, lbytes[i], "r"
+                        ):
+                            continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+        for (fam_kind, key), entries in het_ev_groups.items():
+            members = [g for _, g in entries]
+            partner = het_partner[(fam_kind, key)]
+            if fam_kind == "lin":
+                ev = lineal_evidence_batch(members, partner)
+            elif fam_kind == "mp":
+                ev = multipoint_evidence_batch(members, partner)
+            elif fam_kind == "ar":
+                inter_v = areal_intersects_batch(members, partner)
+                touch_v = areal_touches_batch(members, partner)
+                covby_v = areal_within_batch(members, partner)
+                ev = {
+                    "inter": inter_v,
+                    "ii": inter_v & ~touch_v,
+                    # 2-dim family: some closure point outside closure(B)
+                    # implies interior points outside too
+                    "ie": ~covby_v,
+                    "covby": covby_v,
+                    "ii1": np.zeros(len(members), dtype=bool),
+                }
+            else:  # "arl": members are the LINE partners, partner is the
+                # GC's areal family — inter/ii are symmetric; a 2-dim
+                # family is never inside a line's closure, and its
+                # interior always exceeds the line (ie true)
+                lv = lineal_evidence_batch(members, partner)
+                ones = np.ones(len(members), dtype=bool)
+                ev = {
+                    "inter": lv["inter"],
+                    "ii": lv["ii"],
+                    "ie": ones,
+                    "covby": np.zeros(len(members), dtype=bool),
+                    "ii1": np.zeros(len(members), dtype=bool),
+                }
+            for k, (i, _) in enumerate(entries):
+                st = het_state[i]
+                st["covby"] = st["covby"] and bool(ev["covby"][k])
+                st["ii"] = st["ii"] or bool(ev["ii"][k])
+                st["inter"] = st["inter"] or bool(ev["inter"][k])
+                st["ie"] = st["ie"] or bool(ev["ie"][k])
+                st["ii1"] = st["ii1"] or bool(ev["ii1"][k])
+        for i, st in het_state.items():
+            kind = st["kind"]
+            if kind == "cover_b":
+                out[i] = st["covby"] and st["ii"]
+            elif kind == "covby_all":
+                out[i] = st["covby"]
+            elif kind == "touch":
+                out[i] = st["inter"] and not st["ii"]
+            elif kind == "cross_le":
+                out[i] = st["ii"] and st["ie"]
+            else:  # cross_ll
+                out[i] = st["ii"] and not st["ii1"]
         for (side, key), entries in mixed_groups.items():
             members = [g for _, g in entries]
             partner = partner_of[(side, key)]
