@@ -33,6 +33,7 @@ PREDICATES = (
     "intersects",
     "contains",
     "within",
+    "covers",
     "crosses",
     "overlaps",
     "touches",
