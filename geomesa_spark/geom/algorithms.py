@@ -1666,6 +1666,24 @@ def dissolve_pieces(pieces: list[np.ndarray], node: bool = True) -> Geometry:
         r = np.asarray(p, dtype=np.float64)
         if _ring_area(r) < 0:
             r = r[::-1]
+        # skip pieces that are degenerate AFTER snapping (exact integer
+        # shoelace on the snapped keys): a zero-area sliver traverses its
+        # support segment twice, bumping shared-edge counts past the
+        # appears-once test and severing real boundary edges — a rect ∩
+        # holed-polygon clip emits such slivers along the hole ring
+        ks = []
+        for i in range(len(r) - 1):
+            k = key(*r[i, :2])
+            if not ks or k != ks[-1]:
+                ks.append(k)
+        if len(ks) > 1 and ks[0] == ks[-1]:
+            ks.pop()
+        if len(ks) < 3 or sum(
+            ks[i][0] * ks[(i + 1) % len(ks)][1]
+            - ks[(i + 1) % len(ks)][0] * ks[i][1]
+            for i in range(len(ks))
+        ) == 0:
+            continue
         for i in range(len(r) - 1):
             ku, kv = key(*r[i, :2]), key(*r[i + 1, :2])
             if ku == kv:

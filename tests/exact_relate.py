@@ -422,6 +422,59 @@ class XMultiPoly:
         return "E"
 
 
+class XTouchMultiPoly:
+    """MULTIPOLYGON whose parts may be ANY oracle poly shape (convex,
+    concave-simple, holed) with pairwise-DISJOINT INTERIORS but TOUCHING
+    closures — corner contacts, vertex-on-edge T-contacts, and collinear
+    shared edge runs, including a part nested inside a sibling's hole.
+    This is exactly the shape family the engine's `_parts_batch_safe`
+    guard routes OFF the batch kernels onto the scalar relate path.
+
+    Interior-disjointness is verified EXACTLY: the signed-part pairwise
+    clip area between any two parts must be zero (boundary contact is
+    measure-zero and cannot hide there). With disjoint interiors no part's
+    ring can enter a sibling's interior, so interior(A) = union of part
+    interiors and boundary(A) = union of rings — the min-locate union
+    convention the engine documents — and the existing poly-poly assembly
+    (signed-part inclusion-exclusion + ring covers) stays exact.
+    NOTE on shared edges: OGC validity only allows boundaries to meet at
+    finitely many POINTS; for collinear shared runs this class pins the
+    engine's documented min-locate convention (the shared run stays
+    boundary), which differs from the open-set union topology there."""
+
+    dim = 2
+
+    def __init__(self, parts):
+        self._parts = list(parts)
+        assert len(self._parts) >= 2
+        for i, a in enumerate(self._parts):
+            for b in self._parts[i + 1 :]:
+                k2 = sum(
+                    sa * sb * _clip_area2(_convex_clip(pa, pb))
+                    for pa, sa in a.signed_parts
+                    for pb, sb in b.signed_parts
+                )
+                assert k2 == 0, "parts must have disjoint interiors"
+        self.edges = [e for p in self._parts for e in p.edges]
+
+    @property
+    def signed_parts(self):
+        return [sp for p in self._parts for sp in p.signed_parts]
+
+    def _area2(self) -> Fr:
+        return sum(p._area2() for p in self._parts)
+
+    def locate(self, p) -> str:
+        best = "E"
+        for part in self._parts:
+            loc = part.locate(p)
+            if loc == "I":
+                return "I"
+            if loc == "B":
+                best = "B"
+        return best
+
+
 # --------------------------------------------------- split-and-classify core
 
 
@@ -502,7 +555,7 @@ def _clip_area2(pts) -> Fr:
 
 E = -1  # empty
 _LINE = (XLine, XMultiLine)
-_POLY = (XPoly, XSimplePoly, XMultiPoly, XHoledPoly)
+_POLY = (XPoly, XSimplePoly, XMultiPoly, XHoledPoly, XTouchMultiPoly)
 
 
 def _im_points_any(A: XPoints, B) -> list:
@@ -711,11 +764,13 @@ def predicates(A, B) -> dict:
         overlaps = II == 1 and _nonempty(IE) and _nonempty(EI)
     else:
         overlaps = _nonempty(II) and _nonempty(IE) and _nonempty(EI)
+    covers = inter and not _nonempty(EI) and not _nonempty(EB)
     return {
         "intersects": inter,
         "disjoint": not inter,
         "contains": contains,
         "within": within,
+        "covers": covers,
         "touches": touches,
         "crosses": crosses,
         "overlaps": overlaps,

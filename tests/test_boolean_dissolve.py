@@ -180,3 +180,20 @@ def test_line_difference_no_ulp_fragmentation():
     d = alg.difference(a, b)
     assert d.gtype == LINESTRING, d.type_name
     assert len(d.coords) == 3
+
+
+def test_rect_intersection_holed_sliver_pieces_dissolve():
+    # A convex rect clipped by a holed polygon's tessellation emits
+    # zero-area sliver pieces along the hole ring; their doubled edges
+    # used to sever real boundary edges in dissolve_pieces (count 3 fails
+    # the appears-once test) and the whole intersection came back EMPTY.
+    # Found by the exact oracle via _hole_exterior_overlap returning a
+    # false negative (contains over a partially-covered sibling hole).
+    rect = from_wkt("POLYGON ((1 1, 4 1, 4 4, 1 4, 1 1))")
+    holed = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")
+    I = alg.intersection_areal(rect, holed)
+    assert not I.is_empty()
+    assert alg.area(I) == pytest.approx(8.0)
+    # and the symmetric difference direction stays consistent
+    D = alg.difference_areal(I, holed)
+    assert alg.area(D) == pytest.approx(0.0)

@@ -25,6 +25,7 @@ from exact_relate import (
     XPoints,
     XPoly,
     XSimplePoly,
+    XTouchMultiPoly,
     predicates,
 )
 from geomesa_spark.geom import algorithms as alg
@@ -35,6 +36,7 @@ PREDICATES = (
     "disjoint",
     "contains",
     "within",
+    "covers",
     "touches",
     "crosses",
     "overlaps",
@@ -245,9 +247,18 @@ def test_oracle_textbook_cases():
 def _soup(rng: np.random.Generator, n: int):
     """Integer-lattice soup inside [0,5]^2 — small range maximizes collinear
     incidence. Returns (wkt, oracle_shape) pairs within the oracle's scope."""
+    def _mp_wkt(rings_per_part):
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(
+                "(" + ", ".join(f"{x} {y}" for x, y in r + [r[0]]) + ")"
+                for r in part
+            ) + ")"
+            for part in rings_per_part
+        ) + ")"
+
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 23))
+        kind = int(rng.integers(0, 29))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -383,7 +394,7 @@ def _soup(rng: np.random.Generator, n: int):
                 for m in members
             )
             out.append((f"GEOMETRYCOLLECTION ({gc})", XMultiLine(members)))
-        else:  # concave: axis-aligned L-shape (notch corner on the lattice)
+        elif kind < 23:  # concave: axis-aligned L-shape (notch corner on the lattice)
             x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
             w, h = int(rng.integers(2, 5)), int(rng.integers(2, 5))
             nw, nh = int(rng.integers(1, w)), int(rng.integers(1, h))
@@ -398,6 +409,75 @@ def _soup(rng: np.random.Generator, n: int):
             ]
             wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
             out.append((wkt, XSimplePoly(ring)))
+        elif kind < 25:  # touching-closure rect pair (r8: exactly the shape
+            # family _parts_batch_safe routes onto the scalar relate path):
+            # corner contact, vertex-on-edge T contact, or a collinear
+            # shared-edge run (engine min-locate convention on the run)
+            x0, y0 = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            w, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+            r1 = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            w2, h2 = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+            mode = int(rng.integers(0, 3))
+            if mode == 0:  # corner-to-corner at r1's NE vertex
+                bx, by = x0 + w, y0 + h
+            elif mode == 1:  # r2's SW corner on r1's top edge (T contact)
+                bx, by = x0 + int(rng.integers(0, w + 1)), y0 + h
+            else:  # shared-edge run along x = x0+w
+                bx, by = x0 + w, y0 + int(rng.integers(0, h))
+            r2 = [(bx, by), (bx + w2, by), (bx + w2, by + h2), (bx, by + h2)]
+            out.append(
+                (_mp_wkt([[r1], [r2]]),
+                 XTouchMultiPoly([XPoly(r1), XPoly(r2)]))
+            )
+        elif kind < 26:  # a part nested in a sibling's HOLE: strictly
+            # inside, corner-touching the hole ring, or filling the hole
+            # exactly (the hole-evidence adversary from the r8 relate fix)
+            d = int(rng.integers(0, 2))
+            shell = [(d, 0), (d + 5, 0), (d + 5, 5), (d, 5)]
+            hole = [(d + 1, 1), (d + 4, 1), (d + 4, 4), (d + 1, 4)]
+            mode = int(rng.integers(0, 3))
+            if mode == 0:  # strictly inside the hole
+                filler = [(d + 2, 2), (d + 3, 2), (d + 3, 3), (d + 2, 3)]
+            elif mode == 1:  # SW corner + two partial edges on the hole ring
+                filler = [(d + 1, 1), (d + 2, 1), (d + 2, 2), (d + 1, 2)]
+            else:  # fills the hole exactly (shared runs all around)
+                filler = hole
+            out.append(
+                (_mp_wkt([[shell, hole], [filler]]),
+                 XTouchMultiPoly([XHoledPoly(shell, hole), XPoly(filler)]))
+            )
+        elif kind < 27:  # CONCAVE (L-shaped) hole in a rect shell
+            dx, dy = int(rng.integers(0, 2)), int(rng.integers(0, 2))
+            shell = [(dx, dy), (dx + 5, dy), (dx + 5, dy + 5), (dx, dy + 5)]
+            hl = [
+                (dx + 1, dy + 1), (dx + 4, dy + 1), (dx + 4, dy + 2),
+                (dx + 2, dy + 2), (dx + 2, dy + 4), (dx + 1, dy + 4),
+            ]
+            rings = [shell + [shell[0]], hl + [hl[0]]]
+            wkt = "POLYGON (" + ", ".join(
+                "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
+            ) + ")"
+            out.append((wkt, XHoledPoly(shell, hl)))
+        elif kind < 28:  # concave (L) shell WITH a hole in one arm
+            shell = [(0, 0), (6, 0), (6, 3), (3, 3), (3, 6), (0, 6)]
+            hx = 4 if rng.integers(0, 2) else 1
+            hole = [(hx, 1), (hx + 1, 1), (hx + 1, 2), (hx, 2)]
+            rings = [shell + [shell[0]], hole + [hole[0]]]
+            wkt = "POLYGON (" + ", ".join(
+                "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
+            ) + ")"
+            out.append((wkt, XHoledPoly(shell, hole)))
+        else:  # concave L part + rect snapped into its notch (interiors
+            # disjoint, closures share two edge runs; half- or full-fill)
+            L = [(0, 0), (4, 0), (4, 4), (2, 4), (2, 2), (0, 2)]
+            if int(rng.integers(0, 2)):
+                fill = [(0, 2), (2, 2), (2, 4), (0, 4)]  # fills the notch
+            else:
+                fill = [(0, 2), (1, 2), (1, 4), (0, 4)]  # half-fills it
+            out.append(
+                (_mp_wkt([[L], [fill]]),
+                 XTouchMultiPoly([XSimplePoly(L), XPoly(fill)]))
+            )
     return out
 
 
