@@ -240,6 +240,28 @@ def _hole_points(g: Geometry) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty((0, 2))
 
 
+def _hole_boxes(g: Geometry) -> list[tuple]:
+    """(x0, y0, x1, y1) bbox per hole ring of g."""
+    boxes = []
+    for rings in alg._polygons_of(g):
+        for r in rings[1:]:
+            r = np.asarray(r, dtype=np.float64)
+            boxes.append(
+                (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+            )
+    return boxes
+
+
+def _hole_adjacent(hole_boxes: list[tuple], g: Geometry) -> bool:
+    if not hole_boxes:
+        return False
+    gx0, gy0, gx1, gy1 = g.bounds()
+    return any(
+        hx0 <= gx1 and gx0 <= hx1 and hy0 <= gy1 and gy0 <= hy1
+        for hx0, hy0, hx1, hy1 in hole_boxes
+    )
+
+
 def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
     """Vectorized closed-set covers(A_i, right) for a batch of AREAL
     geometries against ONE areal geometry (and — because a covered areal
@@ -248,10 +270,13 @@ def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
 
     A covers B  <=>  every probe point of B (vertices + edge midpoints) is
     in closed A, AND no edge of A properly crosses an edge of B, AND no
-    hole of A intrudes into B (no hole vertex/midpoint strictly inside B).
-    Exact for generic-position and the common touch cases; shares the
-    documented approximation posture of the relate() kernel on adversarial
-    collinear constructions (algorithms.py relate docstring)."""
+    hole of A intrudes into B. The hole-intrusion probes (hole vertices/
+    midpoints strictly inside B) are BLIND when B rides the hole ring: B
+    can dip into the hole with every probe of both sides landing exactly ON
+    a boundary (found by the exact oracle's island-in-hole soup). Accepted
+    rows whose cover has a hole bbox overlapping B therefore confirm with
+    the exact scalar covers — rare rows in practice (cover-with-hole
+    touching the covered bbox), so the batch fast path keeps its shape."""
     n = len(lefts)
     out = np.zeros(n, dtype=bool)
     bt = _test_points(right)
@@ -273,6 +298,9 @@ def areal_covers_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
         if len(hp) and bool(
             points_in_polygon(hp[:, 0], hp[:, 1], right, False).any()
         ):
+            continue
+        if len(hp) and _hole_adjacent(_hole_boxes(lefts[i]), right):
+            out[i] = bool(alg.covers(lefts[i], right))
             continue
         out[i] = True
     return out
@@ -396,12 +424,18 @@ def areal_within_batch(lefts: list[Geometry], right: Geometry) -> np.ndarray:
         return out
     crossing = _proper_crossings([lefts[i] for i in cand], right)
     hp = _hole_points(right)
+    hboxes = _hole_boxes(right) if len(hp) else []
     for i, crossed in zip(cand, crossing):
         if crossed:
             continue
         if len(hp) and bool(
             points_in_polygon(hp[:, 0], hp[:, 1], lefts[i], False).any()
         ):
+            continue
+        if hboxes and _hole_adjacent(hboxes, lefts[i]):
+            # hole probes are blind when A_i rides the cover's hole ring
+            # (see areal_covers_batch) — confirm with the exact scalar
+            out[i] = bool(alg.covers(right, lefts[i]))
             continue
         out[i] = True
     return out

@@ -475,6 +475,150 @@ class XTouchMultiPoly:
         return best
 
 
+class XGC:
+    """GEOMETRYCOLLECTION mixing dimension families — exact truth under the
+    engine's documented min-locate union convention:
+      interior(GC) = union of member interiors (a point member's interior
+      is the point itself — SFS empty point boundary),
+      boundary(GC) = (union of member boundaries) minus interior(GC).
+    For generic-position mixes this IS the point-set union topology; on
+    degenerate contacts (a line member riding an areal ring) it pins the
+    documented convention, the same way the oracle pins SFS mod-2 for
+    multilines. Members: at most one areal shape, one lineal shape
+    (XLine/XMultiLine), one XPoints — the engine normalizes same-family
+    members into one MULTI family before relating, so fixtures pre-merge."""
+
+    def __init__(self, *members):
+        self.P2 = self.P1 = self.P0 = None
+        for m in members:
+            if isinstance(m, _POLY):
+                assert self.P2 is None
+                self.P2 = m
+            elif isinstance(m, _LINE):
+                assert self.P1 is None
+                self.P1 = m
+            elif isinstance(m, XPoints):
+                assert self.P0 is None
+                self.P0 = m
+            else:
+                raise TypeError(type(m))
+        assert sum(x is not None for x in (self.P2, self.P1, self.P0)) >= 2
+
+    @property
+    def dim(self) -> int:
+        return 2 if self.P2 is not None else (1 if self.P1 is not None else 0)
+
+
+class _XFam:
+    """Family view of a non-GC shape so _im_union treats every operand
+    uniformly."""
+
+    def __init__(self, g):
+        self.P2 = g if isinstance(g, _POLY) else None
+        self.P1 = g if isinstance(g, _LINE) else None
+        self.P0 = g if isinstance(g, XPoints) else None
+
+
+def _families(g):
+    return g if isinstance(g, XGC) else _XFam(g)
+
+
+def _locate_u(f, p) -> str:
+    """Min-locate of p against a family view: I beats B beats E."""
+    if f.P0 is not None and p in f.P0.pts:
+        return "I"
+    best = "E"
+    for fam in (f.P2, f.P1):
+        if fam is None:
+            continue
+        loc = fam.locate(p)
+        if loc == "I":
+            return "I"
+        if loc == "B":
+            best = "B"
+    return best
+
+
+def _fam_carriers(f):
+    """Every 1-dim carrier segment: areal ring edges + lineal segments."""
+    segs = []
+    if f.P2 is not None:
+        segs.extend(f.P2.edges)
+    if f.P1 is not None:
+        segs.extend(f.P1.segs)
+    return segs
+
+
+def _fam_point_feats(f):
+    pts = []
+    if f.P0 is not None:
+        pts.extend(f.P0.pts)
+    if f.P1 is not None:
+        pts.extend(f.P1.boundary_pts)
+    return pts
+
+
+def _im_union(A, B) -> list:
+    """Generic witness-enumeration 9IM for operands with family views
+    (either side may be an XGC). 2-dim cells come from the areal families'
+    exact signed-part clip areas (lineal/point members are measure-zero);
+    1-dim cells from classifying the exact midpoint of every carrier
+    sub-segment after splitting at EVERY feature of both sides (each open
+    sub-segment is then homogeneous in both operands' min-locate); 0-dim
+    cells from classifying every arrangement vertex (split points, carrier
+    endpoints, point members, mod-2 line boundaries). Cell value = max
+    dimension over witnesses, so lower-dim witnesses never overstate."""
+    fa, fb = _families(A), _families(B)
+    M = [[E] * 3 for _ in range(3)]
+    M[2][2] = 2
+    if fa.P2 is not None and fb.P2 is not None:
+        k2 = sum(
+            sa * sb * _clip_area2(_convex_clip(pa, pb))
+            for pa, sa in fa.P2.signed_parts
+            for pb, sb in fb.P2.signed_parts
+        )
+        if k2 > 0:
+            M[0][0] = 2
+        if fa.P2._area2() > k2:
+            M[0][2] = 2
+        if fb.P2._area2() > k2:
+            M[2][0] = 2
+    elif fa.P2 is not None:
+        M[0][2] = 2
+    elif fb.P2 is not None:
+        M[2][0] = 2
+
+    def upd(r: str, c: str, d: int):
+        ri, ci = "IBE".index(r), "IBE".index(c)
+        if M[ri][ci] < d:
+            M[ri][ci] = d
+
+    segs_a, segs_b = _fam_carriers(fa), _fam_carriers(fb)
+    pf = _fam_point_feats(fa) + _fam_point_feats(fb)
+    cands = set(pf)
+    all_segs = segs_a + segs_b
+    for seg in all_segs:
+        a, b = seg
+        if a == b:
+            continue
+        ts = set(_split_points(seg, all_segs))
+        for q in pf:
+            if _on_seg(q, a, b):
+                ts.add(_seg_param(q, a, b))
+        ts = sorted(ts)
+        for t in ts:
+            cands.add((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+        for t0, t1 in zip(ts, ts[1:]):
+            if t0 == t1:
+                continue
+            tm = (t0 + t1) / 2
+            m = (a[0] + tm * (b[0] - a[0]), a[1] + tm * (b[1] - a[1]))
+            upd(_locate_u(fa, m), _locate_u(fb, m), 1)
+    for p in cands:
+        upd(_locate_u(fa, p), _locate_u(fb, p), 0)
+    return M
+
+
 # --------------------------------------------------- split-and-classify core
 
 
@@ -571,6 +715,8 @@ def _im_points_any(A: XPoints, B) -> list:
 
 def im_matrix(A, B) -> list:
     """3x3 DE-9IM dims matrix [I,B,E]x[I,B,E] for oracle shapes A, B."""
+    if isinstance(A, XGC) or isinstance(B, XGC):
+        return _im_union(A, B)
     if isinstance(A, XPoints) and isinstance(B, XPoints):
         sa, sb = set(A.pts), set(B.pts)
         II = 0 if sa & sb else E
@@ -734,13 +880,22 @@ def _nonempty(v) -> bool:
 
 
 def predicates(A, B) -> dict:
-    """The 7 join predicates from the exact matrix (standard SFS patterns,
+    """The 8 join predicates from the exact matrix (standard SFS patterns,
     OGC 06-103r4 §6.1.15.3)."""
-    m = im_matrix(A, B)
+    return _predicates_from(im_matrix(A, B), im_matrix(B, A), A.dim, B.dim)
+
+
+def predicates_union(A, B) -> dict:
+    """Same predicates through the generic _im_union assembly regardless of
+    operand type — cross-validation harness for the union path (it must
+    agree with the specialized assemblies on every non-GC pair)."""
+    return _predicates_from(_im_union(A, B), _im_union(B, A), A.dim, B.dim)
+
+
+def _predicates_from(m, within_m, da, db) -> dict:
     (II, IB, IE), (BI, BB, BE), (EI, EB, _) = m
     inter = _nonempty(II) or _nonempty(IB) or _nonempty(BI) or _nonempty(BB)
     contains = _nonempty(II) and not _nonempty(EI) and not _nonempty(EB)
-    within_m = im_matrix(B, A)
     within = (
         _nonempty(within_m[0][0])
         and not _nonempty(within_m[2][0])
@@ -749,7 +904,6 @@ def predicates(A, B) -> dict:
     touches = (not _nonempty(II)) and (
         _nonempty(IB) or _nonempty(BI) or _nonempty(BB)
     )
-    da, db = A.dim, B.dim
     if da < db:
         crosses = _nonempty(II) and _nonempty(IE)
     elif da > db:

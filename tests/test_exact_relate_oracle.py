@@ -18,6 +18,7 @@ import numpy as np
 import pytest
 
 from exact_relate import (
+    XGC,
     XHoledPoly,
     XLine,
     XMultiLine,
@@ -27,6 +28,7 @@ from exact_relate import (
     XSimplePoly,
     XTouchMultiPoly,
     predicates,
+    predicates_union,
 )
 from geomesa_spark.geom import algorithms as alg
 from geomesa_spark.geom.wkt import from_wkt
@@ -256,9 +258,15 @@ def _soup(rng: np.random.Generator, n: int):
             for part in rings_per_part
         ) + ")"
 
+    def _rand_line(lo=0, hi=5, m_lo=2, m_hi=4):
+        m = int(rng.integers(m_lo, m_hi))
+        pts = [tuple(int(v) for v in p) for p in rng.integers(lo, hi, (m, 2))]
+        pts = [p for i, p in enumerate(pts) if i == 0 or p != pts[i - 1]]
+        return pts if len(pts) >= 2 else [(lo, lo), (lo + 1, lo + 1)]
+
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 29))
+        kind = int(rng.integers(0, 33))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -467,8 +475,8 @@ def _soup(rng: np.random.Generator, n: int):
                 "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
             ) + ")"
             out.append((wkt, XHoledPoly(shell, hole)))
-        else:  # concave L part + rect snapped into its notch (interiors
-            # disjoint, closures share two edge runs; half- or full-fill)
+        elif kind < 29:  # concave L part + rect snapped into its notch
+            # (interiors disjoint, closures share two edge runs)
             L = [(0, 0), (4, 0), (4, 4), (2, 4), (2, 2), (0, 2)]
             if int(rng.integers(0, 2)):
                 fill = [(0, 2), (2, 2), (2, 4), (0, 4)]  # fills the notch
@@ -478,6 +486,56 @@ def _soup(rng: np.random.Generator, n: int):
                 (_mp_wkt([[L], [fill]]),
                  XTouchMultiPoly([XSimplePoly(L), XPoly(fill)]))
             )
+        elif kind < 31:  # heterogeneous GC: rect + line (1-in-3: snap the
+            # line's start onto the rect ring so linework rides/roots there)
+            x0, y0 = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+            w, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            pts = _rand_line()
+            if int(rng.integers(0, 3)) == 0:
+                pts[0] = ring[int(rng.integers(0, 4))]
+                if len(pts) == 2 and pts[0] == pts[1]:
+                    pts[1] = ((pts[0][0] + 2) % 5, pts[0][1])
+            wkt = (
+                "GEOMETRYCOLLECTION (POLYGON (("
+                + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+                + ")), LINESTRING ("
+                + ", ".join(f"{x} {y}" for x, y in pts)
+                + "))"
+            )
+            out.append((wkt, XGC(XPoly(ring), XLine(pts))))
+        elif kind < 32:  # heterogeneous GC: rect + line + point
+            x0, y0 = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+            w, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
+            ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            pts = _rand_line()
+            px, py = (int(v) for v in rng.integers(0, 5, 2))
+            wkt = (
+                "GEOMETRYCOLLECTION (POLYGON (("
+                + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+                + ")), LINESTRING ("
+                + ", ".join(f"{x} {y}" for x, y in pts)
+                + f"), POINT ({px} {py}))"
+            )
+            out.append(
+                (wkt, XGC(XPoly(ring), XLine(pts), XPoints([(px, py)])))
+            )
+        else:  # dim-1 heterogeneous GC: line + multipoint (a member point
+            # ON the line 1-in-2 — union-interior either way)
+            pts = _rand_line(m_hi=5)
+            if int(rng.integers(0, 2)):
+                mp = [pts[int(rng.integers(0, len(pts)))]]
+            else:
+                mp = [tuple(int(v) for v in rng.integers(0, 5, 2))]
+            mp.append((int(rng.integers(0, 5)), int(rng.integers(0, 5))))
+            wkt = (
+                "GEOMETRYCOLLECTION (LINESTRING ("
+                + ", ".join(f"{x} {y}" for x, y in pts)
+                + "), MULTIPOINT ("
+                + ", ".join(f"{x} {y}" for x, y in sorted(set(mp)))
+                + "))"
+            )
+            out.append((wkt, XGC(XLine(pts), XPoints(mp))))
     return out
 
 
@@ -556,3 +614,59 @@ def test_join_refine_batch_vs_exact_oracle(seed):
             if bool(g2) != t_rev[p]:
                 bad.append((p, "rev"))
     assert not bad, (len(bad), bad[:6])
+
+
+@pytest.mark.parametrize("seed", (1,))
+def test_union_assembly_cross_check(seed):
+    """The generic _im_union witness-enumeration assembly (the only path
+    available for mixed-family GCs) must agree with the SPECIALIZED
+    assemblies on every non-GC pair — two independently-derived exact
+    constructions validating each other, so a bug in either shows up as a
+    disagreement before it can silently validate a matching engine bug."""
+    rng = np.random.default_rng(20260817 + seed)
+    lefts = _soup(rng, 40)
+    rights = _soup(rng, 20)
+    bad = []
+    for lw, lo in lefts:
+        for rw, ro in rights:
+            if isinstance(lo, XGC) or isinstance(ro, XGC):
+                continue  # GC pairs have no specialized path to compare
+            if predicates(lo, ro) != predicates_union(lo, ro):
+                bad.append((lw, rw))
+    assert not bad, (len(bad), bad[:4])
+
+
+def test_oracle_gc_textbook_cases():
+    # line poking out of its sibling rect: II (line inside) + IE -> not
+    # within the rect's closure; the GC covers the rect, not vice versa
+    gc = XGC(XPoly([(0, 0), (2, 0), (2, 2), (0, 2)]), XLine([(1, 1), (4, 1)]))
+    rect = XPoly([(0, 0), (2, 0), (2, 2), (0, 2)])
+    _check(predicates(gc, rect), {"covers": True, "within": False, "intersects": True})
+    big = XPoly([(-1, -1), (5, -1), (5, 5), (-1, 5)])
+    _check(predicates(gc, big), {"within": True, "touches": False})
+    # line entirely inside the sibling: the GC degenerates to the rect
+    gc2 = XGC(XPoly([(0, 0), (3, 0), (3, 3), (0, 3)]), XLine([(1, 1), (2, 2)]))
+    r2 = XPoly([(0, 0), (3, 0), (3, 3), (0, 3)])
+    _check(predicates(gc2, r2), {"within": True, "covers": True})
+    # boundary-only contact through the line member: touches
+    gc3 = XGC(XPoly([(0, 0), (2, 0), (2, 2), (0, 2)]), XLine([(2, 1), (4, 1)]))
+    far = XPoly([(4, 0), (6, 0), (6, 2), (4, 2)])
+    _check(predicates(gc3, far), {"touches": True, "intersects": True})
+    # areal-bearing GC vs areal partner reached only by the line member:
+    # equal max-dims, so SFS crosses is structurally False — the contact
+    # shows up as 1-dim II instead (overlaps under the T*T***T** pattern)
+    gc4 = XGC(XPoly([(0, 0), (1, 0), (1, 1), (0, 1)]), XLine([(2, 3), (6, 3)]))
+    target = XPoly([(3, 2), (5, 2), (5, 4), (3, 4)])
+    _check(
+        predicates(gc4, target),
+        {"crosses": False, "within": False, "intersects": True, "overlaps": True},
+    )
+    # dim-1 GC (line + far point) genuinely CROSSES the areal partner
+    gc4b = XGC(XLine([(2, 3), (6, 3)]), XPoints([(0, 0)]))
+    _check(predicates(gc4b, target), {"crosses": True, "within": False})
+    # dim-1 GC (line + off-line point) vs a line riding it: the point adds
+    # IE evidence so the riding line no longer covers the GC
+    gc5 = XGC(XLine([(0, 0), (4, 0)]), XPoints([(1, 3)]))
+    ride = XLine([(0, 0), (5, 0)])
+    _check(predicates(gc5, ride), {"within": False, "intersects": True})
+    _check(predicates(ride, gc5), {"covers": False})
