@@ -557,9 +557,12 @@ def _pairwise_predicate_fn(predicate: str):
         #   crosses, dim(GC) = dim(B) = 1: OR_f ii AND no lineal family
         #       with a 1-dim II (dim of a union = max of dims)
         #   crosses, areal GC family vs areal B: equal dims -> False
-        # The non-decomposable directions (GC as the CONTAINER, overlaps,
-        # crosses with dim(GC) > dim(B)) need EI — B's interior vs the
-        # union of families — and stay on the scalar path.
+        # Container-direction / overlaps / cross_gt need B-vs-union
+        # evidence; they batch through REVERSE coverage (B against each
+        # family). For 2-dim B the areal-family covby is exact (measure-
+        # zero families cannot cover an open set); a 1-dim B that escapes
+        # EACH family individually may still be JOINTLY covered — only
+        # those rows fall back to the scalar.
         het_ev_groups: dict[tuple[str, bytes], list[tuple[int, object]]] = {}
         het_partner: dict[tuple[str, bytes], object] = {}
         het_state: dict[int, dict] = {}
@@ -586,49 +589,95 @@ def _pairwise_predicate_fn(predicate: str):
                 1 if any(s.gtype == gcore.MULTILINESTRING for s in subs) else 0
             )
             if predicate == "within":
-                if gc_side != "l":
-                    return False  # within(B, GC): GC is the container
-                kind = "cover_b"
+                kind = "cover_b" if gc_side == "l" else "in_gc"
             elif predicate == "contains":
-                if gc_side != "r":
-                    return False  # contains(GC, B) == within(B, GC)
-                kind = "cover_b"
+                # contains(GC, B) == within(B, GC); contains(B, GC) == cover_b
+                kind = "cover_b" if gc_side == "r" else "in_gc"
             elif predicate == "covers":
-                if gc_side != "r":
-                    return False
-                kind = "covby_all"
+                kind = "covby_all" if gc_side == "r" else "covby_gc"
             elif predicate == "touches":
                 kind = "touch"
+            elif predicate == "overlaps":
+                p_dim = 2 if p_areal else 1
+                if gc_dim != p_dim:
+                    out[i] = False  # unequal dims never overlap
+                    return True
+                kind = "overlap2" if p_dim == 2 else "overlap1"
             elif predicate == "crosses":
                 p_dim = 2 if p_areal else 1
                 if gc_dim == 2:
                     if p_dim == 2:
                         out[i] = False  # equal 2-dim never crosses
                         return True
-                    return False  # dim(GC) > dim(B): needs EI -> scalar
-                kind = "cross_le" if p_dim == 2 else "cross_ll"
+                    kind = "cross_gt"  # dim(GC) > dim(B): EI via rev covby
+                else:
+                    kind = "cross_le" if p_dim == 2 else "cross_ll"
             else:
                 return False
+            p2_sub = next(
+                (s for s in subs if s.gtype == gcore.MULTIPOLYGON), None
+            )
+            p1_sub = next(
+                (s for s in subs if s.gtype == gcore.MULTILINESTRING), None
+            )
+            if kind in ("in_gc", "covby_gc") and p_areal and p2_sub is None:
+                out[i] = False  # a 2-dim B can never sit inside a dim<=1 GC
+                return True
             plan = []
-            for sub in subs:
-                st = sub.gtype
-                if st == gcore.MULTIPOLYGON:
-                    if not alg.area(sub) > 0.0:
+            # container-direction / overlaps / cross_gt: reverse-direction
+            # coverage evidence (B against the GC's families). For a 2-dim
+            # B, escape from the areal family is escape from the union
+            # (measure-zero families can't cover an open set), so rev2 is
+            # EXACT; for a 1-dim B, each family's covby alone is sufficient
+            # but a JOINT cover (half-in-areal, half-riding-line) is not
+            # family-decomposable — those rows resolve via the scalar.
+            rev2 = kind in ("in_gc", "covby_gc", "overlap2", "cross_gt")
+            rev1 = (
+                kind in ("in_gc", "covby_gc", "cross_gt") and p_lineal
+            ) or kind == "overlap1"
+            if rev2 and p2_sub is not None:
+                if not alg.area(p2_sub) > 0.0:
+                    return False
+                if p_areal:
+                    if not (
+                        _parts_batch_safe(p2_sub) and simple_parts(partner_b)
+                    ):
                         return False
-                    if p_areal:
-                        # within/touches evidence runs the areal kernels —
-                        # same parts-safety contract as the main loop
-                        if not (_parts_batch_safe(sub) and simple_parts(partner_b)):
+                    plan.append(("arv", het_b, p2_sub, partner_g))
+                else:
+                    plan.append(("lrev2", het_b, p2_sub, partner_g))
+            if rev1 and p1_sub is not None:
+                if not _live_segs(p1_sub):
+                    return False
+                plan.append(("lrev1", het_b, p1_sub, partner_g))
+            # in_gc with an AREAL B needs no forward evidence: B inside
+            # closure(P2) forces II (an open set inside a closure must meet
+            # the interior — boundaries have empty interior), so the verdict
+            # is covby_rev2 alone and the whole row batches on the GC key
+            if kind != "covby_gc" and not (kind == "in_gc" and p_areal):
+                # forward per-family evidence
+                for sub in subs:
+                    st = sub.gtype
+                    if st == gcore.MULTIPOLYGON:
+                        if not alg.area(sub) > 0.0:
                             return False
-                        plan.append(("ar", partner_b, partner_g, sub))
-                    else:
-                        plan.append(("arl", het_b, sub, partner_g))
-                elif st == gcore.MULTILINESTRING:
-                    if not _live_segs(sub):
-                        return False
-                    plan.append(("lin", partner_b, partner_g, sub))
-                else:  # MULTIPOINT family
-                    plan.append(("mp", partner_b, partner_g, sub))
+                        if p_areal:
+                            # within/touches evidence runs the areal kernels —
+                            # same parts-safety contract as the main loop
+                            if not (
+                                _parts_batch_safe(sub)
+                                and simple_parts(partner_b)
+                            ):
+                                return False
+                            plan.append(("ar", partner_b, partner_g, sub))
+                        else:
+                            plan.append(("arl", het_b, sub, partner_g))
+                    elif st == gcore.MULTILINESTRING:
+                        if not _live_segs(sub):
+                            return False
+                        plan.append(("lin", partner_b, partner_g, sub))
+                    else:  # MULTIPOINT family
+                        plan.append(("mp", partner_b, partner_g, sub))
             het_state[i] = {
                 "kind": kind,
                 "covby": True,
@@ -636,6 +685,9 @@ def _pairwise_predicate_fn(predicate: str):
                 "inter": False,
                 "ie": False,
                 "ii1": False,
+                "p_areal": p_areal,
+                "covby_rev2": None,
+                "covby_rev1": None,
             }
             for fam_kind, key, partner, member in plan:
                 _push_ev(fam_kind, key, partner, i, member)
@@ -758,7 +810,8 @@ def _pairwise_predicate_fn(predicate: str):
                         if push_het_intersects(i, rg, rbytes[i], lg, lbytes[i]):
                             continue
                 elif l_het != r_het and predicate in (
-                    "within", "contains", "covers", "touches", "crosses"
+                    "within", "contains", "covers", "touches", "crosses",
+                    "overlaps",
                 ):
                     if l_het:
                         if push_het_full(
@@ -791,6 +844,14 @@ def _pairwise_predicate_fn(predicate: str):
                     "covby": covby_v,
                     "ii1": np.zeros(len(members), dtype=bool),
                 }
+            elif fam_kind == "arv":
+                # reverse coverage: areal partner B inside the GC's areal
+                # family (closed-set) — exact for 2-dim B (see push_het_full)
+                ev = {"covby_rev2": areal_within_batch(members, partner)}
+            elif fam_kind in ("lrev2", "lrev1"):
+                lv = lineal_evidence_batch(members, partner)
+                key_name = "covby_rev2" if fam_kind == "lrev2" else "covby_rev1"
+                ev = {key_name: lv["covby"]}
             else:  # "arl": members are the LINE partners, partner is the
                 # GC's areal family — inter/ii are symmetric; a 2-dim
                 # family is never inside a line's closure, and its
@@ -806,6 +867,12 @@ def _pairwise_predicate_fn(predicate: str):
                 }
             for k, (i, _) in enumerate(entries):
                 st = het_state[i]
+                if "covby_rev2" in ev:
+                    st["covby_rev2"] = bool(ev["covby_rev2"][k])
+                    continue
+                if "covby_rev1" in ev:
+                    st["covby_rev1"] = bool(ev["covby_rev1"][k])
+                    continue
                 st["covby"] = st["covby"] and bool(ev["covby"][k])
                 st["ii"] = st["ii"] or bool(ev["ii"][k])
                 st["inter"] = st["inter"] or bool(ev["inter"][k])
@@ -821,8 +888,36 @@ def _pairwise_predicate_fn(predicate: str):
                 out[i] = st["inter"] and not st["ii"]
             elif kind == "cross_le":
                 out[i] = st["ii"] and st["ie"]
-            else:  # cross_ll
+            elif kind == "cross_ll":
                 out[i] = st["ii"] and not st["ii1"]
+            elif kind in ("in_gc", "covby_gc"):
+                # coverage of B by the union of families
+                if st["p_areal"]:
+                    # 2-dim B: rev2 is exact and implies II (see push)
+                    out[i] = bool(st["covby_rev2"])
+                elif kind == "in_gc" and not st["ii"]:
+                    out[i] = False
+                elif st["covby_rev2"] or st["covby_rev1"]:
+                    out[i] = True  # one family alone covers the line
+                elif st["covby_rev2"] is not None and st["covby_rev1"] is not None:
+                    # escapes each family individually — a JOINT cover is
+                    # still possible; only these rows pay the scalar
+                    out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
+                else:
+                    out[i] = False  # single family exists and it missed
+            elif kind == "overlap2":
+                out[i] = st["ii"] and st["ie"] and not st["covby_rev2"]
+            elif kind == "overlap1":
+                out[i] = st["ii1"] and st["ie"] and not st["covby_rev1"]
+            else:  # cross_gt: dim(GC)=2 > dim(B)=1; EI == B escapes union
+                if not st["ii"] or st["covby_rev2"] or st["covby_rev1"]:
+                    out[i] = False
+                elif st["covby_rev1"] is None:
+                    # no line family: escape from the areal family IS
+                    # escape from the union (points are measure-zero)
+                    out[i] = True
+                else:
+                    out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
         for (side, key), entries in mixed_groups.items():
             members = [g for _, g in entries]
             partner = partner_of[(side, key)]
