@@ -266,7 +266,7 @@ def _soup(rng: np.random.Generator, n: int):
 
     out = []
     while len(out) < n:
-        kind = int(rng.integers(0, 33))
+        kind = int(rng.integers(0, 34))
         if kind < 2:  # point
             x, y = (int(v) for v in rng.integers(0, 5, 2))
             out.append((f"POINT ({x} {y})", XPoints([(x, y)])))
@@ -520,6 +520,19 @@ def _soup(rng: np.random.Generator, n: int):
             out.append(
                 (wkt, XGC(XPoly(ring), XLine(pts), XPoints([(px, py)])))
             )
+        elif kind < 33:  # NESTED GC: the engine flattens members
+            # recursively, so exact truth is the flattened union
+            x0, y0 = int(rng.integers(0, 3)), int(rng.integers(0, 3))
+            ring = [(x0, y0), (x0 + 2, y0), (x0 + 2, y0 + 2), (x0, y0 + 2)]
+            pts = _rand_line()
+            wkt = (
+                "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POLYGON (("
+                + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+                + "))), LINESTRING ("
+                + ", ".join(f"{x} {y}" for x, y in pts)
+                + "))"
+            )
+            out.append((wkt, XGC(XPoly(ring), XLine(pts))))
         else:  # dim-1 heterogeneous GC: line + multipoint (a member point
             # ON the line 1-in-2 — union-interior either way)
             pts = _rand_line(m_hi=5)
