@@ -218,3 +218,66 @@ def test_segs_intersect_any_chunked_matches_block(monkeypatch):
         got = sj._segs_intersect_any(A, B)
         monkeypatch.undo()
         assert got == want
+
+
+def test_spatial_join_gc_full_predicate_parity(spark):
+    """JOIN-level row-set parity for heterogeneous GEOMETRYCOLLECTIONs on
+    BOTH sides of the full predicate family — covers the r8 per-family
+    evidence batching (covered AND container directions) through the whole
+    join pipeline (cover cells, reference-cell dedupe, batch refine), not
+    just _pairwise_predicate_fn."""
+    rng = np.random.default_rng(88)
+
+    def rect(x0, y0, w, h):
+        x1, y1 = round(x0 + w, 1), round(y0 + h, 1)
+        return (
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    lefts = []
+    for i in range(30):
+        if i % 3 == 0:
+            a = rng.uniform(-2, 2, 4).round(1)
+            lefts.append((i, f"LINESTRING ({a[0]} {a[1]}, {a[2]} {a[3]})"))
+        else:
+            x0, y0 = rng.uniform(-2, 1, 2).round(1)
+            lefts.append((i, rect(x0, y0, 1.0, 1.0)))
+    rights = []
+    for j in range(15):
+        x0, y0 = rng.uniform(-2, 0, 2).round(1)
+        lx = rng.uniform(-2, 2, 4).round(1)
+        rights.append((
+            j,
+            f"GEOMETRYCOLLECTION ({rect(x0, y0, 2.0, 2.0)}, "
+            f"LINESTRING ({lx[0]} {lx[1]}, {lx[2]} {lx[3]}))",
+        ))
+    from geomesa_spark.geom.wkb import to_wkb
+
+    L = spark.createDataFrame(
+        [(i, bytes(to_wkb(from_wkt(w)))) for i, w in lefts],
+        "lid long, geom binary",
+    )
+    R = spark.createDataFrame(
+        [(j, bytes(to_wkb(from_wkt(w)))) for j, w in rights],
+        "rid long, geom binary",
+    )
+    lg = {i: from_wkt(w) for i, w in lefts}
+    rg = {j: from_wkt(w) for j, w in rights}
+    for pred in ("within", "covers", "overlaps", "crosses", "contains", "touches"):
+        got = set(
+            map(
+                tuple,
+                spatial_join(
+                    L, R, predicate=pred, left_geom="geom", right_geom="geom"
+                )
+                .select("lid", "rid")
+                .collect(),
+            )
+        )
+        want = {
+            (i, j)
+            for i in lg
+            for j in rg
+            if getattr(alg, pred)(lg[i], rg[j])
+        }
+        assert got == want, (pred, len(got), len(want), list(got ^ want)[:4])
