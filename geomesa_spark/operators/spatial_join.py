@@ -663,13 +663,18 @@ def _pairwise_predicate_fn(predicate: str):
                             return False
                         if p_areal:
                             # within/touches evidence runs the areal kernels —
-                            # same parts-safety contract as the main loop
+                            # same parts-safety contract as the main loop.
+                            # ROLES SWAPPED (r8): every needed field is
+                            # role-symmetric (inter/touches) or flips kernel
+                            # (covby(P2,B) == covers(B,P2)), so the members
+                            # are the VARYING partners and the key is the
+                            # GC — one kernel call per GC, not per partner
                             if not (
                                 _parts_batch_safe(sub)
                                 and simple_parts(partner_b)
                             ):
                                 return False
-                            plan.append(("ar", partner_b, partner_g, sub))
+                            plan.append(("ar", het_b, sub, partner_g))
                         else:
                             plan.append(("arl", het_b, sub, partner_g))
                     elif st == gcore.MULTILINESTRING:
@@ -832,9 +837,13 @@ def _pairwise_predicate_fn(predicate: str):
             elif fam_kind == "mp":
                 ev = multipoint_evidence_batch(members, partner)
             elif fam_kind == "ar":
+                # members are the VARYING partners, partner is the GC's
+                # areal family (see push_het_full): inter/touches are
+                # role-symmetric and family-covered-by-B flips to
+                # covers(B, family)
                 inter_v = areal_intersects_batch(members, partner)
                 touch_v = areal_touches_batch(members, partner)
-                covby_v = areal_within_batch(members, partner)
+                covby_v = areal_covers_batch(members, partner)
                 ev = {
                     "inter": inter_v,
                     "ii": inter_v & ~touch_v,

@@ -6,14 +6,14 @@ distinct small rects — the worst case for partner-keyed evidence grouping
 coverage evidence added in r8.
 
 r8 measurement on this host (local, pure numpy path, no Spark):
-    within  : batch 0.73 s   scalar 9.77 s   (covby_rev2 alone decides —
+    within  : batch 1.2 s   scalar 10.1 s  (covby_rev2 alone decides —
               coverage by a closure implies interior-interior)
-    crosses : batch 0.26 s   scalar 9.70 s   (ii + rev covby decide)
-    overlaps: batch 7.95 s   scalar 9.67 s   (forward ii/ie evidence stays
-              partner-keyed -> degrades to per-row kernels on this shape;
-              fine in join refines where partners repeat)
-    covers  : batch 7.18 s   scalar 8.43 s   (covered direction, same
-              partner-keyed forward shape)
+    crosses : batch 0.4 s   scalar 10.7 s  (ii + rev covby decide)
+    overlaps: batch 5.4 s   scalar 12.1 s  (areal forward evidence is
+              GC-keyed after the r8 role swap; the residual cost is the
+              line/point families' partner-keyed groups — a one-multiline-
+              vs-many-areal-partners kernel does not exist)
+    covers  : batch 4.8 s   scalar  8.8 s  (same residual)
 
 Run: python scripts/probe_gc_container.py
 """
