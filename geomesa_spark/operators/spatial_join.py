@@ -352,6 +352,26 @@ def _pairwise_predicate_fn(predicate: str):
     - lineal x areal / lineal x lineal / areal x lineal pairs: batched
       segment-split classification kernels grouped by the non-lineal (or
       right) partner."""
+    if predicate == "equals":
+        # SFS equals(A, B) == within(A, B) AND within(B, A) — compose the
+        # fully-batched within refine in both directions rather than
+        # duplicating every fast path for a rare predicate
+        win = _pairwise_predicate_fn("within")
+
+        def eq_pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
+            a = win(lw, rw)
+            b = win(rw, lw)
+            return pd.Series(
+                [
+                    None
+                    if (x is None or y is None)
+                    else bool(x) and bool(y)
+                    for x, y in zip(a, b)
+                ],
+                dtype=object,
+            )
+
+        return eq_pred
     fn = getattr(alg, predicate)
 
     def pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
@@ -1047,7 +1067,7 @@ def spatial_join(
     identifying column; the engine does not scan for duplicates because
     that would cost a count-distinct pass over the full left input.
     """
-    if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches"):
+    if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches", "equals"):
         raise ValueError(f"unsupported predicate {predicate}")
 
     L = _with_envelope(left, left_geom, "l")

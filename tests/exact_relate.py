@@ -928,4 +928,5 @@ def _predicates_from(m, within_m, da, db) -> dict:
         "touches": touches,
         "crosses": crosses,
         "overlaps": overlaps,
+        "equals": contains and within,
     }

@@ -42,6 +42,7 @@ PREDICATES = (
     "touches",
     "crosses",
     "overlaps",
+    "equals",
 )
 
 

@@ -38,6 +38,7 @@ PREDICATES = (
     "overlaps",
     "touches",
     "disjoint",
+    "equals",
 )
 
 N_LEFT = 120

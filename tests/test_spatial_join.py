@@ -281,3 +281,47 @@ def test_spatial_join_gc_full_predicate_parity(spark):
             if getattr(alg, pred)(lg[i], rg[j])
         }
         assert got == want, (pred, len(got), len(want), list(got ^ want)[:4])
+
+
+def test_spatial_join_equals(spark):
+    """equals joins match geometric (SFS) equality — same point set under
+    different encodings: rotated ring start, reversed orientation, mid-edge
+    collinear vertex, MULTI wrapper — not WKB byte equality."""
+    from geomesa_spark.geom.wkb import to_wkb
+
+    lefts = [
+        (0, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        (1, "LINESTRING (0 0, 4 0)"),
+        (2, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+    ]
+    rights = [
+        # same square: rotated start, reversed orientation, extra collinear
+        # mid-edge vertex
+        (0, "POLYGON ((2 2, 2 0, 0 0, 0 2, 2 2))"),
+        (1, "POLYGON ((0 0, 1 0, 2 0, 2 2, 0 2, 0 0))"),
+        # same line split into two chained members
+        (2, "MULTILINESTRING ((0 0, 2 0), (2 0, 4 0))"),
+        # near-miss: shifted square
+        (3, "POLYGON ((0 0, 2 0, 2 2.5, 0 2.5, 0 0))"),
+        # unrelated
+        (4, "POINT (9 9)"),
+    ]
+    L = spark.createDataFrame(
+        [(i, bytes(to_wkb(from_wkt(w)))) for i, w in lefts],
+        "lid long, geom binary",
+    )
+    R = spark.createDataFrame(
+        [(j, bytes(to_wkb(from_wkt(w)))) for j, w in rights],
+        "rid long, geom binary",
+    )
+    got = set(
+        map(
+            tuple,
+            spatial_join(
+                L, R, predicate="equals", left_geom="geom", right_geom="geom"
+            )
+            .select("lid", "rid")
+            .collect(),
+        )
+    )
+    assert got == {(0, 0), (0, 1), (1, 2)}, got
