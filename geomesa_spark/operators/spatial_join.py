@@ -359,17 +359,44 @@ def _pairwise_predicate_fn(predicate: str):
         win = _pairwise_predicate_fn("within")
 
         def eq_pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
-            a = win(lw, rw)
-            b = win(rw, lw)
-            return pd.Series(
-                [
-                    None
-                    if (x is None or y is None)
-                    else bool(x) and bool(y)
-                    for x, y in zip(a, b)
-                ],
-                dtype=object,
-            )
+            # byte-identical NON-EMPTY WKB is sufficient (same encoding =>
+            # same point set) and the common case in exact-dup joins — only
+            # differing encodings pay the two-direction within refine.
+            # Empties compare False even to themselves (SFS: no interior).
+            empty_cache: dict = {}
+
+            def nonempty(b: bytes) -> bool:
+                v = empty_cache.get(b)
+                if v is None:
+                    try:
+                        v = not from_wkb(b).is_empty()
+                    except Exception:
+                        v = False
+                    empty_cache[b] = v
+                return v
+
+            out = [None] * len(lw)
+            rest_ix = []
+            for k, (x, y) in enumerate(zip(lw, rw)):
+                if x is None or y is None:
+                    continue
+                xb = bytes(x)
+                if xb == bytes(y):
+                    out[k] = nonempty(xb)
+                else:
+                    rest_ix.append(k)
+            if rest_ix:
+                sub_l = lw.iloc[rest_ix].reset_index(drop=True)
+                sub_r = rw.iloc[rest_ix].reset_index(drop=True)
+                a = win(sub_l, sub_r)
+                b = win(sub_r, sub_l)
+                for k, x, y in zip(rest_ix, a, b):
+                    out[k] = (
+                        None
+                        if (x is None or y is None)
+                        else bool(x) and bool(y)
+                    )
+            return pd.Series(out, dtype=object)
 
         return eq_pred
     fn = getattr(alg, predicate)
