@@ -154,6 +154,33 @@ def q_distance_join(spark, sf_dir):
     return j.select("doc_id", "event_id", F.round("dist_m", 6).alias("dist_r6"))
 
 
+def q_equals_join_snap(spark, sf_dir):
+    """st_equals as a JOIN predicate (r8): docs and events snapped to a
+    2-degree grid; pairs whose snapped POINT geometries are geometrically
+    equal. Exercises the equals cover-cell plan + byte-fast-path refine
+    end-to-end; the oracle mirrors with exact coordinate equality (the
+    snap arithmetic is IEEE-identical in both engines)."""
+    _init(spark)
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("lon", F.floor(F.expr(O.DOC_LON) / 2.0) * 2.0)
+        .withColumn("lat", F.floor(F.expr(O.DOC_LAT) / 2.0) * 2.0)
+        .select("doc_id", "lon", "lat")
+    )
+    e = (
+        _read(spark, sf_dir, "events")
+        .withColumn("lon", F.floor(F.expr(O.EVENT_LON) / 2.0) * 2.0)
+        .withColumn("lat", F.floor(F.expr(O.EVENT_LAT) / 2.0) * 2.0)
+        .select("event_id", "lon", "lat")
+    )
+    j = spatial_join(
+        index_points_df(d, "lon", "lat"),
+        index_points_df(e, "lon", "lat"),
+        predicate="equals",
+    )
+    return j.select("doc_id", "event_id")
+
+
 def q_xz2_extent_query(spark, sf_dir):
     """Extent (polygon) query through the XZ2 index: one cell per geometry,
     range prefilter, envelope refine (XZ2SFC.scala semantics)."""
@@ -823,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_join_lsh_topk": q_ann_join_lsh_topk,
         "attr_bbox_filter": q_attr_bbox_filter,
         "convexhull_by_type": q_convexhull_by_type,
+        "equals_join_snap": q_equals_join_snap,
     }
 
 
@@ -1110,6 +1138,22 @@ def oracle_sql() -> dict[str, str]:
             where user_id = 7
               and {elon} between -9e1 and 9e1
               and {elat} between -4.5e1 and 4.5e1
+        """,
+        "equals_join_snap": f"""
+            with d as (
+              select doc_id,
+                     floor(({O.DOC_LON}) / 2e0) * 2e0 as sx,
+                     floor(({O.DOC_LAT}) / 2e0) * 2e0 as sy
+              from documents
+            ),
+            e as (
+              select event_id,
+                     floor(({O.EVENT_LON}) / 2e0) * 2e0 as sx,
+                     floor(({O.EVENT_LAT}) / 2e0) * 2e0 as sy
+              from events
+            )
+            select d.doc_id, e.event_id
+            from d join e on d.sx = e.sx and d.sy = e.sy
         """,
         "embedding_dedup": _embedding_dedup_oracle(),
         "minhash_dedup": _minhash_dedup_oracle(),
