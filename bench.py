@@ -286,6 +286,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict[str, object]]:
         "track_region_hits",
         "attr_bbox_filter",
         "convexhull_by_type",
+        "equals_join_snap",
     ]
     # warm the session so the first measured query isn't charged for
     # startup: one pure-Column query (codegen, scan setup) AND one pandas-
