@@ -488,7 +488,9 @@ def _soup(rng: np.random.Generator, n: int):
                  XTouchMultiPoly([XSimplePoly(L), XPoly(fill)]))
             )
         elif kind < 31:  # heterogeneous GC: rect + line (1-in-3: snap the
-            # line's start onto the rect ring so linework rides/roots there)
+            # line's start onto the rect ring so linework rides/roots there;
+            # 1-in-4: the areal family is a TOUCHING rect pair, so the GC
+            # routing must interplay with the parts-safety guard)
             x0, y0 = int(rng.integers(0, 3)), int(rng.integers(0, 3))
             w, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
             ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
@@ -497,14 +499,28 @@ def _soup(rng: np.random.Generator, n: int):
                 pts[0] = ring[int(rng.integers(0, 4))]
                 if len(pts) == 2 and pts[0] == pts[1]:
                     pts[1] = ((pts[0][0] + 2) % 5, pts[0][1])
-            wkt = (
-                "GEOMETRYCOLLECTION (POLYGON (("
-                + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
-                + ")), LINESTRING ("
-                + ", ".join(f"{x} {y}" for x, y in pts)
-                + "))"
-            )
-            out.append((wkt, XGC(XPoly(ring), XLine(pts))))
+            line_wkt = "LINESTRING (" + ", ".join(
+                f"{x} {y}" for x, y in pts
+            ) + ")"
+            if int(rng.integers(0, 4)) == 0:
+                bx, by = x0 + w, y0 + (h if rng.integers(0, 2) else 0)
+                r2 = [(bx, by), (bx + 1, by), (bx + 1, by + 1), (bx, by + 1)]
+                wkt = (
+                    "GEOMETRYCOLLECTION ("
+                    + _mp_wkt([[ring], [r2]])
+                    + f", {line_wkt})"
+                )
+                out.append(
+                    (wkt, XGC(XTouchMultiPoly([XPoly(ring), XPoly(r2)]),
+                              XLine(pts)))
+                )
+            else:
+                wkt = (
+                    "GEOMETRYCOLLECTION (POLYGON (("
+                    + ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+                    + f")), {line_wkt})"
+                )
+                out.append((wkt, XGC(XPoly(ring), XLine(pts))))
         elif kind < 32:  # heterogeneous GC: rect + line + point
             x0, y0 = int(rng.integers(0, 3)), int(rng.integers(0, 3))
             w, h = int(rng.integers(1, 3)), int(rng.integers(1, 3))
