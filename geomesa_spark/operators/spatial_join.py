@@ -691,7 +691,9 @@ def _pairwise_predicate_fn(predicate: str):
                     ):
                         return False
                     plan.append(("arv", het_b, p2_sub, partner_g))
-                else:
+                elif kind == "covby_gc":
+                    # no forward plan for covby_gc; otherwise the "arl"
+                    # entry below carries covby_rev2 in the same kernel call
                     plan.append(("lrev2", het_b, p2_sub, partner_g))
             if rev1 and p1_sub is not None:
                 if not _live_segs(p1_sub):
@@ -911,7 +913,9 @@ def _pairwise_predicate_fn(predicate: str):
             else:  # "arl": members are the LINE partners, partner is the
                 # GC's areal family — inter/ii are symmetric; a 2-dim
                 # family is never inside a line's closure, and its
-                # interior always exceeds the line (ie true)
+                # interior always exceeds the line (ie true). The same
+                # kernel output carries the partner's reverse coverage
+                # (covby_rev2) for container-direction rows in the group.
                 lv = lineal_evidence_batch(members, partner)
                 ones = np.ones(len(members), dtype=bool)
                 ev = {
@@ -920,20 +924,20 @@ def _pairwise_predicate_fn(predicate: str):
                     "ie": ones,
                     "covby": np.zeros(len(members), dtype=bool),
                     "ii1": np.zeros(len(members), dtype=bool),
+                    "covby_rev2": lv["covby"],
                 }
             for k, (i, _) in enumerate(entries):
                 st = het_state[i]
                 if "covby_rev2" in ev:
                     st["covby_rev2"] = bool(ev["covby_rev2"][k])
-                    continue
                 if "covby_rev1" in ev:
                     st["covby_rev1"] = bool(ev["covby_rev1"][k])
-                    continue
-                st["covby"] = st["covby"] and bool(ev["covby"][k])
-                st["ii"] = st["ii"] or bool(ev["ii"][k])
-                st["inter"] = st["inter"] or bool(ev["inter"][k])
-                st["ie"] = st["ie"] or bool(ev["ie"][k])
-                st["ii1"] = st["ii1"] or bool(ev["ii1"][k])
+                if "covby" in ev:
+                    st["covby"] = st["covby"] and bool(ev["covby"][k])
+                    st["ii"] = st["ii"] or bool(ev["ii"][k])
+                    st["inter"] = st["inter"] or bool(ev["inter"][k])
+                    st["ie"] = st["ie"] or bool(ev["ie"][k])
+                    st["ii1"] = st["ii1"] or bool(ev["ii1"][k])
         for i, st in het_state.items():
             kind = st["kind"]
             if kind == "cover_b":
