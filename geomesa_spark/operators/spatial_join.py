@@ -878,7 +878,26 @@ def _pairwise_predicate_fn(predicate: str):
                         ):
                             continue
             out[i] = bool(fn(geo(lbytes[i]), geo(rbytes[i])))
-        for (fam_kind, key), entries in het_ev_groups.items():
+        # GC-keyed kinds first, then the per-partner lin/mp groups with a
+        # lazy skip: once an AND-shaped row's areal-family coverage failed,
+        # no further OR-evidence can change its verdict — don't pay the
+        # per-partner kernel for it (covers(B, GC) over many distinct B's
+        # is decided almost entirely by the GC-keyed areal coverage)
+        _EV_LAST = ("lin", "mp")
+        for (fam_kind, key), entries in sorted(
+            het_ev_groups.items(), key=lambda kv: kv[0][0] in _EV_LAST
+        ):
+            if fam_kind in _EV_LAST:
+                entries = [
+                    (i, g)
+                    for i, g in entries
+                    if not (
+                        het_state[i]["kind"] in ("cover_b", "covby_all")
+                        and not het_state[i]["covby"]
+                    )
+                ]
+                if not entries:
+                    continue
             members = [g for _, g in entries]
             partner = het_partner[(fam_kind, key)]
             if fam_kind == "lin":

@@ -9,11 +9,13 @@ r8 measurement on this host (local, pure numpy path, no Spark):
     within  : batch 1.2 s   scalar 10.1 s  (covby_rev2 alone decides —
               coverage by a closure implies interior-interior)
     crosses : batch 0.4 s   scalar 10.7 s  (ii + rev covby decide)
-    overlaps: batch 5.4 s   scalar 12.1 s  (areal forward evidence is
+    overlaps: batch 4.6 s   scalar  8.9 s  (areal forward evidence is
               GC-keyed after the r8 role swap; the residual cost is the
               line/point families' partner-keyed groups — a one-multiline-
               vs-many-areal-partners kernel does not exist)
-    covers  : batch 4.8 s   scalar  8.8 s  (same residual)
+    covers  : batch 2.3 s   scalar  9.3 s  (AND-shaped rows whose areal
+              coverage already failed lazily skip the per-partner
+              line/point kernels)
 
 Run: python scripts/probe_gc_container.py
 """
