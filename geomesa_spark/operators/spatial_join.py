@@ -359,17 +359,27 @@ def _pairwise_predicate_fn(predicate: str):
         win = _pairwise_predicate_fn("within")
 
         def eq_pred(lw: pd.Series, rw: pd.Series) -> pd.Series:
-            # byte-identical NON-EMPTY WKB is sufficient (same encoding =>
-            # same point set) and the common case in exact-dup joins — only
-            # differing encodings pay the two-direction within refine.
-            # Empties compare False even to themselves (SFS: no interior).
+            # byte-identical WKB is the common case in exact-dup joins:
+            # same encoding => same point set, so the verdict is the
+            # engine's SELF-equals. True for any non-empty geometry without
+            # a degenerate areal part; empties are False (SFS: no
+            # interior), and zero-AREA areal shapes defer to the scalar
+            # (the engine's equals needs interior-interior evidence, which
+            # a width-0 polygon lacks even against itself — the 0.3-step
+            # lattice sweep caught the shortcut saying True there).
             empty_cache: dict = {}
 
             def nonempty(b: bytes) -> bool:
                 v = empty_cache.get(b)
                 if v is None:
                     try:
-                        v = not from_wkb(b).is_empty()
+                        g = from_wkb(b)
+                        if g.is_empty():
+                            v = False
+                        elif alg._polygons_of(g) and not alg.area(g) > 0.0:
+                            v = bool(alg.equals(g, g))
+                        else:
+                            v = True
                     except Exception:
                         v = False
                     empty_cache[b] = v
