@@ -672,6 +672,155 @@ def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataF
 # recall of true >=threshold pairs is preserved (tested at both SFs).
 _EST_MARGIN = 0.15
 
+# -------------------------------------------------- gather-side verification
+#
+# The r8 verify pipeline attached per-document payloads (512 B sig blobs,
+# ~260 B texts) to every candidate PAIR with sort-merge id joins. At sf1.0
+# that is 72 M pairs x ~1 KB through two exchanges for the est stage alone
+# (measured r9: est 15.3 s, exact verify 28.9 s of an 87 s gate) — the
+# classic "shuffle heavy payloads to make a per-pair decision" anti-pattern
+# (optimization guide §8). The fix is the guide's "broadcast the plan"
+# option: when the per-document side fits a size cap, collect it ONCE,
+# broadcast it, and let the verify UDFs gather payloads by id — candidate
+# pairs then carry IDS ONLY end to end, and all four attach exchanges
+# disappear. The math inside is bit-identical (same int32 equality mean,
+# same shingle-set Jaccard). Above the cap (the 100 TB case: the document
+# table itself is too big to hold per executor) the attach-join path is
+# unchanged — this is deliberate join-strategy selection (guide §3.1), not
+# a scale regression.
+_GATHER_MAX_BYTES = 256 << 20
+
+
+def _gather_cap_bytes(spark) -> int:
+    try:
+        return _parse_bytes(spark.conf.get("spark.geomesa.dedup.gatherMaxBytes"))
+    except Exception:
+        return _GATHER_MAX_BYTES
+
+
+def _collect_sig_table(sig: DataFrame, id_col: str, num_hashes: int):
+    """(ids Index, int32 sig matrix) broadcast when the per-doc sig table
+    fits the gather cap, else None (callers fall back to attach joins)."""
+    spark = sig.sparkSession
+    n = sig.count()
+    if n == 0 or n * 4 * num_hashes > _gather_cap_bytes(spark):
+        return None
+    rows = sig.select(id_col, "_sigb").collect()
+    ids = pd.Index([r[0] for r in rows])
+    if ids.has_duplicates:
+        return None  # attach-join semantics needed for duplicate ids
+    M = np.frombuffer(b"".join(bytes(r[1]) for r in rows), dtype="<i4").reshape(
+        len(rows), num_hashes
+    )
+    return spark.sparkContext.broadcast((ids, M))
+
+
+def _collect_text_table(txt: DataFrame, id_col: str, text_col: str = "_txt"):
+    """(ids Index, object array of texts, nul_flag) broadcast when the text
+    table fits the gather cap, else None. nul_flag marks texts containing
+    NUL characters, which force the object-dtype (exact but slower) shingle
+    representation in the gather verifier — numpy U-dtype strips trailing
+    NULs, so 'ab\\0' and 'ab' would collide there."""
+    spark = txt.sparkSession
+    stats = txt.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length(text_col)).alias("b")
+    ).first()
+    n, b = stats["n"] or 0, stats["b"] or 0
+    if n == 0 or n * 64 + b > _gather_cap_bytes(spark):
+        return None
+    rows = txt.select(id_col, text_col).collect()
+    ids = pd.Index([r[0] for r in rows])
+    if ids.has_duplicates:
+        return None
+    texts = np.array([r[1] for r in rows], dtype=object)
+    has_nul = any(t is not None and "\x00" in t for t in texts)
+    return spark.sparkContext.broadcast((ids, texts, has_nul))
+
+
+def _gather_ix(ids: pd.Index, s: pd.Series) -> np.ndarray:
+    ix = ids.get_indexer(s)
+    if (ix < 0).any():
+        raise KeyError("candidate id missing from gathered document table")
+    return ix
+
+
+def _est_match_frac_gather_udf(bc, num_hashes: int):
+    """(id_a, id_b) -> minhash matching-position fraction, gathering rows of
+    the broadcast sig matrix — VALUE-IDENTICAL to _sig_match_frac_bin_udf on
+    attached blobs (same int32 values, same equality mean)."""
+    from pyspark.sql.types import DoubleType
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        ids, M = bc.value
+        return pd.Series((M[_gather_ix(ids, a)] == M[_gather_ix(ids, b)]).mean(axis=1))
+
+    return F.pandas_udf(f, DoubleType())
+
+
+def _exact_jaccard_gather_udf(bc, k: int):
+    """(id_a, id_b) -> EXACT distinct-k-shingle Jaccard, texts gathered from
+    the broadcast table. Each text's distinct-gram set is materialized ONCE
+    per worker as a SORTED numpy array (U-dtype, ~3 KB/text — or object
+    dtype when any text contains NUL, where U-dtype would merge trailing-NUL
+    grams) and pairs intersect via np.intersect1d: the intersection/union
+    COUNTS are identical to _exact_jaccard_udf's Python set math, so the
+    quotient is bit-identical."""
+    from pyspark.sql.types import DoubleType
+
+    cache: dict = {}
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        ids, texts, has_nul = bc.value
+        dtype = object if has_nul else f"U{k}"
+
+        def sh(ix: int):
+            s = cache.get(ix)
+            if s is None:
+                s = np.unique(np.array(list(_shingle_set(texts[ix], k)), dtype=dtype))
+                cache[ix] = s
+            return s
+
+        ia = _gather_ix(ids, a)
+        ib = _gather_ix(ids, b)
+        out = np.empty(len(ia), dtype=np.float64)
+        for i in range(len(ia)):
+            sa, sb = sh(ia[i]), sh(ib[i])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (sa.size + sb.size - inter)
+        return pd.Series(out)
+
+    return F.pandas_udf(f, DoubleType())
+
+
+def _exact_verify(
+    cand: DataFrame,
+    txt: DataFrame,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of id-only candidate pairs ->
+    (id_a, id_b, jaccard >= threshold). Gather path when the text table fits
+    the cap (pairs never carry texts); attach-join path otherwise."""
+    bc = _collect_text_table(txt, id_col)
+    if bc is not None:
+        # asNondeterministic: the filter on the projected alias would
+        # otherwise be pushed below the projection and evaluate the UDF
+        # twice per row (guide §4.4)
+        jac = _exact_jaccard_gather_udf(bc, k).asNondeterministic()(
+            F.col("id_a"), F.col("id_b")
+        )
+        return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    slim = txt.select(id_col, "_txt")
+    cand = _attach(cand, slim, id_col, "id_a")
+    cand = _attach(cand, slim, id_col, "id_b")
+    jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
+    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
 
 def _est_prefilter(
     cand: DataFrame,
@@ -680,14 +829,22 @@ def _est_prefilter(
     threshold: float,
     num_hashes: int,
 ) -> DataFrame:
-    """Sig-only prefilter BEFORE the text attach. Two-phase on purpose: a
+    """Sig-only prefilter BEFORE any text movement. Two-phase on purpose: a
     fused single attach (sig+txt per side) was tried (r7) and measured 2.5x
-    SLOWER on the minhash gate — the est pandas-UDF filter stage materializes
-    the whole row through Arrow, so every LSH candidate (710k at sf0.1) paid
-    the double-text transfer that this prefilter exists to avoid; attaching
-    texts to the 106k survivors afterwards is far cheaper than the two
-    'saved' joins (scripts/bisect_attach.py, interleaved: fused 14.6 s vs
-    two-phase 5.9 s minhash, 5.6 vs 5.3 ngram)."""
+    SLOWER on the minhash gate (scripts/bisect_attach.py). r9: when the
+    per-doc sig table fits the gather cap the estimate runs on ID-ONLY pairs
+    against the broadcast sig matrix (no attach joins at all — at sf1.0 the
+    two sig attaches alone shuffled ~72 M pairs x 1 KB); the attach path
+    remains the above-cap fallback."""
+    bc = _collect_sig_table(sig, id_col, num_hashes)
+    if bc is not None:
+        # asNondeterministic pins the est filter ABOVE the candidate
+        # dropDuplicates — a deterministic UDF predicate is pushable below
+        # the dedupe, where it would re-score every multi-band pair copy
+        est = _est_match_frac_gather_udf(bc, num_hashes).asNondeterministic()(
+            F.col("id_a"), F.col("id_b")
+        )
+        return cand.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
     sigs = sig.select(id_col, "_sigb")
     pre = _attach(cand, sigs, id_col, "id_a")
     pre = _attach(pre, sigs, id_col, "id_b")
@@ -751,11 +908,14 @@ def minhash_lsh_pairs(
 
     if verify == "exact":
         cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-        cand = _attach(cand, txt, id_col, "id_a")
-        cand = _attach(cand, txt, id_col, "id_b")
-        jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
-        return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
-            F.col("jaccard") >= threshold
+        return _exact_verify(cand, txt, id_col, k, threshold)
+    bc = _collect_sig_table(sig, id_col, num_hashes)
+    if bc is not None:
+        est = _est_match_frac_gather_udf(bc, num_hashes).asNondeterministic()(
+            F.col("id_a"), F.col("id_b")
+        )
+        return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+            F.col("est_jaccard") >= threshold
         )
     sigs = sig.select(id_col, "_sigb")
     cand = _attach(cand, sigs, id_col, "id_a")
@@ -817,13 +977,7 @@ def ngram_jaccard_pairs(
         id_col, num_hashes, bands, max_bucket, block_col=block_col,
     )
     cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
-    slim = txt.select(id_col, "_txt")
-    cand = _attach(cand, slim, id_col, "id_a")
-    cand = _attach(cand, slim, id_col, "id_b")
-    jac = _exact_jaccard_udf(k)(F.col("_txt_id_a"), F.col("_txt_id_b"))
-    return cand.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _exact_verify(cand, txt, id_col, k, threshold)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -969,33 +1123,83 @@ def embedding_cosine_pairs(
     SQL-expressible, so the full pipeline is oracle-checkable. Candidates
     carry ids only; vectors re-attach via plain id joins. max_bucket drops
     degenerate buckets (e.g. a zero-vector cluster) — see _bucket_guard."""
-    from .similarity import _vec_dim, cosine_pairs_udf, hyperplane_signs, rp_buckets_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .similarity import _vec_dim, hyperplane_signs, rp_buckets_udf
 
     df = _ensure_parallel(df)
     dim = _vec_dim(df, vec_col)
     signs = hyperplane_signs(dim, lsh_bits, tables, seed)
     # all table buckets in one Arrow-batched matmul; posexplode to
-    # (table, bucket) join keys — ids only through the shuffle
+    # (table, bucket) group keys. r9: score WITHIN each bucket group via
+    # applyInPandas instead of a bucket self-join + per-pair vector attach —
+    # the r8 plan shipped BOTH 64-dim vectors to every candidate pair
+    # (measured sf1.0: 27 M raw pairs, a 22 s dropDuplicates + two attach
+    # exchanges of ~25 GB for a near-empty output). Here every vector
+    # crosses the shuffle once per table (tables x n rows total), each
+    # bucket block enumerates its own pairs with the IDENTICAL per-pair
+    # cosine math, and only >=threshold pairs leave the kernel; duplicates
+    # from multi-table collisions (identical cosine by construction, so
+    # filter-then-dedupe == dedupe-then-filter) drop afterwards on the tiny
+    # survivor set. Memory is bounded by the largest bucket (the guard /
+    # lsh_bits control it), pair enumeration is chunked.
     keyed = df.select(
         F.col(id_col),
+        F.col(vec_col).alias("_v"),
         F.posexplode(rp_buckets_udf(signs)(F.col(vec_col))).alias("tbl", "bkt"),
-    ).localCheckpoint(eager=False)
-    keyed = _bucket_guard(keyed, ["tbl", "bkt"], max_bucket)
-    a = keyed.alias("a")
-    c = keyed.alias("c")
-    cand = (
-        a.join(c, on=["tbl", "bkt"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"c.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = df.select(id_col, vec_col)
-    cand = _attach(cand, vecs, id_col, "id_a")
-    cand = _attach(cand, vecs, id_col, "id_b")
-    cos = cosine_pairs_udf()(F.col(f"{vec_col}_id_a"), F.col(f"{vec_col}_id_b"))
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
+    keyed = _bucket_guard(keyed, ["tbl", "bkt"], max_bucket)
+    out_schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType),
+            StructField("id_b", df.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(V, axis=1)
+        out_a, out_b, out_c = [], [], []
+        # chunked upper-triangle enumeration: bounded temporaries even for
+        # large unguarded buckets
+        chunk_rows: list[tuple[int, int]] = []
+        budget = 0
+        for i in range(m - 1):
+            chunk_rows.append((i, m - 1 - i))
+            budget += m - 1 - i
+            if budget >= 200_000 or i == m - 2:
+                iu = np.concatenate(
+                    [np.full(c, r, dtype=np.int64) for r, c in chunk_rows]
+                )
+                ju = np.concatenate(
+                    [np.arange(r + 1, m, dtype=np.int64) for r, _ in chunk_rows]
+                )
+                cos = (V[iu] * V[ju]).sum(axis=1) / (norms[iu] * norms[ju])
+                keep = cos >= thr
+                if keep.any():
+                    out_a.append(ids[iu[keep]])
+                    out_b.append(ids[ju[keep]])
+                    out_c.append(cos[keep])
+                chunk_rows, budget = [], 0
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        keyed.groupBy("tbl", "bkt")
+        .applyInPandas(score_bucket, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
