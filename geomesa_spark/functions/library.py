@@ -191,6 +191,44 @@ def st_makeLine(points: pd.Series) -> pd.Series:
         pts = [from_wkb(bytes(b)).coords[:2] for b in arr if b is not None]
         return to_wkb(gcore.linestring(pts))
 
+    # r9 fast path (optimization guide §4.2): when every row is a non-empty
+    # array of 21-byte little-endian POINT WKBs with one shared length (the
+    # segment/track-construction shape: st_makeLine(array(st_makePoint...))
+    # over millions of rows), assemble the linestring WKB with numpy slab
+    # ops instead of per-row from_wkb/to_wkb — BYTE-IDENTICAL output
+    # (header 0x0102... + <u4 count + the points' own <dd coord bytes).
+    import struct
+
+    from ..geom.wkb import POINT_WKB_SIZE, _LE_POINT_HEADER
+
+    vals = points.to_numpy(dtype=object)
+    n_rows = len(vals)
+    if n_rows:
+        first = vals[0]
+        npts = len(first) if first is not None else 0
+        if npts > 0 and all(
+            arr is not None
+            and len(arr) == npts
+            and all(
+                b is not None
+                and len(b) == POINT_WKB_SIZE
+                and bytes(b[:5]) == _LE_POINT_HEADER
+                for b in arr
+            )
+            for arr in vals
+        ):
+            flat = b"".join(
+                bytes(b) for arr in vals for b in arr
+            )
+            raw = np.frombuffer(flat, dtype=np.uint8).reshape(-1, POINT_WKB_SIZE)
+            coords = raw[:, 5:POINT_WKB_SIZE].reshape(n_rows, npts * 16)
+            buf = np.empty((n_rows, 9 + npts * 16), dtype=np.uint8)
+            buf[:, :9] = np.frombuffer(
+                b"\x01\x02\x00\x00\x00" + struct.pack("<I", npts), dtype=np.uint8
+            )
+            buf[:, 9:] = coords
+            return pd.Series([row.tobytes() for row in buf], dtype=object)
+
     return _map1(points, mk)
 
 

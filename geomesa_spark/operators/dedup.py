@@ -606,6 +606,7 @@ def _lsh_candidates(
     bands: int,
     max_bucket: int | None = None,
     block_col: str | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """(id, _sig) -> candidate id pairs via LSH banding. Only (id, band,
     bucket-hash) crosses the shuffle; the band self-join's two sides are the
@@ -642,15 +643,21 @@ def _lsh_candidates(
     bands_df = _bucket_guard(bands_df, key, max_bucket)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    return (
+    pairs = (
         a.join(b, on=key)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # dedup=False hands the RAW multi-band pair stream to a caller that
+    # filters per-pair (deterministically) BEFORE deduplicating: measured
+    # sf1.0 multiplicity is only 1.08x (78.0M raw vs 72.1M distinct), so
+    # deduplicating first costs a full 72M-row exchange to save 8% of the
+    # (cheap) estimate evaluations — filter-then-dedupe moves that exchange
+    # to the ~12M survivors (guide §2.3: shuffle fewer bytes).
+    return pairs.dropDuplicates(["id_a", "id_b"]) if dedup else pairs
 
 
 def _attach(cand: DataFrame, side: DataFrame, id_col: str, out_id: str) -> DataFrame:
@@ -716,11 +723,8 @@ def _collect_sig_table(sig: DataFrame, id_col: str, num_hashes: int):
 
 
 def _collect_text_table(txt: DataFrame, id_col: str, text_col: str = "_txt"):
-    """(ids Index, object array of texts, nul_flag) broadcast when the text
-    table fits the gather cap, else None. nul_flag marks texts containing
-    NUL characters, which force the object-dtype (exact but slower) shingle
-    representation in the gather verifier — numpy U-dtype strips trailing
-    NULs, so 'ab\\0' and 'ab' would collide there."""
+    """(ids Index, object array of texts) broadcast when the text table fits
+    the gather cap, else None."""
     spark = txt.sparkSession
     stats = txt.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.length(text_col)).alias("b")
@@ -733,8 +737,7 @@ def _collect_text_table(txt: DataFrame, id_col: str, text_col: str = "_txt"):
     if ids.has_duplicates:
         return None
     texts = np.array([r[1] for r in rows], dtype=object)
-    has_nul = any(t is not None and "\x00" in t for t in texts)
-    return spark.sparkContext.broadcast((ids, texts, has_nul))
+    return spark.sparkContext.broadcast((ids, texts))
 
 
 def _gather_ix(ids: pd.Index, s: pd.Series) -> np.ndarray:
@@ -760,23 +763,30 @@ def _est_match_frac_gather_udf(bc, num_hashes: int):
 def _exact_jaccard_gather_udf(bc, k: int):
     """(id_a, id_b) -> EXACT distinct-k-shingle Jaccard, texts gathered from
     the broadcast table. Each text's distinct-gram set is materialized ONCE
-    per worker as a SORTED numpy array (U-dtype, ~3 KB/text — or object
-    dtype when any text contains NUL, where U-dtype would merge trailing-NUL
-    grams) and pairs intersect via np.intersect1d: the intersection/union
-    COUNTS are identical to _exact_jaccard_udf's Python set math, so the
-    quotient is bit-identical."""
+    per worker as a SORTED array of integer gram ids from a per-worker vocab
+    dict (exact string->id bijection, so intersection/union COUNTS are
+    identical to _exact_jaccard_udf's Python set math and the quotient is
+    bit-identical; ~1 KB per text vs ~18 KB for string sets). Pairs
+    intersect by searchsorted over the sorted id arrays — measured 2.5x
+    faster per pair than np.intersect1d and ~7x than fresh set building."""
     from pyspark.sql.types import DoubleType
 
+    vocab: dict = {}
     cache: dict = {}
 
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        ids, texts, has_nul = bc.value
-        dtype = object if has_nul else f"U{k}"
+        ids, texts = bc.value
 
         def sh(ix: int):
             s = cache.get(ix)
             if s is None:
-                s = np.unique(np.array(list(_shingle_set(texts[ix], k)), dtype=dtype))
+                grams = _shingle_set(texts[ix], k)
+                s = np.fromiter(
+                    (vocab.setdefault(g, len(vocab)) for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                s.sort()
                 cache[ix] = s
             return s
 
@@ -785,7 +795,12 @@ def _exact_jaccard_gather_udf(bc, k: int):
         out = np.empty(len(ia), dtype=np.float64)
         for i in range(len(ia)):
             sa, sb = sh(ia[i]), sh(ib[i])
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if sb.size < sa.size:
+                sa, sb = sb, sa
+            # sa is the smaller sorted array: count members present in sb
+            pos = np.searchsorted(sb, sa)
+            pos[pos == sb.size] = sb.size - 1
+            inter = int((sb[pos] == sa).sum())
             out[i] = inter / (sa.size + sb.size - inter)
         return pd.Series(out)
 
@@ -828,6 +843,7 @@ def _est_prefilter(
     id_col: str,
     threshold: float,
     num_hashes: int,
+    cand_raw: bool = False,
 ) -> DataFrame:
     """Sig-only prefilter BEFORE any text movement. Two-phase on purpose: a
     fused single attach (sig+txt per side) was tried (r7) and measured 2.5x
@@ -835,16 +851,25 @@ def _est_prefilter(
     per-doc sig table fits the gather cap the estimate runs on ID-ONLY pairs
     against the broadcast sig matrix (no attach joins at all — at sf1.0 the
     two sig attaches alone shuffled ~72 M pairs x 1 KB); the attach path
-    remains the above-cap fallback."""
+    remains the above-cap fallback.
+
+    cand_raw=True marks a NON-deduplicated multi-band pair stream
+    (_lsh_candidates dedup=False): the estimate is per-pair deterministic,
+    so filtering the copies first and deduplicating the survivors is
+    set-identical to dedupe-then-filter, and moves the dedupe exchange from
+    the full candidate volume to the survivors."""
     bc = _collect_sig_table(sig, id_col, num_hashes)
     if bc is not None:
-        # asNondeterministic pins the est filter ABOVE the candidate
-        # dropDuplicates — a deterministic UDF predicate is pushable below
-        # the dedupe, where it would re-score every multi-band pair copy
+        # asNondeterministic pins the est filter where it stands — a
+        # deterministic UDF predicate could be re-ordered around the
+        # upstream dedupe/join by the optimizer
         est = _est_match_frac_gather_udf(bc, num_hashes).asNondeterministic()(
             F.col("id_a"), F.col("id_b")
         )
-        return cand.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
+        out = cand.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
+        return out.dropDuplicates(["id_a", "id_b"]) if cand_raw else out
+    if cand_raw:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     sigs = sig.select(id_col, "_sigb")
     pre = _attach(cand, sigs, id_col, "id_a")
     pre = _attach(pre, sigs, id_col, "id_b")
@@ -903,20 +928,28 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=False)
     )
     cand = _lsh_candidates(
-        sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket
+        sig.select(id_col, "_sig"), id_col, num_hashes, bands, max_bucket,
+        dedup=False,
     )
 
     if verify == "exact":
-        cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
+        cand = _est_prefilter(
+            cand, sig, id_col, threshold, num_hashes, cand_raw=True
+        )
         return _exact_verify(cand, txt, id_col, k, threshold)
     bc = _collect_sig_table(sig, id_col, num_hashes)
     if bc is not None:
         est = _est_match_frac_gather_udf(bc, num_hashes).asNondeterministic()(
             F.col("id_a"), F.col("id_b")
         )
-        return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-            F.col("est_jaccard") >= threshold
+        # est is identical for every multi-band copy of a pair: filter the
+        # raw stream, dedupe the survivors (set-identical, smaller exchange)
+        return (
+            cand.select("id_a", "id_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
         )
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     sigs = sig.select(id_col, "_sigb")
     cand = _attach(cand, sigs, id_col, "id_a")
     cand = _attach(cand, sigs, id_col, "id_b")
@@ -975,8 +1008,9 @@ def ngram_jaccard_pairs(
     cand = _lsh_candidates(
         sig.select(id_col, "_sig", *([block_col] if block_col else [])),
         id_col, num_hashes, bands, max_bucket, block_col=block_col,
+        dedup=False,
     )
-    cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes)
+    cand = _est_prefilter(cand, sig, id_col, threshold, num_hashes, cand_raw=True)
     return _exact_verify(cand, txt, id_col, k, threshold)
 
 

@@ -1130,6 +1130,19 @@ def spatial_join(
     if predicate not in ("intersects", "contains", "within", "covers", "overlaps", "crosses", "touches", "equals"):
         raise ValueError(f"unsupported predicate {predicate}")
 
+    # r9: a small single-file scan arrives as ONE input split, and the
+    # broadcast-join path PRESERVES input partitioning — so the envelope
+    # UDF, the cell cover, the join and the exact refine all ran on one
+    # core (measured sf1.0: the whole track_region_hits join+refine, 286k
+    # candidate pairs, took 23 s single-threaded). _ensure_parallel
+    # round-robins only the few-split case; true at-scale inputs arrive
+    # with thousands of splits and are left untouched (guide §2).
+    from .dedup import _ensure_parallel
+
+    left = _ensure_parallel(left)
+    if broadcast is not True:
+        right = _ensure_parallel(right)
+
     L = _with_envelope(left, left_geom, "l")
     R = _with_envelope(right, right_geom, "r")
 
@@ -1406,7 +1419,13 @@ def distance_join(
 
     Returns left columns + right columns (right renamed `r_<name>` on
     clash) + dist_m."""
+    from .dedup import _ensure_parallel
     from .knn import haversine_col
+
+    # single-split scans otherwise run the (interpreted, per-element) cell
+    # cover explode and the whole shuffle-map stage on one core (guide §2)
+    left = _ensure_parallel(left)
+    right = _ensure_parallel(right)
 
     overlap = set(left.columns) & set(right.columns)
     R = right.select(
