@@ -792,16 +792,36 @@ def _exact_jaccard_gather_udf(bc, k: int):
 
         ia = _gather_ix(ids, a)
         ib = _gather_ix(ids, b)
-        out = np.empty(len(ia), dtype=np.float64)
-        for i in range(len(ia)):
-            sa, sb = sh(ia[i]), sh(ib[i])
-            if sb.size < sa.size:
-                sa, sb = sb, sa
-            # sa is the smaller sorted array: count members present in sb
-            pos = np.searchsorted(sb, sa)
-            pos[pos == sb.size] = sb.size - 1
-            inter = int((sb[pos] == sa).sum())
-            out[i] = inter / (sa.size + sb.size - inter)
+        n = len(ia)
+        out = np.empty(n, dtype=np.float64)
+        # batch-level grouping: pairs arrive clustered by id_b (the verify
+        # caller sorts within partitions), so consecutive rows share the
+        # partner array sb — concatenate the run's sa arrays and do ONE
+        # searchsorted + reduceat per run instead of one numpy call chain
+        # per pair (measured ~23us/pair ungrouped, numpy call overhead)
+        i = 0
+        while i < n:
+            j = i + 1
+            part = ib[i]
+            while j < n and ib[j] == part:
+                j += 1
+            sb = sh(part)
+            sizes = np.empty(j - i, dtype=np.int64)
+            cats = []
+            for r in range(i, j):
+                sa = sh(ia[r])
+                sizes[r - i] = sa.size
+                cats.append(sa)
+            cat = np.concatenate(cats) if len(cats) > 1 else cats[0]
+            hits = (
+                np.searchsorted(sb, cat, side="right")
+                - np.searchsorted(sb, cat, side="left")
+            )
+            bounds = np.zeros(len(sizes), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=bounds[1:])
+            inter = np.add.reduceat(hits, bounds)
+            out[i:j] = inter / (sizes + sb.size - inter)
+            i = j
         return pd.Series(out)
 
     return F.pandas_udf(f, DoubleType())
@@ -819,6 +839,10 @@ def _exact_verify(
     the cap (pairs never carry texts); attach-join path otherwise."""
     bc = _collect_text_table(txt, id_col)
     if bc is not None:
+        # local sort clusters each partition's pairs by partner id so the
+        # gather kernel's run-grouping amortizes (row order is not part of
+        # the result contract; the pair SET is unchanged)
+        cand = cand.sortWithinPartitions("id_b")
         # asNondeterministic: the filter on the projected alias would
         # otherwise be pushed below the projection and evaluate the UDF
         # twice per row (guide §4.4)
@@ -867,7 +891,13 @@ def _est_prefilter(
             F.col("id_a"), F.col("id_b")
         )
         out = cand.filter(est >= threshold - _EST_MARGIN).select("id_a", "id_b")
-        return out.dropDuplicates(["id_a", "id_b"]) if cand_raw else out
+        if cand_raw:
+            # partition the dedupe by id_b alone: a subset of the dedupe key
+            # still co-locates every copy of a pair (same exchange count),
+            # and it clusters each partition by PARTNER so the exact-verify
+            # kernel's run-grouping amortizes over ~hundreds of pairs
+            out = out.repartition("id_b").dropDuplicates(["id_a", "id_b"])
+        return out
     if cand_raw:
         cand = cand.dropDuplicates(["id_a", "id_b"])
     sigs = sig.select(id_col, "_sigb")
