@@ -59,10 +59,19 @@ def _docs_pts(spark, sf_dir) -> DataFrame:
     return index_points_df(d, "lon", "lat")
 
 
-def _events_pts(spark, sf_dir) -> DataFrame:
+def _events_pts(spark, sf_dir, parallel: bool = False) -> DataFrame:
+    """parallel=True spreads a few-split scan BEFORE the derived WKB UDF
+    column — for consumers that actually evaluate geom_wkb over every row
+    (convex hull, equals join), where a downstream exchange would leave
+    the UDF on the scan's single input split. Consumers that prune
+    geom_wkb (tiles, density, knn) skip the extra exchange."""
     e = _read(spark, sf_dir, "events").withColumn(
         "lon", F.expr(O.EVENT_LON)
     ).withColumn("lat", F.expr(O.EVENT_LAT))
+    if parallel:
+        from geomesa_spark.operators.dedup import _ensure_parallel
+
+        e = _ensure_parallel(e)
     return index_points_df(e, "lon", "lat")
 
 
@@ -173,9 +182,14 @@ def q_equals_join_snap(spark, sf_dir):
         .withColumn("lat", F.floor(F.expr(O.EVENT_LAT) / 2.0) * 2.0)
         .select("event_id", "lon", "lat")
     )
+    from geomesa_spark.operators.dedup import _ensure_parallel
+
+    # spread the single-split events scan below the point-WKB UDF (the
+    # join exchange above it would otherwise leave 1M st_makePoint calls
+    # on one core — r9, guide §2)
     j = spatial_join(
         index_points_df(d, "lon", "lat"),
-        index_points_df(e, "lon", "lat"),
+        index_points_df(_ensure_parallel(e), "lon", "lat"),
         predicate="equals",
     )
     return j.select("doc_id", "event_id")
@@ -360,8 +374,12 @@ def q_track_region_hits(spark, sf_dir):
     pure SQL over the identically-derived coordinates."""
     _init(spark)
     from geomesa_spark.functions.library import UDFS
+    from geomesa_spark.operators.dedup import _ensure_parallel
 
-    e = _read(spark, sf_dir, "events")
+    # spread the single-split scan BEFORE the segment-WKB UDF chain: the
+    # broadcast join preserves partitioning, so without this the segment
+    # construction runs on one core (r9, guide §2)
+    e = _ensure_parallel(_read(spark, sf_dir, "events"))
     seg = (
         e.withColumn("ax", F.expr(SEG_AX))
         .withColumn("ay", F.expr(SEG_AY))
@@ -797,7 +815,7 @@ def q_convexhull_by_type(spark, sf_dir):
     _init(spark)
     from geomesa_spark.functions.library import UDFS, convex_hull_by
 
-    e = _events_pts(spark, sf_dir)
+    e = _events_pts(spark, sf_dir, parallel=True)
     hulls = convex_hull_by(e, "event_type", geom_col="geom_wkb")
     return hulls.select(
         "event_type", F.round(UDFS["st_area"](F.col("hull")), 6).alias("hull_area_r6")

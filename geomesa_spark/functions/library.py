@@ -713,29 +713,41 @@ def convex_hull_by(df, group_cols, geom_col: str = "geom"):
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     proj = df.select(*group_cols, geom_col)
-    # single-file reads arrive as one partition — spread the map-side fold.
-    # inputFiles() is a metadata-only probe; touching df.rdd here would
-    # force an RDD conversion plan just to count partitions.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(proj.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < par:
-        proj = proj.repartition(par)
+    # single-file reads arrive as one partition — spread the map-side fold
+    # (skipped when the plan already carries an explicit repartition, e.g.
+    # a caller that parallelized BELOW its geometry UDF — r9)
+    from ..operators.dedup import _ensure_parallel
+
+    proj = _ensure_parallel(proj)
     schema = proj.schema
+
+    from ..geom.wkb import _LE_POINT_HEADER, POINT_WKB_SIZE, points_from_wkb
 
     def partial(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # r9 fast path: all-POINT batches (the dominant shape) bulk-
+            # decode via one numpy pass instead of a generic from_wkb per
+            # row — identical coordinates feed the identical hull fold
+            vals = [None if b is None else bytes(b) for b in pdf[geom_col]]
+            all_pts = all(
+                b is not None
+                and len(b) == POINT_WKB_SIZE
+                and b[:5] == _LE_POINT_HEADER
+                for b in vals
+            )
+            pts = points_from_wkb(vals) if all_pts and vals else None
             groups, wkbs = [], []
             for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
-                coords = [
-                    from_wkb(bytes(b))._all_coords()
-                    for b in sub[geom_col]
-                    if b is not None
-                ]
+                if pts is not None:
+                    coords = [pts[sub.index.to_numpy()]]
+                else:
+                    coords = [
+                        from_wkb(bytes(b))._all_coords()
+                        for b in sub[geom_col]
+                        if b is not None
+                    ]
                 if not coords:
                     continue
                 groups.append(key if isinstance(key, tuple) else (key,))

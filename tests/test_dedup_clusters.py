@@ -242,14 +242,24 @@ def test_dedup_components_nonconvergence_handling(spark):
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)],
         "id_a string, id_b string",
     )
-    # explicit fallback="raise" fails loudly instead of returning wrong labels
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(chain, max_iter=2, fallback="raise").collect()
-    # the default falls back to the diameter-independent star formulation
-    labels = dedup_components(chain, max_iter=2)
-    got = {(r.id, r.component) for r in labels.collect()}
+    # r9: a this-small graph resolves via the local union-find regardless
+    # of max_iter — force the DISTRIBUTED loop (whose convergence handling
+    # this test targets) by zeroing the gather cap
+    spark.conf.set("spark.geomesa.dedup.gatherMaxBytes", "0")
+    try:
+        # explicit fallback="raise" fails loudly instead of returning wrong labels
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_components(chain, max_iter=2, fallback="raise").collect()
+        # the default falls back to the diameter-independent star formulation
+        labels = dedup_components(chain, max_iter=2)
+        got = {(r.id, r.component) for r in labels.collect()}
+        assert got == {(f"n{i:02d}", "n00") for i in range(13)}
+        # and with enough rounds plain propagation converges to the same answer
+        labels = dedup_components(chain, max_iter=30, fallback="raise")
+        comps = {r.component for r in labels.collect()}
+        assert comps == {"n00"}
+    finally:
+        spark.conf.unset("spark.geomesa.dedup.gatherMaxBytes")
+    # the union-find default gives the identical answer without iteration
+    got = {(r.id, r.component) for r in dedup_components(chain, max_iter=2).collect()}
     assert got == {(f"n{i:02d}", "n00") for i in range(13)}
-    # and with enough rounds plain propagation converges to the same answer
-    labels = dedup_components(chain, max_iter=30, fallback="raise")
-    comps = {r.component for r in labels.collect()}
-    assert comps == {"n00"}

@@ -146,3 +146,29 @@ def test_embedding_bucket_kernel_matches_join_reference(spark):
         ["id_a", "id_b", "cosine"],
     )
     assert new and new == ref
+
+
+def test_components_local_union_find_matches_distributed(spark):
+    """r9: below the gather cap dedup_components solves with a driver-side
+    union-find; forcing the cap to zero runs the distributed min-label
+    loop. Both must emit identical (id, component) sets — including a long
+    chain (diameter >> 1) and disjoint cliques."""
+    from geomesa_spark.operators.dedup import dedup_components
+
+    rows = (
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)]  # 41-node chain
+        + [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]        # clique
+        + [("z9", "z8")]                                     # 2-node comp
+    )
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b"])
+    local = sorted(tuple(r) for r in dedup_components(pairs).collect())
+    spark.conf.set(CAP, "0")
+    try:
+        dist = sorted(
+            tuple(r) for r in dedup_components(pairs, max_iter=60).collect()
+        )
+    finally:
+        spark.conf.unset(CAP)
+    assert local == dist
+    comp = dict(local)
+    assert comp["n040"] == "n000" and comp["a3"] == "a1" and comp["z9"] == "z8"
