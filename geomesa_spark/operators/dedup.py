@@ -1157,6 +1157,47 @@ def _simhash_udf(bits: int = SIMHASH_BITS):
     return F.pandas_udf(f, LongType())
 
 
+def _simhash_text_udf(bits: int = SIMHASH_BITS):
+    """text -> simhash signature with tokenization + md5 INSIDE the Arrow
+    batch (r9): token_hashes_col's transform() lambda is interpreted PER
+    TOKEN by Spark (~40 tokens/doc), and the hash array then crosses Arrow
+    as list<long>. Here only the text crosses; hashlib.md5 over the UTF-8
+    token bytes with int(hex[2:17], 16) is VALUE-IDENTICAL to
+    conv(substring(md5(t), 3, 15), 16, 10)::long (same digest, same hex
+    window), Python str.lower()/split(' ') match lower()/split on the
+    engine's corpora (ASCII; split keeps empty tokens in both). Token
+    hashes are memoized per worker (natural-language tokens repeat)."""
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.int64)
+    cache: dict = {}
+
+    def f(texts):  # no hints (local-import annotations trap)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = t.lower().split(" ")
+            if not toks:
+                continue
+            hv = np.empty(len(toks), dtype=np.int64)
+            for j, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[2:17], 16)
+                    if len(cache) < (1 << 20):
+                        cache[tok] = h
+                hv[j] = h
+            bitm = (hv[:, None] >> shifts) & 1  # (tokens, bits)
+            contrib = bitm.sum(axis=0) * 2 - len(hv)  # sum of +-1 per bit
+            out[i] = int(((contrib > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return F.pandas_udf(f, LongType())
+
+
 def _simhash_blocks(max_hamming: int, bits: int = SIMHASH_BITS):
     """Pigeonhole split of the signature into (max_hamming+1) bit blocks:
     a pair with <= max_hamming differing bits agrees on >= 1 whole block."""
@@ -1188,7 +1229,7 @@ def simhash_pairs(
     if canonicalize:
         df = canonicalize_exact(df, text_col, id_col)
     sh = _ensure_parallel(df).select(
-        F.col(id_col), _simhash_udf()(token_hashes_col(F.col(text_col))).alias("_sig")
+        F.col(id_col), _simhash_text_udf()(F.col(text_col)).alias("_sig")
     ).localCheckpoint(eager=False)  # signatures computed once, both join sides
     blocks = _simhash_blocks(max_hamming)
     block_structs = [
