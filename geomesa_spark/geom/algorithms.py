@@ -424,6 +424,13 @@ def relate(a: Geometry, b: Geometry) -> str:
     Covers point/line/polygon and their multis (union semantics). Built on
     segment splitting + point location rather than full topology — exact for
     the reference's test fixtures (axis-aligned and generic-position inputs).
+
+    Approximation posture (ADVICE r8): hole-vs-sibling interior-overlap
+    evidence (_hole_exterior_overlap) accepts a witness only when the
+    sibling-subtracted overlap area exceeds 1e-12 — a true EI witness whose
+    residual area is below that tolerance (an adversarial near-sliver fill
+    of a hole by a sibling part) is deliberately not claimed, consistent
+    with the knife-edge tolerance used throughout the splitter.
     """
     M = [["F"] * 3 for _ in range(3)]
     M[2][2] = "2"

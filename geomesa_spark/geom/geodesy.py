@@ -578,6 +578,11 @@ def _proj_to_internal(s: str) -> str:
         return _ELLPS[name]
 
     if proj in ("longlat", "latlong", "lonlat"):
+        # only resolve the ellipsoid when a datum shift actually needs it:
+        # '+proj=longlat +ellps=<unregistered>' with no +towgs84 keeps
+        # mapping to EPSG:4326 as before r8 (ADVICE r8)
+        if "towgs84" not in kv:
+            return "EPSG:4326"
         return "EPSG:4326" + towgs84_suffix(*ellipsoid())
     if proj == "webmerc":
         if "towgs84" in kv and any(float(v) for v in kv["towgs84"].split(",")):

@@ -603,7 +603,14 @@ def _bucket_guard(keyed: DataFrame, key_cols: list[str], max_bucket: int | None)
     can dominate the whole job. The window count shuffles on the SAME key as
     the candidate self-join, so AQE reuses the exchange. Reference analog:
     full-table-scan blocking, QueryProperties.scala:40-42 — refuse the
-    degenerate plan rather than run it."""
+    degenerate plan rather than run it.
+
+    NOTE (ADVICE r8): when a block column is part of key_cols (the r8
+    ngram bucket keying), sizes are counted per (block, band, bucket) —
+    a globally-oversized bucket whose per-block slices stay under
+    max_bucket now SURVIVES for its same-block pairs. This is intended:
+    the guard exists to bound per-bucket pair volume, and the per-block
+    slices ARE the pair-generating units under block keying."""
     if max_bucket is None:
         return keyed
     from pyspark.sql import Window
